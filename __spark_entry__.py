@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-join aggregate at sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2
+plus the LLM-pipeline operators; ``oracle_sql()`` gives the DuckDB
+equivalent for each (all but the genuinely-streaming entry).
 """
 
 from __future__ import annotations
@@ -13,26 +12,46 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from udacity_data_engineering_capstone_project_spark.plans.registry import (
+    oracle_sqls,
+    query_fns,
+)
+from udacity_data_engineering_capstone_project_spark.session import prep_session
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: 5-way star join (lineitem-orders-customer-
+    nation-region) with revenue aggregation, at sf0.001."""
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import (
+        star_join_agg,
+    )
+
+    prep_session(spark)
+    return star_join_agg(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2 tags are in
+    each query's docstring; see plans/queries_parity.py and
+    plans/queries_llm.py)."""
+    fns = query_fns()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prep_session(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        run.__name__ = fn.__name__
+        return run
+
+    return {name: wrap(fn) for name, fn in fns.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-dialect oracle SQL per query (omitted only for
+    ``stream_hourly_counts``, which is a genuinely streaming operator —
+    rows-only check)."""
+    return oracle_sqls()

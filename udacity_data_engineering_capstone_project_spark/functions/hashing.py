@@ -1,0 +1,53 @@
+"""Deterministic cross-engine hashing.
+
+MinHash/SimHash/fingerprint operators need hash functions that produce
+bit-identical values in Spark (execution) and DuckDB (the correctness
+oracle). Spark's ``xxhash64``/``hash`` have no DuckDB counterpart, but
+``md5`` yields the same lowercase hex digest in both engines — so every
+hash here is derived from md5, converted hex->integer with an explicit
+polynomial that uses only the shared SQL surface (``md5``, ``substr``,
+``instr``, ``+``, ``*``). The generated SQL string parses and evaluates
+identically in both dialects.
+"""
+
+from __future__ import annotations
+
+import random
+
+#: 2^31 - 1, Mersenne prime: modulus for the affine MinHash family.
+#: Base values are < 2^28 and coefficients < P, so a*h + b < 2^59 —
+#: no 64-bit overflow in either engine.
+MINHASH_PRIME = 2_147_483_647
+
+
+def sql_hex_to_long(hex_expr: str, nchars: int) -> str:
+    """SQL for interpreting the first ``nchars`` hex chars of
+    ``hex_expr`` as a big-endian integer. Valid in Spark SQL and DuckDB
+    alike (``instr(str, sub)`` is 1-based in both; missing char -> 0)."""
+    # CAST the place-value constants to BIGINT: both engines default
+    # small literals to INT32 and (15 * 16^7) overflows it under
+    # Spark's ANSI mode / DuckDB's checked arithmetic.
+    terms = [
+        f"(instr('0123456789abcdef', substr({hex_expr}, {i + 1}, 1)) - 1) * "
+        f"CAST({16 ** (nchars - 1 - i)} AS BIGINT)"
+        for i in range(nchars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_md5_long(expr: str, nchars: int = 7) -> str:
+    """SQL for an integer hash of ``expr``: first ``nchars`` hex chars
+    of md5. 7 chars = 28 bits (safe headroom under the MinHash modulus);
+    15 chars = 60 bits (SimHash fingerprints, still < 2^63)."""
+    return sql_hex_to_long(f"md5({expr})", nchars)
+
+
+def minhash_coefficients(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """``n`` fixed (a, b) pairs for the affine family
+    ``(a*h + b) mod MINHASH_PRIME``. Seeded, so Spark-side execution and
+    DuckDB-side oracle SQL generation see identical constants."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(n)
+    ]

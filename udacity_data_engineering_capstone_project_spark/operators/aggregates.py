@@ -1,0 +1,57 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A7).
+
+All land on ``HashAggregateExec`` with map-side partial aggregation —
+one shuffle per groupBy. Aggregate aliases are set inside ``agg()``
+(never a post-hoc rename chain like the reference's 13-way
+``withColumnRenamed``, etl.py:186-198).
+
+``first()`` in the reference (A1/A2) is order-nondeterministic; callers
+here pass deterministic aggregates (``min``/``max``) unless they can
+prove per-group constancy (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """A1/A2/A4: groupBy + aliased aggregates."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def pivot_wide(
+    df: DataFrame,
+    keys: list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    agg: Column,
+    fill=0,
+) -> DataFrame:
+    """A3 + P6: pivot with an explicit value list.
+
+    Passing ``pivot_values`` matters twice: (1) determinism — the
+    output schema no longer depends on a distinct-scan of the data;
+    (2) scale — Spark skips the extra job that collects distinct pivot
+    values. Missing combinations are filled (reference semantics:
+    absent race count = 0, not null; etl.py:199).
+    """
+    out = df.groupBy(*keys).pivot(pivot_col, pivot_values).agg(agg)
+    if fill is not None:
+        out = out.na.fill(fill, subset=[c for c in out.columns if c not in keys])
+    return out
+
+
+def distinct_count(df: DataFrame, cols: list[str]) -> int:
+    """A6: exact distinct count over column subset (the reference's
+    key-uniqueness primitive, etl.py:511-536). For monitoring at scale
+    prefer ``approx_count_distinct`` — exact distinct is a full
+    shuffle."""
+    return df.select(*cols).distinct().count()
+
+
+def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """Rollup (hierarchical grouping sets) — beyond-reference but a core
+    OLAP aggregate; nulls mark the rolled-up levels."""
+    return df.rollup(*keys).agg(*aggs)

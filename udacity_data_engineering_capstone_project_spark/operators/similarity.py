@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference (BASELINE.json north star). Two tiers:
+
+- brute_force_topk: exact cosine top-k. The query set is broadcast, the
+  corpus streams — cost is |Q| x |corpus| dot products, all JVM-side
+  higher-order functions. Correct at any scale where |Q| is small;
+  the baseline the approximate tier is measured against.
+- IVF (build_ivf_assignments + ivf_topk): partition the corpus into
+  Voronoi cells around centroids, then probe only ``nprobe`` cells per
+  query — the classic inverted-file ANN layout. At 100 TB the
+  assignment is one broadcast-join pass and search touches
+  nprobe/ncentroids of the data. Centroid choice here is pluggable
+  (callers pass any small centroid DataFrame; tests use a deterministic
+  subset — k-means would drop in without changing the dataflow).
+
+Ranking is computed on cosine ROUNDED to 4 decimals with the candidate
+id as tie-break, so ordering is reproducible across engines (the DuckDB
+oracle ranks the same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_cols, to_double_array
+
+
+def _with_double_vec(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.select(
+        *[c for c in df.columns if c != vec_col], to_double_array(vec_col).alias(out)
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rank). Self-matches are
+    excluded. ``queries`` must be small (it is broadcast)."""
+    q = _with_double_vec(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
+    )
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"), "cv"
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_cols(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def build_ivf_assignments(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF build: assign every corpus vector to its nearest centroid
+    (max cosine; centroid id breaks ties). One broadcast join + one
+    window — at scale this is a single pass over the corpus.
+
+    Output: (vec_id, centroid_id, cos_sim)."""
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("vec_id"), "cv"
+    )
+    cent = _with_double_vec(centroids, vec_col, "uv").select(
+        F.col(centroid_id_col).alias("centroid_id"), "uv"
+    )
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        cosine_cols(F.col("cv"), F.col("uv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest cells per query and rank
+    only vectors assigned to those cells. Approximate (a true neighbor
+    in an unprobed cell is missed) but touches nprobe/|cells| of the
+    corpus. Output: (query_id, neighbor_id, cos_sim, rank)."""
+    assignments = build_ivf_assignments(
+        corpus, centroids, id_col, vec_col, centroid_id_col
+    ).select("vec_id", "centroid_id")
+
+    q = _with_double_vec(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
+    )
+    cent = _with_double_vec(centroids, vec_col, "uv").select(
+        F.col(centroid_id_col).alias("centroid_id"), "uv"
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine_cols(F.col("qv"), F.col("uv")).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"), "cv"
+    )
+    candidates = (
+        assignments.join(F.broadcast(probes), "centroid_id")
+        .join(c, F.col("vec_id") == F.col("neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.select(
+            "query_id",
+            "neighbor_id",
+            cosine_cols(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,146 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference (BASELINE.json north star): language ID (marker-word
+heuristic), quality scoring, token statistics, and document
+fingerprinting — all pure column expressions / one-shuffle aggregations
+(no Python UDFs), so they run at corpus scale inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import tokens_col
+
+#: Marker stopwords per language for the n-gram-free language-ID
+#: heuristic. Deliberately tiny: language ID at corpus scale is a
+#: token-join against a broadcast dim, and the word lists are the
+#: pluggable part.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+
+def lang_id(
+    df: DataFrame,
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    markers: dict[str, list[str]] | None = None,
+    default_lang: str = "und",
+) -> DataFrame:
+    """Predict language by counting marker-word hits per language and
+    taking the argmax (ties broken by language code ascending; no hits
+    -> ``default_lang``).
+
+    Dataflow: explode tokens, join the broadcast marker dim, one
+    groupBy, one window. Output: (doc_id, pred_lang, hits)."""
+    markers = markers or LANG_MARKERS
+    rows = [(lang, w) for lang, words in sorted(markers.items()) for w in words]
+    marker_df = spark.createDataFrame(rows, "lang string, word string")
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("word")
+    )
+    hits = (
+        toks.join(F.broadcast(marker_df), "word")
+        .groupBy("doc", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("hits").desc(), F.col("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc", F.col("lang").alias("pred_lang"), "hits")
+    )
+    ids = df.select(F.col(id_col).alias("doc"))
+    return (
+        ids.join(best, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("pred_lang", F.lit(default_lang)).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token statistics: token count (whitespace),
+    distinct-token count, total token characters. All integers — no
+    float drift in oracle comparison. Type-token ratio and mean word
+    length are derivable downstream."""
+    toks = tokens_col(text_col)
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(toks).alias("token")
+    ).filter(F.col("token") != "")
+    return exploded.groupBy("doc").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        F.sum(F.length("token")).alias("n_token_chars"),
+    ).withColumnRenamed("doc", id_col)
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality: length band + lexical diversity +
+    mean token length band, scored 0..100 (integer — deterministic
+    across engines).
+
+    Components (computed as pure expressions):
+      len_ok   30 pts: 200 <= char length <= 20000
+      div      0-40 pts: distinct/total token ratio scaled
+      wordlen  30 pts: mean token length in [3, 12]
+    """
+    stats = token_stats(df, id_col, text_col)
+    base = df.select(F.col(id_col), F.length(F.col(text_col)).alias("n_chars_raw"))
+    j = base.join(stats, id_col, "left").na.fill(
+        0, ["n_tokens", "n_distinct_tokens", "n_token_chars"]
+    )
+    len_ok = (
+        (F.col("n_chars_raw") >= 200) & (F.col("n_chars_raw") <= 20000)
+    ).cast("int") * 30
+    # integer division only: float->int casting rounds in DuckDB but
+    # truncates in Spark, so ratios are computed with `div`
+    div = F.when(
+        F.col("n_tokens") > 0,
+        F.expr("(n_distinct_tokens * 40) div n_tokens"),
+    ).otherwise(0).cast("int")
+    mean_len_x10 = F.when(
+        F.col("n_tokens") > 0, F.expr("(n_token_chars * 10) div n_tokens")
+    ).otherwise(0).cast("int")
+    wordlen_ok = ((mean_len_x10 >= 30) & (mean_len_x10 <= 120)).cast("int") * 30
+    return j.select(
+        F.col(id_col),
+        F.col("n_chars_raw").alias("n_chars"),
+        "n_tokens",
+        "n_distinct_tokens",
+        (len_ok + div + wordlen_ok).alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact identity)
+    plus the minimum shingle digest (a 1-hash MinHash — equal min-
+    shingle fingerprints flag likely near-dups cheaply)."""
+    from .dedup import shingle_table  # local import to avoid cycle
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    exact = df.select(
+        F.col(id_col).alias("doc"), F.md5(norm).alias("text_fp")
+    )
+    min_sh = (
+        shingle_table(df, id_col, text_col, n)
+        .groupBy("doc")
+        .agg(F.min(F.md5(F.col("shingle"))).alias("min_shingle_fp"))
+    )
+    return exact.join(min_sh, "doc", "left").withColumnRenamed("doc", id_col)

@@ -1,0 +1,73 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference imports ``Window``/``row_number`` but never uses them
+(its surrogate key falls back to ``monotonically_increasing_id``) —
+the survey asks our engine to expose ranking windows anyway. Also
+hosts gap-based sessionization (the batch twin of streaming
+``session_window``), built as lag + conditional cumsum: one shuffle on
+the session key, sort within partitions, no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_in_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    out_col: str = "rn",
+    method: str = "row_number",
+) -> DataFrame:
+    """row_number/rank/dense_rank within a partition. Include a unique
+    tie-break in ``order_by`` for deterministic row_number."""
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(out_col, fn().over(w))
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    agg_col: Column,
+    out_col: str,
+) -> DataFrame:
+    """Running aggregate over unbounded-preceding..current frame."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, agg_col.over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds ``gap_seconds``.
+
+    Timestamps are compared at microsecond precision (``unix_micros``)
+    so sub-second gaps are not truncated away. Adds ``session_id``
+    (1-based per key, ordered by time).
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_break)] if tie_break else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = gap_seconds * 1_000_000
+    new_session = (
+        (us - F.lag(us).over(w) > F.lit(gap_us)) | F.lag(us).over(w).isNull()
+    ).cast("int")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -1,0 +1,511 @@
+"""Training-data-pipeline acceptance queries (BASELINE.json north star).
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search (brute-force + IVF ANN), text analysis (language ID, quality,
+token stats, fingerprints), multimodal plumbing, and event
+windowing/sessionization — each with a DuckDB oracle built from the
+same md5-derived hash primitives (functions/hashing.py), so results
+match bit-for-bit.
+
+Float discipline: similarity thresholds are integer comparisons
+(inter*den >= union*num); cosine is rounded to 4 decimals and ranking
+happens ON the rounded value with an id tie-break, so ordering is
+engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sql_hex_to_long
+from ..functions.rounding import round_fixed, sql_round_fixed
+from ..functions.textnorm import sql_tokens
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_table,
+    simhash,
+)
+from ..operators.multimodal import attach_payload, extract_payload_features
+from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.textops import lang_id, quality_score, token_stats
+from ..operators.windows import sessionize
+from .queries_parity import EVENTS_US, _t
+
+_COS_QC = sql_round_fixed("list_cosine_similarity(qv, cv)", 4)
+_COS_CU = sql_round_fixed("list_cosine_similarity(c.v, cent.u)", 4)
+_COS_QU = sql_round_fixed("list_cosine_similarity(q.qv, cent.u)", 4)
+_COS_PC = sql_round_fixed("list_cosine_similarity(p.qv, c2.v)", 4)
+
+# --------------------------------------------------------------------------
+# shared oracle SQL fragments (DuckDB dialect)
+
+_TOKS_DUCK = sql_tokens("text", "duckdb")  # string_split(trim(regexp_replace(...)), ' ')
+
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id AS doc, {_TOKS_DUCK} AS toks FROM documents
+),
+idx AS (
+  SELECT doc, toks, unnest(range(1, len(toks) - 1)) AS i
+  FROM toks WHERE len(toks) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM idx
+)
+"""
+
+
+def _jaccard_oracle(num: int, den: int) -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter_size AS BIGINT) AS inter_size,
+       CAST(sa.n_sh + sb.n_sh - inter_size AS BIGINT) AS union_size
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE inter_size * {den} >= (sa.n_sh + sb.n_sh - inter_size) * {num}
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy on md5(text): the digest, not the
+    payload, crosses the shuffle."""
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def jaccard_pairs_exact(spark, sf_dir):
+    """Exact near-dup pairs (word-3-gram Jaccard >= 0.6) via the
+    shingle inverted index — cost sum(freq^2) per shingle, not
+    corpus^2. Integer threshold comparison; no floats anywhere."""
+    sh = shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    return jaccard_pairs(sh, threshold_num=3, threshold_den=5)
+
+
+ORACLE_JACCARD_PAIRS = _jaccard_oracle(3, 5)
+
+
+def minhash_pairs(spark, sf_dir):
+    """MinHash(64) + LSH(16 bands x 4 rows) + exact verification at
+    Jaccard >= 0.8 — the scale path for near-dup mining. Verified
+    candidates reproduce the exact-Jaccard oracle (FN rate ~2e-4 at
+    j=0.8, ~0 at the planted j~0.99)."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        n_hashes=64,
+        bands=16,
+        threshold_num=4,
+        threshold_den=5,
+    )
+
+
+ORACLE_MINHASH_PAIRS = _jaccard_oracle(4, 5)
+
+
+def simhash_fingerprints(spark, sf_dir):
+    """60-bit SimHash per document — token-hash bit voting in a single
+    groupBy pass (60 conditional sums; no row explosion)."""
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=60)
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    v_expr = sql_hex_to_long("md5(token)", 15)
+    ones = ",\n       ".join(
+        f"sum((v >> {p}) & 1) AS o{p}" for p in range(bits)
+    )
+    fp = "\n     + ".join(
+        f"(CASE WHEN o{p} * 2 > n THEN {1 << p} ELSE 0 END)" for p in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc, token FROM (
+    SELECT doc_id AS doc, unnest({_TOKS_DUCK}) AS token FROM documents
+  ) WHERE token <> ''
+),
+tv AS (SELECT doc, {v_expr} AS v FROM tok),
+agg AS (SELECT doc, count(*) AS n, {ones} FROM tv GROUP BY doc)
+SELECT doc AS doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle(60)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+
+
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for query vectors (vec_id < 5) against the
+    whole corpus: broadcast queries, JVM-side zip_with/aggregate dot
+    products, ranking on 4-decimal-rounded cosine with id tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+
+
+ORACLE_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         {_COS_QC} AS cos_sim
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def ann_topk_ivf(spark, sf_dir):
+    """IVF ANN: corpus bucketed into Voronoi cells of 8 deterministic
+    centroids (vec_id < 8); queries (vec_id < 5) probe their 2 nearest
+    cells and rank only those candidates — the nprobe/ncells scale
+    path. Approximate by design; the oracle replicates the same
+    algorithm, not brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        queries, emb, centroids,
+        id_col="vec_id", vec_col="embedding", centroid_id_col="centroid_id",
+        k=5, nprobe=2,
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS u FROM c WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_COS_CU} DESC,
+                                       cent.centroid_id) AS rn
+    FROM c, cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_QU} DESC,
+                                       cent.centroid_id) AS rn
+    FROM q, cent
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_PC} AS cos_sim
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN c c2 ON c2.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+
+
+def lang_id_docs(spark, sf_dir):
+    """Language ID: token join against a broadcast marker-word dim,
+    argmax per doc with lexicographic tie-break."""
+    return lang_id(_t(spark, sf_dir, "documents"), spark, "doc_id", "text")
+
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, words in sorted(
+        {
+            "de": ["der", "die", "das", "und", "ist"],
+            "en": ["the", "a", "of", "and", "is"],
+            "es": ["el", "la", "de", "y", "es"],
+            "fr": ["le", "la", "de", "et", "est"],
+        }.items()
+    )
+    for w in words
+)
+
+ORACLE_LANG_ID = f"""
+WITH m AS (SELECT * FROM (VALUES {_MARKER_VALUES}) AS t(lang, word)),
+toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS_DUCK}) AS word FROM documents
+),
+hits AS (
+  SELECT doc, lang, count(*) AS hits
+  FROM toks JOIN m USING (word) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc, lang, hits FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc ORDER BY hits DESC, lang) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS pred_lang,
+       CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+FROM documents d LEFT JOIN best b ON b.doc = d.doc_id
+"""
+
+
+def text_quality(spark, sf_dir):
+    """Quality scoring: length band + lexical diversity + word-length
+    band, all integer arithmetic (cross-engine float->int casts round
+    differently, so ratios use integer division)."""
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         count(DISTINCT token) AS n_distinct_tokens,
+         sum(length(token)) AS n_token_chars
+  FROM toks WHERE token <> '' GROUP BY doc_id
+),
+base AS (SELECT doc_id, length(text) AS n_chars_raw FROM documents)
+SELECT b.doc_id,
+       CAST(b.n_chars_raw AS INT) AS n_chars,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+       CAST(
+         (CASE WHEN b.n_chars_raw BETWEEN 200 AND 20000 THEN 30 ELSE 0 END)
+       + (CASE WHEN coalesce(s.n_tokens, 0) > 0
+               THEN (s.n_distinct_tokens * 40) // s.n_tokens ELSE 0 END)
+       + (CASE WHEN coalesce(s.n_tokens, 0) > 0
+                AND ((s.n_token_chars * 10) // s.n_tokens) BETWEEN 30 AND 120
+               THEN 30 ELSE 0 END)
+       AS INT) AS quality
+FROM base b LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def token_stats_by_source(spark, sf_dir):
+    """Corpus token statistics rolled up by source feed — integer
+    division for the average (x100 fixed-point)."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = token_stats(docs, "doc_id", "text")
+    j = docs.select("doc_id", "source").join(per_doc, "doc_id", "left").na.fill(
+        0, ["n_tokens", "n_distinct_tokens", "n_token_chars"]
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_distinct_tokens").alias("total_distinct_tokens"),
+        )
+        .withColumn(
+            "avg_tokens_x100", F.expr("(total_tokens * 100) div n_docs")
+        )
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+  FROM toks WHERE token <> '' GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(p.n_tokens, 0)) AS BIGINT) AS total_tokens,
+       CAST(sum(coalesce(p.n_distinct, 0)) AS BIGINT) AS total_distinct_tokens,
+       CAST(CAST(sum(coalesce(p.n_tokens, 0)) AS BIGINT) * 100 // count(*) AS BIGINT) AS avg_tokens_x100
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Fingerprints: md5 of normalized text (exact identity) + min
+    shingle digest (1-hash MinHash) per document."""
+    from ..operators.textops import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH {_SHINGLES_CTE},
+norm AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_fp
+  FROM documents
+),
+min_sh AS (SELECT doc, min(md5(shingle)) AS min_shingle_fp FROM sh GROUP BY doc)
+SELECT n.doc_id, n.text_fp, m.min_shingle_fp
+FROM norm n LEFT JOIN min_sh m ON m.doc = n.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+
+
+def multimodal_features(spark, sf_dir):
+    """Binary payload column + typed metadata + Arrow-batched
+    mapInPandas feature extraction (byte length, md5) — the multimodal
+    dataflow with a deterministic, oracle-checkable feature fn."""
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = attach_payload(docs, "doc_id", "text", modality="text")
+    return extract_payload_features(wrapped, "doc_id", "payload")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Event windowing / sessionization (batch twins of the streaming surface)
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (F.window, epoch-hour aligned) —
+    the batch twin of the streaming hourly rollup."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_fixed(F.sum("value"), 2).alias("sum_value_r"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value_r",
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = f"""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_round_fixed('sum(value)', 2)} AS sum_value_r
+FROM {EVENTS_US} AS events GROUP BY 1, 2
+"""
+
+
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag +
+    conditional cumsum — one shuffle on user_id; microsecond-precision
+    gap comparison."""
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    return s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM {EVENTS_US} AS events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+def stream_hourly_counts(spark, sf_dir):
+    """Structured Streaming smoke: the events parquet replayed through
+    readStream -> watermark -> tumbling window -> memory sink, run to
+    completion. Append mode only emits watermark-closed windows, so the
+    trailing window is withheld (correct streaming semantics). No SQL
+    oracle — the driver records a rows-only check."""
+    from ..streaming.events import run_hourly_batch
+
+    return run_hourly_batch(spark, sf_dir)
+
+
+LLM_QUERIES = {
+    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT, "dedup: exact hash-groupBy"),
+    "jaccard_pairs_exact": (
+        jaccard_pairs_exact,
+        ORACLE_JACCARD_PAIRS,
+        "dedup: n-gram Jaccard inverted index",
+    ),
+    "minhash_pairs": (minhash_pairs, ORACLE_MINHASH_PAIRS, "dedup: MinHash+LSH"),
+    "simhash_fingerprints": (simhash_fingerprints, ORACLE_SIMHASH, "dedup: SimHash"),
+    "ann_topk_bruteforce": (
+        ann_topk_bruteforce,
+        ORACLE_ANN_BRUTEFORCE,
+        "similarity: brute-force cosine top-k",
+    ),
+    "ann_topk_ivf": (ann_topk_ivf, ORACLE_ANN_IVF, "similarity: IVF ANN"),
+    "lang_id": (lang_id_docs, ORACLE_LANG_ID, "text: language ID"),
+    "text_quality": (text_quality, ORACLE_TEXT_QUALITY, "text: quality scoring"),
+    "token_stats_by_source": (
+        token_stats_by_source,
+        ORACLE_TOKEN_STATS,
+        "text: token counting",
+    ),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT, "text: fingerprinting"),
+    "multimodal_features": (
+        multimodal_features,
+        ORACLE_MULTIMODAL,
+        "multimodal: payload plumbing + mapInPandas",
+    ),
+    "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY, "streaming twin: window agg"),
+    "sessionize_events": (sessionize_events, ORACLE_SESSIONIZE, "sessionization"),
+    "stream_hourly_counts": (stream_hourly_counts, None, "structured streaming"),
+}

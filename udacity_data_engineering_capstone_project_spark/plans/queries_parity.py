@@ -1,0 +1,763 @@
+"""Reference-parity acceptance queries (SURVEY.md §2 / §3.3 / §5).
+
+Each entry re-expresses one or more reference operators over the
+driver's synthetic TPC-H-ish tables (TESTDATA.md), with a DuckDB oracle
+SQL that computes the identical result. Conventions that make the
+oracle comparison bit-stable:
+
+- every computed column is aliased identically in Spark and SQL;
+- derived integers are cast so Spark/DuckDB dtypes agree (DuckDB
+  ``count``/``sum``/date parts default to BIGINT/HUGEINT);
+- float aggregates are rounded to fixed decimals (suffix ``_r``);
+  pure min/max/comparisons on stored doubles need no rounding;
+- ratios use integer division (``div`` / ``//``) — float->int casts
+  round differently across engines.
+
+Scale notes are in each docstring: what broadcasts, what shuffles, and
+why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dates import date_to_sas, is_weekend_expr, season_expr
+from ..functions.rounding import round_fixed, sql_round_fixed
+from ..operators.aggregates import pivot_wide, rollup_agg
+from ..operators.cleaning import dedup, drop_columns, drop_null_rows, fill_nulls
+from ..operators.joins import asof_join, equi_join, star_join
+from ..operators.sets import union_distinct
+from ..operators.sorting import top_k
+from ..operators.windows import rank_in_group, sessionize
+from ..plans.quality import (
+    nonempty_check,
+    orphan_fk_check,
+    predicate_absent_check,
+    quality_suite,
+    unique_key_check,
+)
+from ..sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+#: DuckDB-side twin of read_table's events nanos->micros truncation
+#: (the raw parquet is TIMESTAMP(NANOS); Spark reads it via
+#: nanosAsLong + ``ts div 1000``).
+EVENTS_US = (
+    "(SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, "
+    "user_id, event_type, value, props FROM events)"
+)
+
+
+# --------------------------------------------------------------------------
+# Scans / projections / filters
+
+
+def pruned_scan(spark, sf_dir):
+    """S1+P11+P14: parquet scan with predicate+projection pushdown.
+    ``.explain`` shows PushedFilters on l_quantity/l_shipdate and a
+    4-column ReadSchema — the scan never reads the other 7 columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 30)
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-01-01")))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+ORACLE_PRUNED_SCAN = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_quantity >= 30 AND l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+
+def drop_cols(spark, sf_dir):
+    """P1/P2: multi-column drop = narrowing projection (column pruning
+    reaches the scan)."""
+    return drop_columns(_t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment")
+
+
+ORACLE_DROP_COLS = "SELECT c_custkey, c_name, c_nationkey FROM customer"
+
+
+def null_handling(spark, sf_dir):
+    """P3-P6: null drop (subset) + null fill, over an injected nullable
+    column (the synthetic tables are null-free; ``value_n`` is null for
+    'error' events). Three aggregates over the same base plan — Spark
+    computes them in one shuffle each; all integer counts + one rounded
+    sum."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_n",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    totals = e.groupBy("event_type").agg(F.count("*").alias("n_rows"))
+    nonnull = (
+        drop_null_rows(e, subset=["value_n"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_nonnull_rows"))
+    )
+    filled = (
+        fill_nulls(e, 0.0, subset=["value_n"])
+        .groupBy("event_type")
+        .agg(round_fixed(F.sum("value_n"), 2).alias("sum_value_r"))
+    )
+    return (
+        totals.join(nonnull, "event_type", "left")
+        .join(filled, "event_type", "left")
+        .select(
+            "event_type",
+            "n_rows",
+            F.coalesce("n_nonnull_rows", F.lit(0)).alias("n_nonnull_rows"),
+            "sum_value_r",
+        )
+    )
+
+
+ORACLE_NULL_HANDLING = f"""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(value_n) AS BIGINT) AS n_nonnull_rows,
+       {sql_round_fixed('sum(coalesce(value_n, 0))', 2)} AS sum_value_r
+FROM e GROUP BY event_type
+"""
+
+
+def dedup_rows(spark, sf_dir):
+    """P7: dropDuplicates on a column subset -> hash aggregate."""
+    return dedup(
+        _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    )
+
+
+ORACLE_DEDUP_ROWS = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def filter_compound(spark, sf_dir):
+    """P8/P9+F4/F5: negated case-insensitive substring predicates ANDed
+    (the reference's dim_Country cleansing shape, etl.py:293-296)."""
+    p = _t(spark, sf_dir, "part")
+    name = F.lower(F.col("p_name"))
+    return p.filter(
+        ~name.contains("red") & ~name.contains("blue") & ~F.lower(F.col("p_type")).contains("promo")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+ORACLE_FILTER_COMPOUND = """
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE instr(lower(p_name), 'red') = 0
+  AND instr(lower(p_name), 'blue') = 0
+  AND instr(lower(p_type), 'promo') = 0
+"""
+
+
+def cast_derive(spark, sf_dir):
+    """P14/P15: type casts + derived arithmetic/date columns, all
+    inside whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        round_fixed(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            2,
+        ).alias("charge_r"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+    )
+
+
+ORACLE_CAST_DERIVE = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS INT) AS qty_int,
+       {sql_round_fixed('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)} AS charge_r,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(month(l_shipdate) AS INT) AS ship_month
+FROM lineitem
+"""
+
+
+def rename_project(spark, sf_dir):
+    """P11/P13: projection with renames — aliases in one projection,
+    not a withColumnRenamed chain."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_nationkey").alias("nation_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+ORACLE_RENAME_PROJECT = """
+SELECT c_custkey AS cust_id, c_name AS cust_name,
+       c_nationkey AS nation_id, c_mktsegment AS segment
+FROM customer
+"""
+
+
+def spot_lookup(spark, sf_dir):
+    """P10/P12: single-key equality lookup, full projection. The
+    predicate pushes to the scan; at scale this is the
+    partition/row-group pruning fast path."""
+    return _t(spark, sf_dir, "orders").where(F.col("o_orderkey") == 3).select("*")
+
+
+ORACLE_SPOT_LOOKUP = "SELECT * FROM orders WHERE o_orderkey = 3"
+
+
+# --------------------------------------------------------------------------
+# Joins
+
+
+def join_inner_agg(spark, sf_dir):
+    """J1+A4: inner equi-join orders x customer (customer broadcast —
+    it is the small side here), aggregated by market segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = equi_join(
+        o, c, o["o_custkey"] == c["c_custkey"], "inner", broadcast_right=True
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        round_fixed(F.sum("o_totalprice"), 2).alias("total_r"),
+    )
+
+
+ORACLE_JOIN_INNER_AGG = f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       {sql_round_fixed('sum(o_totalprice)', 2)} AS total_r
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def join_left_agg(spark, sf_dir):
+    """J2: left outer join keeping unmatched left rows (customers with
+    no orders -> zero counts), per-customer rollup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = equi_join(c, o, c["c_custkey"] == o["o_custkey"], "left")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        round_fixed(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+            "spent_r"
+        ),
+    )
+
+
+ORACLE_JOIN_LEFT_AGG = f"""
+SELECT c_custkey,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       {sql_round_fixed('sum(coalesce(o_totalprice, 0))', 2)} AS spent_r
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def star_join_agg(spark, sf_dir):
+    """J4 (the flagship): fact lineitem -> inner join orders, then left
+    joins up the dimension chain customer -> nation -> region, revenue
+    by region/nation.
+
+    Scale: orders co-shuffles with lineitem on the order key (at real
+    scale both sides bucket on it); customer/nation/region are
+    broadcast so the fact never shuffles for dimensions. AQE handles
+    the final two-column aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    starred = star_join(
+        li,
+        [
+            (o, li["l_orderkey"] == o["o_orderkey"], "inner"),
+            (c, o["o_custkey"] == c["c_custkey"], "left"),
+            (n, c["c_nationkey"] == n["n_nationkey"], "left"),
+            (r, n["n_regionkey"] == r["r_regionkey"], "left"),
+        ],
+        broadcast_dims=True,
+    )
+    return starred.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_items"),
+        round_fixed(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue_r"
+        ),
+    )
+
+
+ORACLE_STAR_JOIN_AGG = f"""
+SELECT r_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {sql_round_fixed('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue_r
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+_SEASON_SQL = """CASE WHEN month({d}) IN (12, 1, 2) THEN 'Winter'
+     WHEN month({d}) IN (3, 4, 5) THEN 'Spring'
+     WHEN month({d}) IN (6, 7, 8) THEN 'Summer'
+     ELSE 'Autumn' END"""
+
+
+def date_dim(spark, sf_dir):
+    """U1+F8/F10+U-1/U-2: the reference's date dimension
+    (etl.py:409-453) over the synthetic tables — positional UNION
+    DISTINCT of two date columns, expanded to SAS day offset + calendar
+    attributes + season, as pure built-ins (no UDF)."""
+    o = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("isodate"))
+    li = _t(spark, sf_dir, "lineitem").select(F.to_date("l_shipdate").alias("isodate"))
+    dates = union_distinct(o, li)
+    d = F.col("isodate")
+    # date rendered as ISO string: Spark DateType collects as
+    # datetime.date while DuckDB DATE collects as datetime64 — string
+    # form is hash-stable in any comparator
+    return dates.select(
+        d.cast("string").alias("isodate"),
+        date_to_sas(d).alias("sasdate"),
+        F.year(d).alias("year"),
+        F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day"),
+        F.weekofyear(d).alias("week"),
+        F.dayofweek(d).alias("dayofweek"),
+        is_weekend_expr(F.dayofweek(d)).alias("isweekend"),
+        season_expr(F.month(d)).alias("season"),
+    )
+
+
+ORACLE_DATE_DIM = f"""
+WITH dates AS (
+  SELECT CAST(o_orderdate AS DATE) AS isodate FROM orders
+  UNION
+  SELECT CAST(l_shipdate AS DATE) FROM lineitem
+)
+SELECT CAST(isodate AS VARCHAR) AS isodate,
+       CAST(datediff('day', DATE '1960-01-01', isodate) AS INT) AS sasdate,
+       CAST(year(isodate) AS INT) AS year,
+       CAST(month(isodate) AS INT) AS month,
+       CAST(day(isodate) AS INT) AS day,
+       CAST(weekofyear(isodate) AS INT) AS week,
+       CAST(dayofweek(isodate) + 1 AS INT) AS dayofweek,
+       CASE WHEN dayofweek(isodate) + 1 IN (1, 7) THEN 1 ELSE 0 END AS isweekend,
+       {_SEASON_SQL.format(d='isodate')} AS season
+FROM dates
+"""
+
+
+def season_agg(spark, sf_dir):
+    """J5+A4 (Q-SEASON twin, ipynb cell 90): fact joined to the
+    broadcast date dimension on the date key, counted per season."""
+    dim = date_dim(spark, sf_dir).select("isodate", "season")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "isodate", F.to_date("o_orderdate").cast("string")
+    )
+    return (
+        o.join(F.broadcast(dim), "isodate", "inner")
+        .groupBy("season")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_SEASON_AGG = f"""
+SELECT {_SEASON_SQL.format(d='o_orderdate')} AS season,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def daily_agg(spark, sf_dir):
+    """A4 (Q-DAILY twin, ipynb cell 93): per-date counts + rounded
+    totals."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.to_date("o_orderdate").cast("string").alias("order_date")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        round_fixed(F.sum("o_totalprice"), 2).alias("total_r"),
+    )
+
+
+ORACLE_DAILY_AGG = f"""
+SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_round_fixed('sum(o_totalprice)', 2)} AS total_r
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+
+
+def group_minmax_avg(spark, sf_dir):
+    """A1/A2: per-group min/max/avg. The reference used
+    order-nondeterministic ``first()`` (etl.py:175-179); deterministic
+    aggregates replace it (SURVEY.md §7.4)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_name").alias("first_name"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        round_fixed(F.avg("c_acctbal"), 2).alias("avg_acctbal_r"),
+    )
+
+
+ORACLE_GROUP_MINMAX_AVG = f"""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       min(c_name) AS first_name,
+       max(c_acctbal) AS max_acctbal,
+       {sql_round_fixed('avg(c_acctbal)', 2)} AS avg_acctbal_r
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def pivot_status(spark, sf_dir):
+    """A3+P6: pivot with an explicit value list (no distinct-scan job)
+    + null-fill for missing combinations (reference etl.py:182,199)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = equi_join(o, c, o["o_custkey"] == c["c_custkey"], "inner", broadcast_right=True)
+    return pivot_wide(
+        j.select("c_nationkey", "o_orderstatus", "o_totalprice"),
+        keys=["c_nationkey"],
+        pivot_col="o_orderstatus",
+        pivot_values=["F", "O", "P"],
+        agg=round_fixed(F.sum("o_totalprice"), 2),
+        fill=0,
+    )
+
+
+def _pivot_cell(status: str) -> str:
+    inner = sql_round_fixed(
+        f"sum(CASE WHEN o_orderstatus = '{status}' THEN o_totalprice END)", 2
+    )
+    return f'coalesce({inner}, 0) AS "{status}"'
+
+
+ORACLE_PIVOT_STATUS = f"""
+SELECT c_nationkey,
+       {_pivot_cell('F')},
+       {_pivot_cell('O')},
+       {_pivot_cell('P')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def distinct_counts(spark, sf_dir):
+    """A5/A6/A7: exact distinct counts incl. a composite key — the
+    reference's uniqueness-check primitives as a one-row summary."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.countDistinct("o_orderstatus", "o_orderpriority").alias("n_status_prio"),
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)) AS BIGINT) AS n_status_prio
+FROM orders
+"""
+
+
+def tpch_q1(spark, sf_dir):
+    """Headline aggregate (TPC-H Q1 shape): scan-filter-aggregate with
+    8 aggregates over 2 group keys — the canonical whole-stage-codegen
+    benchmark query. sum(l_quantity) is exact (integer-valued doubles);
+    money sums rounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            round_fixed(F.sum("l_extendedprice"), 2).alias("sum_base_price_r"),
+            round_fixed(F.sum(disc_price), 2).alias("sum_disc_price_r"),
+            round_fixed(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge_r"),
+            round_fixed(F.avg("l_quantity"), 2).alias("avg_qty_r"),
+            round_fixed(F.avg("l_extendedprice"), 2).alias("avg_price_r"),
+            round_fixed(F.avg("l_discount"), 4).alias("avg_disc_r"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       {sql_round_fixed('sum(l_extendedprice)', 2)} AS sum_base_price_r,
+       {sql_round_fixed('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price_r,
+       {sql_round_fixed('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge_r,
+       {sql_round_fixed('avg(l_quantity)', 2)} AS avg_qty_r,
+       {sql_round_fixed('avg(l_extendedprice)', 2)} AS avg_price_r,
+       {sql_round_fixed('avg(l_discount)', 4)} AS avg_disc_r,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def rollup_flag_status(spark, sf_dir):
+    """Rollup grouping sets (beyond-parity OLAP surface): per
+    (returnflag, linestatus), per returnflag, and grand total. NULL
+    marks rolled-up levels in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        ],
+    )
+
+
+ORACLE_ROLLUP_FLAG_STATUS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       sum(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorts / windows / set ops
+
+
+def topk_orders(spark, sf_dir):
+    """O1-O3 fused: top-15 orders by price — planned as
+    TakeOrderedAndProject (each partition keeps 15 rows, driver merges;
+    no global sort). Unique tie-break for determinism."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return top_k(
+        o, 15, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+"""
+
+
+def window_topk_per_group(spark, sf_dir):
+    """§2.5 (windows the reference imported but never used): top-3
+    customers per nation by balance via row_number — one shuffle on the
+    partition key."""
+    c = _t(spark, sf_dir, "customer")
+    ranked = rank_in_group(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        out_col="rn",
+    )
+    return ranked.filter(F.col("rn") <= 3)
+
+
+ORACLE_WINDOW_TOPK_PER_GROUP = """
+SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INT) AS rn FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+"""
+
+
+def union_distinct_dates(spark, sf_dir):
+    """U1: positional UNION DISTINCT (the reference's date-domain
+    builder shape, etl.py:417-419)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").cast("string").alias("d")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").cast("string").alias("d")
+    )
+    return union_distinct(o, li)
+
+
+ORACLE_UNION_DISTINCT_DATES = """
+SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d FROM orders
+UNION
+SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem
+"""
+
+
+def asof_join_events(spark, sf_dir):
+    """As-of join (beyond-parity; union+window implementation — one
+    shuffle on user_id, no range probe): each 'view' event annotated
+    with the latest prior-or-same-instant 'click' by the same user."""
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        views, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["click_ts"],
+    )
+    return joined.select("event_id", "user_id", "ts", "click_ts_asof")
+
+
+ORACLE_ASOF_JOIN_EVENTS = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS ct
+  FROM {EVENTS_US} AS events WHERE event_type IN ('view', 'click')
+), w AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(ct) OVER (PARTITION BY user_id
+                       ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_asof
+  FROM t
+)
+SELECT event_id, user_id, ts, click_ts_asof FROM w WHERE event_type = 'view'
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar functions / quality checks
+
+
+def scalar_funcs(spark, sf_dir):
+    """F1-F7: split/getItem (incl. negative index), trim/upper/lower,
+    contains, when/otherwise, isin — all codegen'd built-ins."""
+    p = _t(spark, sf_dir, "part")
+    name_toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        name_toks.getItem(0).alias("name_first"),
+        F.element_at(name_toks, -1).alias("name_last"),
+        F.trim(F.upper(F.col("p_name"))).alias("name_upper"),
+        F.lower(F.col("p_brand")).alias("brand_lower"),
+        F.split(F.col("p_brand"), "#").getItem(1).cast("int").alias("brand_num"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+        .alias("size_band"),
+        F.col("p_type").isin("ECONOMY", "PROMO").cast("int").alias("is_cheap_line"),
+        F.col("p_name").contains("gear").cast("int").alias("has_gear"),
+    )
+
+
+ORACLE_SCALAR_FUNCS = """
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS name_first,
+       string_split(p_name, ' ')[-1] AS name_last,
+       trim(upper(p_name)) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       CAST(string_split(p_brand, '#')[2] AS INT) AS brand_num,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_band,
+       CASE WHEN p_type IN ('ECONOMY', 'PROMO') THEN 1 ELSE 0 END AS is_cheap_line,
+       CASE WHEN instr(p_name, 'gear') > 0 THEN 1 ELSE 0 END AS has_gear
+FROM part
+"""
+
+
+def quality_checks(spark, sf_dir):
+    """§5: the reference's three data-quality checks (non-empty,
+    unique keys incl. composite, predicate-absence) plus a referential
+    check via left-anti join, as one lazily-unioned report table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return quality_suite(
+        [
+            nonempty_check(o, "nonempty_orders"),
+            unique_key_check(o, ["o_orderkey"], "unique_o_orderkey"),
+            unique_key_check(li, ["l_orderkey", "l_linenumber"], "unique_lineitem_pk"),
+            orphan_fk_check(li, o, "l_orderkey", "o_orderkey", "orphan_lineitem_orderkey"),
+            predicate_absent_check(
+                o, F.col("o_totalprice") < 0, "no_negative_totalprice"
+            ),
+        ]
+    )
+
+
+ORACLE_QUALITY_CHECKS = """
+SELECT 'nonempty_orders' AS check_name, CAST(count(*) AS BIGINT) AS metric,
+       CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS passed FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       CASE WHEN count(*) = count(DISTINCT o_orderkey) THEN 1 ELSE 0 END FROM orders
+UNION ALL
+SELECT 'unique_lineitem_pk',
+       CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT),
+       CASE WHEN count(*) = (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+            THEN 1 ELSE 0 END
+FROM lineitem
+UNION ALL
+SELECT 'orphan_lineitem_orderkey',
+       CAST((SELECT count(*) FROM lineitem li WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)) AS BIGINT),
+       CASE WHEN (SELECT count(*) FROM lineitem li WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)) = 0
+            THEN 1 ELSE 0 END
+UNION ALL
+SELECT 'no_negative_totalprice',
+       CAST(count(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT),
+       CASE WHEN count(CASE WHEN o_totalprice < 0 THEN 1 END) = 0 THEN 1 ELSE 0 END
+FROM orders
+"""
+
+
+#: name -> (spark_fn, oracle_sql, SURVEY §2 coverage tags)
+PARITY_QUERIES = {
+    "pruned_scan": (pruned_scan, ORACLE_PRUNED_SCAN, "S1 P11 P14"),
+    "drop_columns": (drop_cols, ORACLE_DROP_COLS, "P1 P2"),
+    "null_handling": (null_handling, ORACLE_NULL_HANDLING, "P3 P4 P5 P6"),
+    "dedup_rows": (dedup_rows, ORACLE_DEDUP_ROWS, "P7"),
+    "filter_compound": (filter_compound, ORACLE_FILTER_COMPOUND, "P8 P9 F4 F5"),
+    "cast_derive": (cast_derive, ORACLE_CAST_DERIVE, "P14 P15"),
+    "rename_project": (rename_project, ORACLE_RENAME_PROJECT, "P11 P13"),
+    "spot_lookup": (spot_lookup, ORACLE_SPOT_LOOKUP, "P10 P12"),
+    "join_inner_agg": (join_inner_agg, ORACLE_JOIN_INNER_AGG, "J1 A4 A6"),
+    "join_left_agg": (join_left_agg, ORACLE_JOIN_LEFT_AGG, "J2 J3"),
+    "star_join_agg": (star_join_agg, ORACLE_STAR_JOIN_AGG, "J4 Q-STAR"),
+    "date_dim": (date_dim, ORACLE_DATE_DIM, "U1 F8 F10 U-1 U-2"),
+    "season_agg": (season_agg, ORACLE_SEASON_AGG, "J5 A4 Q-SEASON"),
+    "daily_agg": (daily_agg, ORACLE_DAILY_AGG, "A4 Q-DAILY"),
+    "group_minmax_avg": (group_minmax_avg, ORACLE_GROUP_MINMAX_AVG, "A1 A2"),
+    "pivot_status": (pivot_status, ORACLE_PIVOT_STATUS, "A3 P6"),
+    "distinct_counts": (distinct_counts, ORACLE_DISTINCT_COUNTS, "A5 A6 A7"),
+    "tpch_q1": (tpch_q1, ORACLE_TPCH_Q1, "A1-A4 headline"),
+    "rollup_flag_status": (rollup_flag_status, ORACLE_ROLLUP_FLAG_STATUS, "rollup"),
+    "topk_orders": (topk_orders, ORACLE_TOPK_ORDERS, "O1 O2 O3"),
+    "window_topk_per_group": (
+        window_topk_per_group,
+        ORACLE_WINDOW_TOPK_PER_GROUP,
+        "§2.5 windows",
+    ),
+    "union_distinct_dates": (union_distinct_dates, ORACLE_UNION_DISTINCT_DATES, "U1"),
+    "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
+    "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),
+    "quality_checks": (quality_checks, ORACLE_QUALITY_CHECKS, "§5 checks"),
+}

@@ -1,0 +1,80 @@
+"""SparkSession factory.
+
+Replaces the reference's config-file/env-var bootstrap (reference
+``etl.py:15-33``, ``config.cfg``) with a builder-first factory: AQE on,
+UTC session timezone (required for oracle comparison against DuckDB's
+UTC-naive timestamps), Arrow enabled for the pandas interchange path,
+and shuffle partitions sized to the local core count rather than the
+200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "capstone-spark-engine",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned local SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. In local
+    mode the driver is the only JVM, so ``driver_memory`` is the single
+    memory knob that matters.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable determinism/perf conf to an externally
+    provided session (the verify driver hands us its own session).
+
+    Only touches conf that is safe to flip at runtime: session timezone
+    (UTC, so collected timestamps agree with DuckDB's UTC-naive ones),
+    AQE, and Arrow collection.
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # an externally-built session usually still carries the 200
+        # default — wrong in both directions (local smoke and huge
+        # clusters); AQE coalescing then shrinks as needed
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+            )
+    except Exception:
+        pass  # a read-only conf should never break a query
+    return spark

@@ -1,0 +1,46 @@
+"""Sink operators (SURVEY.md §2.1 S6-S8): partitioned parquet writes.
+
+The reference partitions some outputs by near-unique keys (``sasdate``
+-> 187 dirs is fine; ``ident`` -> 55,075 dirs is a small-files
+explosion, SURVEY.md §4.3). We keep the idea — write-side partitioning
+for read-time pruning — and guard against pathological keys.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+
+#: Refuse-by-default threshold for distinct partition values. At 100 TB a
+#: partition column with >10k values produces millions of small files.
+MAX_PARTITIONS_GUARD = 10_000
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_partitions: int = MAX_PARTITIONS_GUARD,
+    check_cardinality: bool = False,
+) -> None:
+    """S6-S8: parquet sink, optionally hash-partitioned by column(s).
+
+    ``check_cardinality=True`` counts distinct partition keys first and
+    warns (but still writes) past ``max_partitions`` — an explicit,
+    opt-in version of the check the reference lacked when it partitioned
+    airports by ``ident`` (55,075 dirs).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        if check_cardinality:
+            n = df.select(*partition_by).distinct().count()
+            if n > max_partitions:
+                warnings.warn(
+                    f"partitioning {path} by {partition_by} creates {n} "
+                    f"directories (> {max_partitions}); consider a coarser key",
+                    stacklevel=2,
+                )
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

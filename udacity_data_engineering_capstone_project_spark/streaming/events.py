@@ -1,0 +1,100 @@
+"""Structured Streaming surface over the events table.
+
+The reference is pure batch (SURVEY.md §2.9); this module is the
+beyond-reference streaming tier: file-source replay -> watermark ->
+tumbling-window aggregation / session windows -> sink. The same
+transformations run in the batch twins (plans/queries_llm.py
+``events_hourly`` / ``sessionize_events``), which is how correctness
+is oracle-checked; here they run incrementally with late-data
+handling.
+
+Scale notes: a windowed streaming agg keeps state per (window, key);
+the watermark bounds that state — without it, state grows forever.
+``session_window`` is Spark's native gap-session operator (state
+merges adjacent sessions as events arrive).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events parquet as a file-source stream. Schema comes
+    from a batch peek (streaming file sources require an explicit
+    schema); ``pathGlobFilter`` selects only the events file from the
+    shared fixture directory."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows per event_type with late-data tolerance
+    = ``watermark``. State per (window, type) is dropped once the
+    watermark passes the window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value_r"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value_r",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming session windows (gap-based), the incremental
+    twin of operators/windows.sessionize."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame over its (finite) file source to
+    completion via a memory sink and return the materialized result.
+    Local smoke-test harness — production sinks are kafka/parquet via
+    ``writeStream`` directly."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def run_hourly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream -> hourly_counts -> memory sink, to completion.
+    Append mode emits only watermark-closed windows: the trailing
+    window stays in state (correct streaming semantics), so the result
+    is a strict prefix of the batch twin."""
+    return run_to_completion(hourly_counts(read_events_stream(spark, sf_dir)))
