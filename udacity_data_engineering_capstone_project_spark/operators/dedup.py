@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     MINHASH_PRIME,
     minhash_coefficients,
-    sql_md5_long,
+    sql_hex_to_long,
 )
 from ..functions.textnorm import tokens_col
 
@@ -127,8 +127,12 @@ def minhash_signatures(
     map-side partial aggregation, a single shuffle on doc, no row
     blowup."""
     coeffs = minhash_coefficients(n_hashes)
-    base = F.expr(sql_md5_long("shingle", 7))
-    hashed = shingles.select("doc", base.alias("h"))
+    # materialize the digest once, then the hex->int polynomial reads
+    # it 7 times — inlining md5 into the polynomial would recompute
+    # the digest per term (no common-subexpression elimination there)
+    hashed = shingles.select("doc", F.md5("shingle").alias("d")).select(
+        "doc", F.expr(sql_hex_to_long("d", 7)).alias("h")
+    )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -237,7 +241,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
         .filter(F.col("token") != "")
         .distinct()
     )
-    tv = tok.select("doc", F.expr(sql_md5_long("token", 15)).alias("v"))
+    tv = tok.select("doc", F.md5("token").alias("d")).select(
+        "doc", F.expr(sql_hex_to_long("d", 15)).alias("v")
+    )
     aggs = [
         F.sum(F.shiftright(F.col("v"), p).bitwiseAND(F.lit(1))).alias(f"ones{p}")
         for p in range(bits)
