@@ -1,0 +1,164 @@
+"""Operator-level behavior: joins, windows, sets, dedup, similarity."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_table,
+    simhash,
+)
+from udacity_data_engineering_capstone_project_spark.operators.joins import asof_join
+from udacity_data_engineering_capstone_project_spark.operators.aggregates import (
+    pivot_wide,
+)
+from udacity_data_engineering_capstone_project_spark.operators.sets import (
+    union_distinct,
+)
+from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_assignments,
+)
+from udacity_data_engineering_capstone_project_spark.operators.sorting import top_k
+from udacity_data_engineering_capstone_project_spark.operators.windows import (
+    sessionize,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_latest_prior(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100),
+         (1, _ts("2024-01-01 12:00:00"), 101),
+         (2, _ts("2024-01-01 09:00:00"), 200)],
+        "k int, ts timestamp, event_id int",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30:00"), 7.0),
+         (1, _ts("2024-01-01 11:00:00"), 8.0),
+         (2, _ts("2024-01-01 09:00:00"), 9.0)],  # same instant: inclusive
+        "k int, ts timestamp, px double",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_value_cols=["px"])
+    got = {r.event_id: r.px_asof for r in out.collect()}
+    assert got == {100: 7.0, 101: 8.0, 200: 9.0}
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 1),
+        (1, _ts("2024-01-01 10:10:00"), 2),   # same session (10 min)
+        (1, _ts("2024-01-01 11:00:00"), 3),   # 50 min gap -> new session
+        (2, _ts("2024-01-01 10:00:00"), 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    got = {r.event_id: r.session_id for r in out.collect()}
+    assert got[1] == got[2] == 1
+    assert got[3] == 2
+    assert got[4] == 1
+
+
+def test_topk_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 4.0)], "id int, v double"
+    )
+    out = top_k(df, 2, F.col("v").desc(), F.col("id").asc()).collect()
+    assert [(r.id, r.v) for r in out] == [(1, 5.0), (2, 5.0)]
+
+
+def test_union_distinct_is_positional(spark):
+    a = spark.createDataFrame([(1, "x")], "c1 int, c2 string")
+    b = spark.createDataFrame([(1, "x"), (2, "y")], "d1 int, d2 string")
+    out = union_distinct(a, b)
+    assert out.count() == 2  # positional overlap dedups (1,'x')
+    assert out.columns == ["c1", "c2"]  # left schema wins
+
+
+def test_pivot_fills_missing_combinations(spark):
+    df = spark.createDataFrame(
+        [("g1", "A", 1), ("g1", "B", 2), ("g2", "A", 3)],
+        "k string, p string, v int",
+    )
+    out = pivot_wide(df, ["k"], "p", ["A", "B"], F.sum("v"), fill=0)
+    rows = {r.k: (r.A, r.B) for r in out.collect()}
+    assert rows == {"g1": (1, 2), "g2": (3, 0)}
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3, "completely different content about spark dataframes and shuffles here"),
+    (4, "the quick brown fox jumps over the lazy dog again and again today"),
+]
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    groups = exact_dedup(df, "doc_id", "text").collect()
+    sizes = sorted(g.n_copies for g in groups)
+    assert sizes == [1, 1, 2]
+    dup = next(g for g in groups if g.n_copies == 2)
+    assert dup.keep_id == 1
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            shingle_table(df, "doc_id", "text"), threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    assert exact == lsh
+    assert (1, 4) in exact  # identical docs
+    assert (1, 2) in exact  # near-identical (one word differs)
+    assert not any(3 in p for p in exact)
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    fp = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[4]
+    assert fp[1] != fp[3]
+    assert 0 <= fp[1] < (1 << 60)
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+]
+
+
+def test_brute_force_topk_ordering(spark):
+    emb = spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(q, emb, k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+    assert out[0].cos_sim > 0.99
+
+
+def test_ivf_assignment_nearest_centroid(spark):
+    emb = spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id int, embedding array<float>",
+    )
+    out = build_ivf_assignments(emb, cents)
+    got = {r.vec_id: r.centroid_id for r in out.collect()}
+    assert got[0] == 0 and got[1] == 0 and got[2] == 1

@@ -1,0 +1,62 @@
+"""Sources: SAS label parsing, CSV/in-memory readers, partition guard."""
+
+import warnings
+
+from udacity_data_engineering_capstone_project_spark.sources.readers import (
+    from_records,
+    parse_sas_labels,
+    read_csv,
+    read_table,
+)
+from udacity_data_engineering_capstone_project_spark.sources.writers import (
+    write_parquet,
+)
+
+LABELS = """
+value i94model
+   1 = 'Air'
+   2 = 'Sea'
+;
+value i94prtl
+   'ALC'\t=\t'ALCAN, AK'
+;
+"""
+
+
+def test_parse_sas_labels_blocks():
+    assert parse_sas_labels(LABELS, "i94model") == {"1": "Air", "2": "Sea"}
+    assert parse_sas_labels(LABELS, "i94prtl") == {"ALC": "ALCAN, AK"}
+    assert parse_sas_labels(LABELS, "missing") == {}
+
+
+def test_from_records_schema(spark):
+    df = from_records(spark, [(1, "a")], "id int, name string")
+    assert df.columns == ["id", "name"]
+    assert df.schema["id"].dataType.simpleString() == "int"
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a;b\n1;x\n2;y\n")
+    df = read_csv(spark, str(p), schema="a int, b string", sep=";")
+    assert {(r.a, r.b) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_events_read_converts_nanos(spark, sf_dir):
+    df = read_table(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert df.count() == 1000
+
+
+def test_partition_guard_warns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    # needs a non-partition column: partitioning by every column is disallowed
+    df = spark.range(100).withColumnRenamed("id", "k").withColumn("payload", F.lit(0))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        write_parquet(
+            df, str(tmp_path / "out"), partition_by=["k"],
+            max_partitions=10, check_cardinality=True,
+        )
+    assert any("100 directories" in str(x.message) for x in w)

@@ -1,0 +1,34 @@
+"""Structured Streaming surface: the stream result must be a prefix of
+its batch twin (append mode withholds watermark-open windows)."""
+
+from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+    events_hourly,
+)
+from udacity_data_engineering_capstone_project_spark.streaming.events import (
+    read_events_stream,
+    run_to_completion,
+    sessionized_stream,
+    hourly_counts,
+)
+
+
+def test_stream_hourly_is_prefix_of_batch(spark, sf_dir):
+    batch = {
+        (r.hour_start, r.event_type): (r.n_events, r.sum_value_r)
+        for r in events_hourly(spark, sf_dir).collect()
+    }
+    stream = run_to_completion(hourly_counts(read_events_stream(spark, sf_dir)))
+    srows = stream.collect()
+    assert 0 < len(srows) <= len(batch)
+    for r in srows:
+        assert batch[(r.hour_start, r.event_type)] == (r.n_events, r.sum_value_r)
+
+
+def test_stream_session_windows(spark, sf_dir):
+    out = run_to_completion(
+        sessionized_stream(read_events_stream(spark, sf_dir))
+    ).collect()
+    assert len(out) > 0
+    for r in out[:50]:
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1
