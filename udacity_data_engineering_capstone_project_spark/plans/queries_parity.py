@@ -729,6 +729,223 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# OLAP extensions beyond the reference's own surface: semi/anti joins,
+# non-equi (range) joins, unpivot, ordered string aggregation, sketches,
+# cube, and the string/date scalar-function families.
+
+
+def join_semi_anti(spark, sf_dir):
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins — only the
+    key crosses the shuffle, no payload duplication. The reference
+    never used them; its orphan checks were manual spot queries."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    has = c.join(o, "c_custkey", "left_semi").withColumn("tag", F.lit("has_orders"))
+    hasnt = c.join(o, "c_custkey", "left_anti").withColumn("tag", F.lit("no_orders"))
+    return has.unionByName(hasnt)
+
+
+ORACLE_JOIN_SEMI_ANTI = """
+SELECT c_custkey, 'has_orders' AS tag FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def range_join_tiers(spark, sf_dir):
+    """Non-equi (range) join: lineitem quantities bucketed against a
+    broadcast tier table with [lo, hi) bounds — planned as a broadcast
+    nested-loop join, which is the right physical shape when the range
+    side is tiny; at scale the alternative is bucketizing the range key
+    into an equi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("medium", 10.0, 25.0), ("large", 25.0, 51.0)],
+        "tier string, lo double, hi double",
+    )
+    j = li.join(
+        F.broadcast(tiers),
+        (li["l_quantity"] >= tiers["lo"]) & (li["l_quantity"] < tiers["hi"]),
+        "inner",
+    )
+    return j.groupBy("tier").agg(
+        F.count("*").alias("n_items"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+ORACLE_RANGE_JOIN_TIERS = """
+SELECT tier, CAST(count(*) AS BIGINT) AS n_items, sum(l_quantity) AS sum_qty
+FROM lineitem
+JOIN (VALUES ('small', 0.0, 10.0), ('medium', 10.0, 25.0), ('large', 25.0, 51.0))
+     AS t(tier, lo, hi)
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY tier
+"""
+
+
+def unpivot_status(spark, sf_dir):
+    """Unpivot (stack): melt the status-pivot back to long form —
+    round-trips the A3 pivot including its filled zeros."""
+    wide = pivot_status(spark, sf_dir)
+    return wide.selectExpr(
+        "c_nationkey",
+        "stack(3, 'F', `F`, 'O', `O`, 'P', `P`) AS (status, total_r)",
+    )
+
+
+ORACLE_UNPIVOT_STATUS = f"""
+WITH p AS ({ORACLE_PIVOT_STATUS})
+SELECT c_nationkey, 'F' AS status, "F" AS total_r FROM p
+UNION ALL SELECT c_nationkey, 'O', "O" FROM p
+UNION ALL SELECT c_nationkey, 'P', "P" FROM p
+"""
+
+
+def collect_sorted_names(spark, sf_dir):
+    """Ordered string aggregation: collect_list is order-nondeterministic
+    by contract, so results pass through sort_array before joining —
+    the deterministic way to aggregate strings in a distributed engine."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names_csv"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_COLLECT_SORTED_NAMES = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS names_csv,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def approx_distinct_check(spark, sf_dir):
+    """Approximate distinct (HLL++): the monitoring-scale alternative to
+    exact distinct (no full shuffle of keys). Output asserts the sketch
+    lands within 5% of truth, so the oracle is engine-independent."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact")) * 10 <= F.col("n_exact")
+        ).cast("int").alias("within_10pct"),
+    )
+
+
+ORACLE_APPROX_DISTINCT_CHECK = """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact, 1 AS within_10pct
+FROM orders
+"""
+
+
+def median_price(spark, sf_dir):
+    """Exact interpolated median (quantile_cont semantics) per order
+    status, plus a flag that percentile_approx's sketch lands within
+    5% — the approximate path is what survives 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        round_fixed(F.median("o_totalprice"), 2).alias("median_r"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "median_r",
+        (
+            F.abs(F.col("p50_approx") - F.col("median_r")) * 20 <= F.col("median_r")
+        ).cast("int").alias("approx_within_5pct"),
+    )
+
+
+ORACLE_MEDIAN_PRICE = f"""
+SELECT o_orderstatus,
+       {sql_round_fixed('median(o_totalprice)', 2)} AS median_r,
+       1 AS approx_within_5pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def cube_status_priority(spark, sf_dir):
+    """CUBE grouping sets over two keys (all 4 level combinations);
+    NULL marks rolled-up levels identically in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        round_fixed(F.sum("o_totalprice"), 2).alias("total_r"),
+    )
+
+
+ORACLE_CUBE_STATUS_PRIORITY = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_round_fixed('sum(o_totalprice)', 2)} AS total_r
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def string_funcs(spark, sf_dir):
+    """String function family: regexp_extract, length, lpad, substring,
+    replace, concat_ws — all codegen'd built-ins."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).cast("long").alias("cust_num"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.expr("replace(c_mktsegment, 'MACHINERY', 'MACH')").alias("seg_short"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+       CAST(length(c_name) AS INT) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+       substring(c_mktsegment, 1, 3) AS seg3,
+       replace(c_mktsegment, 'MACHINERY', 'MACH') AS seg_short,
+       concat_ws('|', c_name, c_mktsegment) AS joined
+FROM customer
+"""
+
+
+def date_funcs(spark, sf_dir):
+    """Date function family: add_months (end-of-month clamped), quarter,
+    dayofyear, last_day, month truncation — dates rendered as strings
+    for cross-engine hashing."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("string").alias("order_date"),
+        F.add_months(d, 1).cast("string").alias("next_month"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.trunc(d, "month").cast("string").alias("month_start"),
+    )
+
+
+ORACLE_DATE_FUNCS = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start
+FROM orders
+"""
+
+
 #: name -> (spark_fn, oracle_sql, SURVEY §2 coverage tags)
 PARITY_QUERIES = {
     "pruned_scan": (pruned_scan, ORACLE_PRUNED_SCAN, "S1 P11 P14"),
@@ -760,4 +977,21 @@ PARITY_QUERIES = {
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
     "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),
     "quality_checks": (quality_checks, ORACLE_QUALITY_CHECKS, "§5 checks"),
+    "join_semi_anti": (join_semi_anti, ORACLE_JOIN_SEMI_ANTI, "semi/anti join"),
+    "range_join_tiers": (range_join_tiers, ORACLE_RANGE_JOIN_TIERS, "range join"),
+    "unpivot_status": (unpivot_status, ORACLE_UNPIVOT_STATUS, "unpivot/stack"),
+    "collect_sorted_names": (
+        collect_sorted_names,
+        ORACLE_COLLECT_SORTED_NAMES,
+        "ordered string agg",
+    ),
+    "approx_distinct_check": (
+        approx_distinct_check,
+        ORACLE_APPROX_DISTINCT_CHECK,
+        "HLL approx distinct",
+    ),
+    "median_price": (median_price, ORACLE_MEDIAN_PRICE, "median + approx percentile"),
+    "cube_status_priority": (cube_status_priority, ORACLE_CUBE_STATUS_PRIORITY, "cube"),
+    "string_funcs": (string_funcs, ORACLE_STRING_FUNCS, "string function family"),
+    "date_funcs": (date_funcs, ORACLE_DATE_FUNCS, "date function family"),
 }
