@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import (
     MINHASH_PRIME,
@@ -71,6 +72,7 @@ def jaccard_pairs(
     threshold_num: int = 4,
     threshold_den: int = 5,
     max_shingle_freq: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact near-dup pairs with Jaccard >= num/den, via inverted index.
 
@@ -93,6 +95,12 @@ def jaccard_pairs(
             .select("shingle")
         )
         shingles = shingles.join(ok, "shingle")
+    if persist:
+        # the shingle table feeds three subtrees (self-join x2 + sizes);
+        # without persistence the tokenize/explode/distinct pipeline
+        # recomputes per subtree (~35% wall at sf0.1). Spill-safe level;
+        # evicted LRU when memory is needed.
+        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -164,7 +172,10 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sh = shingle_table(df, id_col, text_col, n)
+    # reused by signatures, candidate verification (x2), and sizes
+    sh = shingle_table(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(sh, n_hashes)
 
     band_structs = F.array(
