@@ -22,9 +22,9 @@ from ..functions.rounding import round_fixed, sql_round_fixed
 from ..functions.textnorm import sql_tokens
 from ..operators.dedup import (
     exact_dedup,
+    hashed_shingle_table,
     jaccard_pairs,
     minhash_lsh_pairs,
-    shingle_table,
     simhash,
 )
 from ..operators.multimodal import attach_payload, extract_payload_features
@@ -97,9 +97,9 @@ FROM documents GROUP BY md5(text)
 
 def jaccard_pairs_exact(spark, sf_dir):
     """Exact near-dup pairs (word-3-gram Jaccard >= 0.6) via the
-    shingle inverted index — cost sum(freq^2) per shingle, not
+    shingle-digest inverted index — cost sum(freq^2) per shingle, not
     corpus^2. Integer threshold comparison; no floats anywhere."""
-    sh = shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    sh = hashed_shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
     return jaccard_pairs(sh, threshold_num=3, threshold_den=5)
 
 
