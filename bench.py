@@ -35,6 +35,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "embedding_near_dup",
     "text_quality",
 ]
 

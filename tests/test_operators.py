@@ -21,6 +21,7 @@ from udacity_data_engineering_capstone_project_spark.operators.sets import (
 from udacity_data_engineering_capstone_project_spark.operators.similarity import (
     brute_force_topk,
     build_ivf_assignments,
+    embedding_near_dup,
 )
 from udacity_data_engineering_capstone_project_spark.operators.sorting import top_k
 from udacity_data_engineering_capstone_project_spark.operators.windows import (
@@ -164,3 +165,21 @@ def test_ivf_assignment_nearest_centroid(spark):
     out = build_ivf_assignments(emb, cents)
     got = {r.vec_id: r.centroid_id for r in out.collect()}
     assert got[0] == 0 and got[1] == 0 and got[2] == 1
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    # 16-dim: two near-identical vectors (cos ~0.999), two orthogonal-ish
+    import random
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [v + 0.01 for v in base]
+    other = [rng.uniform(-1, 1) for _ in range(16)]
+    far = [-v for v in base]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, other), (3, far)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_near_dup(emb, dim=16, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].cos_r > 0.99

@@ -52,6 +52,19 @@ def sql_md5_long(expr: str, nchars: int = 7) -> str:
     return sql_hex_to_long(f"md5({expr})", nchars)
 
 
+def srp_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """``n_planes`` signed-random-projection hyperplanes of ``dim``
+    components, each +-1.0. Seeded: the Spark expressions and the
+    DuckDB oracle SQL are generated from the same constants, so both
+    engines compute identical bit signatures. +-1 (not Gaussian) keeps
+    every dot product an exact sum of float components — no rounding
+    divergence in the sign test."""
+    rng = random.Random(seed)
+    return [
+        [rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
 def minhash_coefficients(n: int, seed: int = 42) -> list[tuple[int, int]]:
     """``n`` fixed (a, b) pairs for the affine family
     ``(a*h + b) mod MINHASH_PRIME``. Seeded, so Spark-side execution and

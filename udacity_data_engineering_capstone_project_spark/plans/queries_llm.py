@@ -27,8 +27,9 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash,
 )
+from ..functions.hashing import srp_planes
 from ..operators.multimodal import attach_payload, extract_payload_features
-from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.similarity import brute_force_topk, embedding_near_dup, ivf_topk
 from ..operators.textops import lang_id, quality_score, token_stats
 from ..operators.windows import sessionize
 from .queries_parity import EVENTS_US, _t
@@ -238,6 +239,54 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
   FROM cand
 ) WHERE rank <= 5
 """
+
+
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup mining: SRP-LSH (8 bands x 6 sign
+    bits against seeded +-1 hyperplanes) -> band-bucket candidates ->
+    exact rounded-cosine verification. At a true near-dup threshold
+    (0.95) P[missed pair] is 0.25% and ~0 as cosine -> 1; the fixture
+    embeddings are random (max pairwise cosine ~0.6), so this query
+    mines at 0.45 to exercise candidate generation + verification on
+    real pairs. The oracle runs the same algorithm with the same
+    planes, so results match exactly at any threshold."""
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        threshold=0.45,
+        bands=8,
+        rows=6,
+    )
+
+
+def _srp_oracle(threshold: float = 0.95, bands: int = 8, rows: int = 6) -> str:
+    planes = srp_planes(bands * rows, 64)
+    lits = ["[" + ", ".join(f"{v:.1f}" for v in p) + "]" for p in planes]
+    bit = lambda i: f"(CASE WHEN list_dot_product(v, {lits[i]}) > 0.0 THEN 1 ELSE 0 END)"
+    key_exprs = ", ".join(
+        f"{1 << rows} * {j} + "
+        + " + ".join(f"{1 << k} * {bit(j * rows + k)}" for k in range(rows))
+        for j in range(bands)
+    )
+    cos = sql_round_fixed("list_cosine_similarity(ca.v, cb.v)", 4)
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keys AS (SELECT vec_id, unnest([{key_exprs}]) AS band_key FROM c),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cos_r
+FROM cand
+JOIN c ca ON ca.vec_id = id_a
+JOIN c cb ON cb.vec_id = id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+ORACLE_EMBEDDING_NEAR_DUP = _srp_oracle(0.45, 8, 6)
 
 
 # --------------------------------------------------------------------------
@@ -492,6 +541,11 @@ LLM_QUERIES = {
         "similarity: brute-force cosine top-k",
     ),
     "ann_topk_ivf": (ann_topk_ivf, ORACLE_ANN_IVF, "similarity: IVF ANN"),
+    "embedding_near_dup": (
+        embedding_near_dup_pairs,
+        ORACLE_EMBEDDING_NEAR_DUP,
+        "dedup: embedding-cosine SRP-LSH",
+    ),
     "lang_id": (lang_id_docs, ORACLE_LANG_ID, "text: language ID"),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY, "text: quality scoring"),
     "token_stats_by_source": (
