@@ -13,7 +13,10 @@ def test_every_query_has_oracle_except_streaming(spark):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert set(qs) - set(oracles) == {"stream_hourly_counts"}
+    assert set(qs) - set(oracles) == {
+        "stream_hourly_counts",
+        "stream_user_totals",
+    }
     assert len(qs) >= 39
 
 

@@ -196,3 +196,30 @@ def test_quality_suite_on_model(fact, dims):
         ]
     )
     assert all(r.passed == 1 for r in report.collect())
+
+
+def test_build_airport_dim(spark):
+    from udacity_data_engineering_capstone_project_spark.plans.model import (
+        build_airport_dim,
+    )
+
+    rows = [
+        ("00A", "heliport", "Total Rf Heliport", "11", "NA", "US", "US-PA",
+         "Bensalem", "00A", None, "00A", "-74.93, 40.07"),
+        ("00A", "heliport", "Total Rf Heliport", "11", "NA", "US", "US-PA",
+         "Bensalem", "00A", None, "00A", "-74.93, 40.07"),  # dup row
+        ("EGLL", "large_airport", "Heathrow", "83", "EU", "GB", "GB-ENG",
+         "London", "EGLL", "LHR", "LHR", "-0.4614, 51.4775"),
+    ]
+    cols = ("ident string, type string, name string, elevation_ft string, "
+            "continent string, iso_country string, iso_region string, "
+            "municipality string, gps_code string, iata_code string, "
+            "local_code string, coordinates string")
+    out = build_airport_dim(spark.createDataFrame(rows, cols))
+    assert out.count() == 2  # full-row dedup
+    assert "iata_code" not in out.columns and "coordinates" not in out.columns
+    r = {x.ident: x for x in out.collect()}
+    assert r["00A"].country == "US" and r["00A"].state == "PA"
+    assert abs(r["EGLL"].latitude - (-0.4614)) < 1e-9
+    assert r["EGLL"].elevation_ft == 83
+    assert dict(out.dtypes)["latitude"] == "double"

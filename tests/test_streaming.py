@@ -1,6 +1,8 @@
 """Structured Streaming surface: the stream result must be a prefix of
 its batch twin (append mode withholds watermark-open windows)."""
 
+from pyspark.sql import functions as F
+
 from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
     events_hourly,
 )
@@ -32,3 +34,32 @@ def test_stream_session_windows(spark, sf_dir):
     for r in out[:50]:
         assert r.session_end > r.session_start
         assert r.n_events >= 1
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        run_user_totals_batch,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.total_value_x100, r.last_ts)
+        for r in run_user_totals_batch(spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    want = {
+        r.user_id: (r.n, r.tot, r.last)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("tot"),
+            F.max("ts").alias("last"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, tot, last) in want.items():
+        gn, gtot, glast = got[uid]
+        assert gn == n and glast == last
+        assert abs(gtot - tot) <= 1  # incremental vs batch float sum order

@@ -242,6 +242,35 @@ def build_date_dim(fact: DataFrame) -> DataFrame:
     return date_attrs(df, "isodate").orderBy("isodate")
 
 
+def build_airport_dim(airports: DataFrame) -> DataFrame:
+    """Airport dimension (notebook cell 68 at ipynb:1466; saved at cell
+    77 but deliberately not joined into the model, ipynb:390 cell 17).
+
+    Drops the mostly-null ``iata_code``, splits ``iso_region`` on "-"
+    into (country, state) and ``coordinates`` on ", " into (latitude,
+    longitude) — reference column naming kept, including its
+    lat/long-vs-lon-lat ambiguity — then casts elevation to int and
+    the coordinates to double. Dedup + drop all-null rows mirror the
+    reference's cleaning discipline on the other dims.
+    """
+    return (
+        airports.drop("iata_code")
+        .withColumn("country", F.split(F.col("iso_region"), "-").getItem(0))
+        .withColumn("state", F.split(F.col("iso_region"), "-").getItem(1))
+        .drop("iso_country", "iso_region")
+        .withColumn(
+            "latitude", F.split(F.col("coordinates"), ", ").getItem(0).cast("double")
+        )
+        .withColumn(
+            "longitude", F.split(F.col("coordinates"), ", ").getItem(1).cast("double")
+        )
+        .drop("coordinates")
+        .withColumn("elevation_ft", F.col("elevation_ft").cast("int"))
+        .dropDuplicates()
+        .dropna(how="all")
+    )
+
+
 def build_star_query(
     fact: DataFrame,
     date_dim: DataFrame,

@@ -38,6 +38,7 @@ def run_pipeline(
     demographics_csv: str,
     temperatures_csv: str,
     output_dir: str,
+    airports_csv: str | None = None,
 ) -> DataFrame:
     """Build + persist the whole model; returns the quality report."""
     i94 = spark.read.parquet(i94_path)
@@ -66,6 +67,13 @@ def run_pipeline(
         demographics, f"{output_dir}/dim_demographics.parquet", partition_by=["state_code"]
     )
     write_parquet(date_dim, f"{output_dir}/dim_date.parquet", partition_by=["part_year"])
+    if airports_csv is not None:
+        # partitioned by airport type (a handful of values), NOT by the
+        # near-unique ident the reference used (55k dirs, ipynb cell 77)
+        airport = model.build_airport_dim(read_csv(spark, airports_csv))
+        write_parquet(
+            airport, f"{output_dir}/dim_airport.parquet", partition_by=["type"]
+        )
 
     report = quality_suite(
         [

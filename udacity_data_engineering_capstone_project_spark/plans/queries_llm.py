@@ -526,6 +526,18 @@ def stream_hourly_counts(spark, sf_dir):
     return run_hourly_batch(spark, sf_dir)
 
 
+def stream_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals, O(|users|) state, Arrow-batched Python.
+    Update-mode emissions reduced to the final cumulative row per
+    user. No SQL oracle (incremental emission order is not
+    SQL-expressible); tests assert equality with the batch groupBy
+    twin, the driver records a rows-only check."""
+    from ..streaming.events import run_user_totals_batch
+
+    return run_user_totals_batch(spark, sf_dir)
+
+
 LLM_QUERIES = {
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT, "dedup: exact hash-groupBy"),
     "jaccard_pairs_exact": (
@@ -562,4 +574,9 @@ LLM_QUERIES = {
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY, "streaming twin: window agg"),
     "sessionize_events": (sessionize_events, ORACLE_SESSIONIZE, "sessionization"),
     "stream_hourly_counts": (stream_hourly_counts, None, "structured streaming"),
+    "stream_user_totals": (
+        stream_user_totals,
+        None,
+        "stateful streaming: applyInPandasWithState",
+    ),
 }

@@ -98,3 +98,65 @@ def run_hourly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     window stays in state (correct streaming semantics), so the result
     is a strict prefix of the batch twin."""
     return run_to_completion(hourly_counts(read_events_stream(spark, sf_dir)))
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value, last_seen) emitted every
+    micro-batch — the template for stateful logic the built-in windowed
+    aggs can't express (counters, rate limits, CDC-style accumulators).
+
+    State is one narrow tuple per user (two longs + a double), so state
+    store size is O(|users|), independent of event volume; the Python
+    hop is Arrow-batched per group-batch, not per row. Totals are
+    cumulative, so in update mode the latest emission per user is the
+    final answer (tests check it against the batch groupBy twin).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "total_value": total,
+                    "last_us": last_us,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double, last_us long",
+        stateStructType="n long, total double, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream -> stateful_user_totals -> memory sink, to
+    completion; reduced to the final (= max-cumulative) emission per
+    user. Returns (user_id, n_events, total_value_r, last_ts)."""
+    emitted = run_to_completion(
+        stateful_user_totals(read_events_stream(spark, sf_dir)), "update"
+    )
+    final = emitted.groupBy("user_id").agg(
+        F.expr("max_by(struct(n_events, total_value, last_us), n_events)").alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.floor(F.col("s.total_value") * 100 + F.lit(0.5)).alias("total_value_x100"),
+        F.expr("timestamp_micros(s.last_us)").alias("last_ts"),
+    )
