@@ -6,9 +6,9 @@ from pyspark.sql import functions as F
 
 from udacity_data_engineering_capstone_project_spark.operators.dedup import (
     exact_dedup,
-    hashed_shingle_table,
     jaccard_pairs,
     minhash_lsh_pairs,
+    shingle_sets,
     simhash,
 )
 from udacity_data_engineering_capstone_project_spark.operators.joins import asof_join
@@ -115,7 +115,7 @@ def test_minhash_matches_exact_jaccard(spark):
     exact = {
         (r.doc_a, r.doc_b)
         for r in jaccard_pairs(
-            hashed_shingle_table(df, "doc_id", "text"),
+            shingle_sets(df, "doc_id", "text"),
             threshold_num=4,
             threshold_den=5,
         ).collect()

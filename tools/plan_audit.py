@@ -1,0 +1,75 @@
+"""Physical-plan audit: the scale-readiness feedback loop.
+
+For every (or each named) ``queries()`` entry, prints a compact
+summary of the Catalyst physical plan: shuffle exchanges, broadcast
+vs sort-merge joins, whole-stage-codegen coverage, parquet scans with
+their pushed filters and read schemas. This is how "would this plan
+survive 100x the data" gets checked instead of guessed:
+
+- a dim join showing SortMergeJoin instead of BroadcastHashJoin is a
+  regression;
+- a parquet scan whose ReadSchema lists every column defeats column
+  pruning;
+- more Exchanges than the algorithm needs means redundant shuffles.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+STREAMING = {"stream_hourly_counts", "stream_user_totals"}
+
+
+def audit(name: str, df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    simple = df._jdf.queryExecution().simpleString()
+    counts = {
+        "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoop", plan)),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "python_evals": len(
+            re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+        ),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+    }
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", simple)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", simple)
+    counts["scans"] = [
+        {"pushed": p.strip() or "-", "cols": s.count(":") if s else 0}
+        for p, s in zip(scans, schemas)
+    ]
+    return counts
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from udacity_data_engineering_capstone_project_spark.plans.registry import query_fns
+    from udacity_data_engineering_capstone_project_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    for name, fn in query_fns().items():
+        if only and name not in only:
+            continue
+        if name in STREAMING:
+            continue
+        df = fn(spark, sf_dir)
+        c = audit(name, df)
+        scans = "; ".join(
+            f"scan(cols={s['cols']}, pushed={s['pushed'][:60]})" for s in c["scans"]
+        )
+        print(
+            f"{name:28s} shuffles={c['shuffles']:2d} bcast={c['broadcast_joins']} "
+            f"smj={c['sortmerge_joins']} py={c['python_evals']} "
+            f"codegen={c['codegen_spans']:2d}  {scans}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,8 @@ float in comparison paths.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -79,48 +81,76 @@ def shingle_table(
     )
 
 
-def hashed_shingle_table(
+def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(doc, h) pairs: distinct 60-bit digests (first 15 hex chars of
-    md5, big-endian) of the word ``n``-gram shingles.
+    """(doc, hs) rows: the distinct 60-bit shingle digests of each doc
+    as ONE array column — the partitioning-friendly form of
+    :func:`hashed_shingle_table`.
 
-    Hashing BEFORE the distinct means the dedup shuffle carries two
-    longs per row instead of (long, ~25-byte string) — and every
-    downstream join/aggregate compares 8-byte integers. The top 28
-    bits double as the MinHash base hash (same bits as a 7-hex-char
-    digest prefix), so one md5 serves both Jaccard and MinHash.
+    Built with ``collect_set`` so in-doc dedup happens in the (partial,
+    map-side) aggregation buffers: ONE shuffle, hash-partitioned by
+    doc, which downstream per-doc aggregates (MinHash signatures,
+    sizes) reuse without a new exchange — ``explode`` and projections
+    preserve the child's output partitioning. Set size ~8 bytes per
+    distinct shingle.
     """
     return (
         df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("toks"))
         .filter(F.size("toks") >= n)
         .select("doc", F.explode(_gram_expr(n)).alias("shingle"))
         .select("doc", F.expr(spark_hex_to_long("md5(shingle)", 15)).alias("h"))
-        .distinct()
+        .groupBy("doc")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+
+
+def hashed_shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, h) pairs: distinct 60-bit digests (first 15 hex chars of
+    md5, big-endian) of the word ``n``-gram shingles.
+
+    Hashing replaces strings on every shuffle/join — two longs per row
+    instead of (long, ~25-byte string). The top 28 bits double as the
+    MinHash base hash (same bits as a 7-hex-char digest prefix), so
+    one md5 serves both Jaccard and MinHash. Derived by exploding
+    :func:`shingle_sets`, so the rows arrive hash-partitioned by doc.
+    """
+    return shingle_sets(df, id_col, text_col, n).select(
+        "doc", F.explode("hs").alias("h")
     )
 
 
 def jaccard_pairs(
-    shingles: DataFrame,
+    sets: DataFrame,
     threshold_num: int = 4,
     threshold_den: int = 5,
     max_shingle_freq: int | None = None,
     persist: bool = True,
 ) -> DataFrame:
     """Exact near-dup pairs with Jaccard >= num/den, via inverted index
-    over a :func:`hashed_shingle_table` (columns ``doc``, ``h``).
+    over :func:`shingle_sets` (columns ``doc``, ``hs``).
 
     Self-join on the digest column: cost is sum over shingles of
     freq^2, not corpus^2. The threshold compare is integer arithmetic
-    (``inter * den >= union * num``) — exact in every engine.
+    (``inter * den >= union * num``) — exact in every engine. Set
+    sizes come from ``size(hs)`` — no extra aggregation.
 
     ``max_shingle_freq`` drops ubiquitous shingles before the join (the
     standard skew guard at scale: a stop-shingle appearing in 1M docs
     contributes 10^12 candidate pairs). Leave ``None`` for exact
     results; at high thresholds dropping only ultra-frequent shingles
     rarely loses a true pair, but it is a recall trade-off — hence
-    opt-in.
+    opt-in (union sizes are then computed on the filtered sets, like
+    the candidate intersections).
     """
+    if persist:
+        # one narrow (doc, array) row per doc feeds the self-join (x2)
+        # and the size lookup; exploding from the persisted sets is
+        # cheap, re-tokenizing the corpus per subtree is not.
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = sets.select("doc", F.explode("hs").alias("h"))
     if max_shingle_freq is not None:
         ok = (
             shingles.groupBy("h")
@@ -129,13 +159,9 @@ def jaccard_pairs(
             .select("h")
         )
         shingles = shingles.join(ok, "h")
-    if persist:
-        # the shingle table feeds three subtrees (self-join x2 + sizes);
-        # without persistence the tokenize/explode/distinct pipeline
-        # recomputes per subtree (~35% wall at sf0.1). Spill-safe level;
-        # evicted LRU when memory is needed.
-        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_sh"))
+        sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sets.select("doc", F.size("hs").cast("long").alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
@@ -199,30 +225,58 @@ def minhash_lsh_pairs(
     vanishes as j -> 1, so verified output matches the exact-Jaccard
     oracle; false positives are removed by verification.
 
-    Scale properties: band keys are single xxhash64 longs (a band-key
-    collision only adds a candidate, which verification then rejects —
-    correctness is unaffected); the per-doc digest sets are ~8 bytes
-    per shingle; candidate verification is two hash joins of the
-    (small, post-LSH) candidate list against the doc-set table — no
-    re-shuffle of the full inverted index.
+    Scale properties: band keys are single mixed int64 longs (a
+    band-key collision only adds a candidate, which verification then
+    rejects — correctness is unaffected); the per-doc digest sets are
+    ~8 bytes per shingle; candidate verification is two hash joins of
+    the (small, post-LSH) candidate list against the doc-set table —
+    no re-shuffle of the full inverted index.
     """
+    from pyspark.sql.functions import pandas_udf
+
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    # reused by signatures and the verification doc-set table
-    sh = hashed_shingle_table(df, id_col, text_col, n).persist(
+    # (doc, digest-set) rows: reused by band keys and verification.
+    # Persisted ONCE, one narrow (long, array<long>) row per doc.
+    sets = shingle_sets(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = minhash_signatures(sh, n_hashes)
 
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(j), *[F.col(f"mh{j * rows + k}") for k in range(rows)]
-            )
-            for j in range(bands)
-        ]
-    )
-    bands_df = sig.select("doc", F.explode(band_keys).alias("band_key"))
+    # Signatures + band keys in ONE Arrow-batched pandas_udf over the
+    # digest sets: pure int64 arithmetic (outer product + min + a
+    # wrapping mix), bit-identical on every platform — the numeric
+    # minhash values are exactly the JVM formula (a*h28 + b) mod P, so
+    # band membership (hence recall) is unchanged vs a column-expression
+    # implementation, while the 64-wide aggregate codegen unit (the
+    # single biggest JIT cost in this pipeline, ~10s first-run) and its
+    # shuffle disappear entirely. A mix collision can only ADD a
+    # candidate, which verification rejects.
+    coeffs = minhash_coefficients(n_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+    # golden-ratio odd constant 0x9E3779B97F4A7C15 as signed int64
+    mix = np.int64(0x9E3779B97F4A7C15 - (1 << 64))
+    band_ids = np.arange(bands, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def band_keys(hs_col: pd.Series) -> pd.Series:
+        # one flat vectorized pass over the whole Arrow batch:
+        # (total_shingles x n_hashes) affine expansion, then per-doc
+        # minimum via reduceat — no per-row Python loop
+        if len(hs_col) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(h) for h in hs_col), dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs_col]) >> 32
+        expanded = (flat[:, None] * a_vec + b_vec) % MINHASH_PRIME
+        sig = np.minimum.reduceat(expanded, offsets, axis=0)  # docs x n_hashes
+        keys = np.broadcast_to(band_ids, (len(lens), bands)).copy()
+        sig = sig.reshape(len(lens), bands, rows)
+        for k in range(rows):
+            keys = (keys + sig[:, :, k]) * mix  # wrapping int64 mix
+        return pd.Series(list(keys))
+
+    bands_df = sets.select("doc", F.explode(band_keys("hs")).alias("band_key"))
     x = bands_df.alias("x")
     y = bands_df.alias("y")
     candidates = (
@@ -235,8 +289,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # one row per doc: its digest set + size (size comes free)
-    sets = sh.groupBy("doc").agg(F.collect_list("h").alias("hs"))
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     return (
@@ -266,26 +318,40 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     Each distinct token hashes to a 60-bit md5-derived integer; bit p of
     the fingerprint is 1 iff more than half the tokens have bit p set
     (strict majority — ties round to 0, deterministically). Tokens are
-    hashed BEFORE the distinct, so the dedup shuffle carries (long,
-    long) rows; the vote executes as ``bits`` conditional sums in ONE
-    groupBy pass — no per-bit row explosion, single shuffle on doc.
+    hashed BEFORE the in-doc dedup, so the one shuffle (collect_set by
+    doc) carries (long, long) rows; the per-bit majority vote runs in
+    an Arrow-batched pandas_udf over each doc's hash set — pure int64
+    arithmetic (bit-identical to the SQL formula on every platform),
+    with no 60-wide aggregate codegen unit and no second shuffle.
     """
-    tv = (
+    from pyspark.sql.functions import pandas_udf
+
+    vsets = (
         df.select(
             F.col(id_col).alias("doc"),
             F.explode(tokens_col(text_col)).alias("token"),
         )
         .filter(F.col("token") != "")
         .select("doc", F.expr(spark_hex_to_long("md5(token)", 15)).alias("v"))
-        .distinct()
+        .groupBy("doc")
+        .agg(F.collect_set("v").alias("vs"))
     )
-    aggs = [
-        F.sum(F.shiftright(F.col("v"), p).bitwiseAND(F.lit(1))).alias(f"ones{p}")
-        for p in range(bits)
-    ] + [F.count("*").alias("n_tok")]
-    per_doc = tv.groupBy("doc").agg(*aggs)
-    fingerprint = None
-    for p in range(bits):
-        bit = (F.col(f"ones{p}") * 2 > F.col("n_tok")).cast("long") * F.lit(1 << p)
-        fingerprint = bit if fingerprint is None else fingerprint + bit
-    return per_doc.select(F.col("doc").alias(id_col), fingerprint.alias("simhash"))
+
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("long")
+    def fingerprint(vs_col: pd.Series) -> pd.Series:
+        # flat vectorized majority vote over the whole Arrow batch:
+        # (total_tokens x bits) bit matrix, per-doc sums via reduceat
+        if len(vs_col) == 0:
+            return pd.Series([], dtype=np.int64)
+        lens = np.fromiter((len(v) for v in vs_col), dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in vs_col])
+        ones = np.add.reduceat((flat[:, None] >> shifts) & 1, offsets, axis=0)
+        fps = ((ones * 2 > lens[:, None]).astype(np.int64) << shifts).sum(axis=1)
+        return pd.Series(fps)
+
+    return vsets.select(
+        F.col("doc").alias(id_col), fingerprint("vs").alias("simhash")
+    )

@@ -22,9 +22,9 @@ from ..functions.rounding import round_fixed, sql_round_fixed
 from ..functions.textnorm import sql_tokens
 from ..operators.dedup import (
     exact_dedup,
-    hashed_shingle_table,
     jaccard_pairs,
     minhash_lsh_pairs,
+    shingle_sets,
     simhash,
 )
 from ..functions.hashing import srp_planes
@@ -100,7 +100,7 @@ def jaccard_pairs_exact(spark, sf_dir):
     """Exact near-dup pairs (word-3-gram Jaccard >= 0.6) via the
     shingle-digest inverted index — cost sum(freq^2) per shingle, not
     corpus^2. Integer threshold comparison; no floats anywhere."""
-    sh = hashed_shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    sh = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
     return jaccard_pairs(sh, threshold_num=3, threshold_den=5)
 
 
@@ -242,26 +242,34 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
 
 
 def embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup mining: SRP-LSH (8 bands x 6 sign
-    bits against seeded +-1 hyperplanes) -> band-bucket candidates ->
-    exact rounded-cosine verification. At a true near-dup threshold
-    (0.95) P[missed pair] is 0.25% and ~0 as cosine -> 1; the fixture
-    embeddings are random (max pairwise cosine ~0.6), so this query
-    mines at 0.45 to exercise candidate generation + verification on
-    real pairs. The oracle runs the same algorithm with the same
-    planes, so results match exactly at any threshold."""
+    """Embedding-cosine near-dup mining in its true regime: the corpus
+    is the fixture embeddings UNIONed with +0.01-perturbed copies
+    (vec_id + 100000, cosine vs the original ~0.9999 — planted
+    near-dups, since the raw fixture vectors are mutually random with
+    max pairwise cosine ~0.6). SRP-LSH (8 bands x 10 sign bits) mines
+    at 0.95: every planted pair is detected (P[miss] ~ 3e-9, and
+    deterministically the same candidates in both engines — the
+    oracle uses the same planes), random pairs survive a band with
+    p = 2^-10, and verification keeps exact rounded cosine >= 0.95."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x + 0.01D)").alias("embedding"),
+    )
     return embedding_near_dup(
-        _t(spark, sf_dir, "embeddings"),
+        base.unionByName(perturbed),
         id_col="vec_id",
         vec_col="embedding",
         dim=64,
-        threshold=0.45,
+        threshold=0.95,
         bands=8,
-        rows=6,
+        rows=10,
     )
 
 
-def _srp_oracle(threshold: float = 0.95, bands: int = 8, rows: int = 6) -> str:
+def _srp_oracle(threshold: float = 0.95, bands: int = 8, rows: int = 10) -> str:
     planes = srp_planes(bands * rows, 64)
     lits = ["[" + ", ".join(f"{v:.1f}" for v in p) + "]" for p in planes]
     bit = lambda i: f"(CASE WHEN list_dot_product(v, {lits[i]}) > 0.0 THEN 1 ELSE 0 END)"
@@ -272,7 +280,12 @@ def _srp_oracle(threshold: float = 0.95, bands: int = 8, rows: int = 6) -> str:
     )
     cos = sql_round_fixed("list_cosine_similarity(ca.v, cb.v)", 4)
     return f"""
-WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM base
+),
 keys AS (SELECT vec_id, unnest([{key_exprs}]) AS band_key FROM c),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -286,7 +299,7 @@ WHERE {cos} >= {threshold}
 """
 
 
-ORACLE_EMBEDDING_NEAR_DUP = _srp_oracle(0.45, 8, 6)
+ORACLE_EMBEDDING_NEAR_DUP = _srp_oracle(0.95, 8, 10)
 
 
 # --------------------------------------------------------------------------
