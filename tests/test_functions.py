@@ -82,3 +82,39 @@ def test_tokens_normalize_punctuation(spark):
     assert df.select(tokens_col("t").alias("x")).first().x == [
         "hello", "world", "foo", "bar",
     ]
+
+
+def test_subword_stats_integers(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        subword_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world!"), (2, "abcdefgh 12")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_runs, r.n_subwords, r.n_chars_tok)
+           for r in subword_stats(df).collect()}
+    # "hello" "," "world" "!" -> 4 runs; ceil(5/4)*2 + 1 + 1 = 6 subwords
+    assert got[1] == (4, 6, 12)
+    # "abcdefgh" "12" -> 2 runs; ceil(8/4) + ceil(2/4) = 3
+    assert got[2] == (2, 3, 10)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "PREFIX one " + shared), (2, shared + " SUFFIX two"),
+         (3, "completely unrelated text body with different words")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc, set()).add(r.fp)
+    # winnowing guarantee: docs sharing a >= k+w-1 char substring share a fp
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])

@@ -9,6 +9,8 @@ codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -144,3 +146,93 @@ def fingerprint(
         .agg(F.min(F.md5(F.col("shingle"))).alias("min_shingle_fp"))
     )
     return exact.join(min_sh, "doc", "left").withColumnRenamed("doc", id_col)
+
+
+def subword_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """BPE-ish token accounting per document, all integer arithmetic:
+
+    - ``n_runs``: alphanumeric runs + punctuation runs, via ONE
+      regexp_extract_all pass (the GPT-2 pre-tokenizer shape:
+      letters/digits cluster, punctuation clusters separately);
+    - ``n_subwords``: sum of ceil(len/4) over runs — a fixed-chunk
+      approximation of BPE subword counts (real BPE merges average
+      ~4 chars/token on English text);
+    - ``n_chars_tok``: total run characters.
+
+    JVM-side regex + higher-order sum; the same RE2/Java-compatible
+    pattern runs in the DuckDB oracle.
+    """
+    runs = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9\\\\s]+', 0)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(runs).cast("long").alias("n_runs"),
+        F.expr(
+            f"aggregate(regexp_extract_all(lower({text_col}), "
+            f"'[a-z0-9]+|[^a-z0-9\\\\s]+', 0), 0L, "
+            f"(acc, t) -> acc + (length(t) + 3) div 4)"
+        ).alias("n_subwords"),
+        F.expr(
+            f"aggregate(regexp_extract_all(lower({text_col}), "
+            f"'[a-z0-9]+|[^a-z0-9\\\\s]+', 0), 0L, "
+            f"(acc, t) -> acc + length(t))"
+        ).alias("n_chars_tok"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): rolling polynomial hash over char ``k``-grams
+    of normalized text, then the minimum hash of each sliding window
+    of ``w`` consecutive grams; the distinct selected hashes are the
+    document's fingerprint set. Any substring shared between two docs
+    of length >= k + w - 1 is guaranteed to yield a shared
+    fingerprint — the standard plagiarism/copy-detection primitive.
+
+    Hash: h_i = (sum_j c_{i+j} * 257^(k-1-j)) mod (2^31 - 1) over
+    ASCII codes of the normalized text — integer-exact, and the DuckDB
+    oracle evaluates the identical per-position expression. Computed
+    in ONE Arrow-batched pandas_udf: the rolling hashes of a doc are
+    k shifted slices of its byte array (vectorized adds), windows via
+    sliding_window_view minimum. Docs with fewer than k + w - 1
+    normalized chars contribute no rows.
+
+    Output: (doc, fp) — one row per distinct selected fingerprint.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    B, M = 257, 2_147_483_647
+    powers = [B ** (k - 1 - j) for j in range(k)]
+
+    @pandas_udf("array<long>")
+    def fps(norm_col: pd.Series) -> pd.Series:
+        out = []
+        for s in norm_col:
+            b = np.frombuffer(s.encode("ascii", "replace"), dtype=np.uint8).astype(
+                np.int64
+            )
+            m = len(b) - k + 1
+            if m < w:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            h = np.zeros(m, dtype=np.int64)
+            for j, p in enumerate(powers):
+                h += b[j : j + m] * p
+            h %= M
+            mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return df.select(F.col(id_col).alias("doc"), norm.alias("s")).select(
+        "doc", F.explode(fps("s")).alias("fp")
+    )

@@ -30,7 +30,13 @@ from ..operators.dedup import (
 from ..functions.hashing import srp_planes
 from ..operators.multimodal import attach_payload, extract_payload_features
 from ..operators.similarity import brute_force_topk, embedding_near_dup, ivf_topk
-from ..operators.textops import lang_id, quality_score, token_stats
+from ..operators.textops import (
+    lang_id,
+    quality_score,
+    subword_stats,
+    token_stats,
+    winnow_fingerprints,
+)
 from ..operators.windows import sessionize
 from .queries_parity import EVENTS_US, _t
 
@@ -441,6 +447,68 @@ FROM norm n LEFT JOIN min_sh m ON m.doc = n.doc_id
 """
 
 
+def subword_token_stats(spark, sf_dir):
+    """BPE-ish subword accounting: GPT-2-shaped pre-tokenizer runs via
+    one regexp_extract_all + higher-order integer sums (ceil(len/4)
+    chunking approximates BPE merge counts). Pure JVM expressions; the
+    identical regex runs in DuckDB."""
+    return subword_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_SUBWORD_STATS = r"""
+WITH runs AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+') AS rs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(rs) AS BIGINT) AS n_runs,
+       CAST(coalesce(list_sum(list_transform(rs, t -> (length(t) + 3) // 4)), 0) AS BIGINT) AS n_subwords,
+       CAST(coalesce(list_sum(list_transform(rs, t -> length(t))), 0) AS BIGINT) AS n_chars_tok
+FROM runs
+"""
+
+
+def winnow_fps(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: rolling polynomial hash of char
+    5-grams, min per 4-gram sliding window, distinct per doc. The
+    integer hash family is replicated position-by-position in the
+    DuckDB oracle."""
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=5, w=4
+    )
+
+
+def _winnow_oracle(k: int = 5, w: int = 4) -> str:
+    B, M = 257, 2_147_483_647
+    terms = " + ".join(
+        f"unicode(substr(s, CAST(i + {j} AS INT), 1)) * CAST({B ** (k - 1 - j)} AS BIGINT)"
+        for j in range(k)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents
+),
+g AS (SELECT doc_id, s, length(s) - {k} + 1 AS m FROM norm WHERE length(s) >= {k + w - 1}),
+hs AS (
+  SELECT doc_id, m,
+         list_transform(range(1, m + 1), i -> ({terms}) % {M}) AS hl
+  FROM g
+),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, m - {w} + 2),
+                i -> list_min(hl[CAST(i AS INT):CAST(i + {w - 1} AS INT)]))) AS fp
+  FROM hs
+)
+SELECT DISTINCT doc_id AS doc, fp FROM wins
+"""
+
+
+ORACLE_WINNOW = _winnow_oracle(5, 4)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 
@@ -579,6 +647,16 @@ LLM_QUERIES = {
         "text: token counting",
     ),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT, "text: fingerprinting"),
+    "subword_token_stats": (
+        subword_token_stats,
+        ORACLE_SUBWORD_STATS,
+        "text: BPE-ish subword counting",
+    ),
+    "winnow_fingerprints": (
+        winnow_fps,
+        ORACLE_WINNOW,
+        "text: rolling-hash winnowing (MOSS)",
+    ),
     "multimodal_features": (
         multimodal_features,
         ORACLE_MULTIMODAL,

@@ -946,6 +946,37 @@ FROM orders
 """
 
 
+def json_extract_agg(spark, sf_dir):
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    events' JSON ``props`` column with get_json_object (JVM-side
+    Jackson path evaluation — no Python), then aggregate per event
+    type. At scale this is scan -> project -> one partial+final
+    aggregate; the JSON parse never leaves codegen."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT_AGG = """
+SELECT event_type,
+       CAST(count(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 #: name -> (spark_fn, oracle_sql, SURVEY §2 coverage tags)
 PARITY_QUERIES = {
     "pruned_scan": (pruned_scan, ORACLE_PRUNED_SCAN, "S1 P11 P14"),
@@ -994,4 +1025,9 @@ PARITY_QUERIES = {
     "cube_status_priority": (cube_status_priority, ORACLE_CUBE_STATUS_PRIORITY, "cube"),
     "string_funcs": (string_funcs, ORACLE_STRING_FUNCS, "string function family"),
     "date_funcs": (date_funcs, ORACLE_DATE_FUNCS, "date function family"),
+    "json_extract_agg": (
+        json_extract_agg,
+        ORACLE_JSON_EXTRACT_AGG,
+        "JSON/semi-structured extraction",
+    ),
 }
