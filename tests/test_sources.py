@@ -60,3 +60,49 @@ def test_partition_guard_warns(spark, tmp_path):
             max_partitions=10, check_cardinality=True,
         )
     assert any("100 directories" in str(x.message) for x in w)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "va", F.col("k") * 2
+    )
+    b = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "vb", F.col("k") * 3
+    )
+    write_bucketed(a, "bkt_a", "k", n_buckets=4, sort_by="k")
+    write_bucketed(b, "bkt_b", "k", n_buckets=4, sort_by="k")
+    try:
+        # disable broadcast so the co-location (not a broadcast) is tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketing replaced the shuffle
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.joins import (
+        salted_join,
+    )
+
+    # skewed left: one hot key
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 1)], "k int, v int"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k int, name string")
+    got = salted_join(left, right, "k")
+    want = left.join(right, "k")
+    assert got.count() == want.count() == 501  # 500 hot k=1 rows + k=2
+    assert sorted((r.k, r.v, r.name) for r in got.collect()) == sorted(
+        (r.k, r.v, r.name) for r in want.collect()
+    )

@@ -105,3 +105,33 @@ def asof_join(
         *[c for c in lcols if c not in (on, left_ts)],
         *[F.col(f"__r_{c}").alias(f"{c}_asof") for c in right_value_cols],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join for a hot-key ``left`` side.
+
+    The classic salting pattern: the skewed side gets a deterministic
+    per-row salt (``hash(all left columns) pmod salt``), the other
+    side is replicated ``salt`` times (explode of a literal range),
+    and the join runs on (key, salt) — a hot key's rows now spread
+    over ``salt`` reducers instead of melting one. Result equals the
+    plain join exactly.
+
+    Use when a specific known-skewed join still overwhelms AQE's
+    runtime skew splitting (AQE splits oversized partitions, but only
+    after materializing the map side); salt the ingest once and every
+    downstream join on that key is balanced. Replication multiplies
+    the small side by ``salt`` — keep it for dim-sized right sides.
+    """
+    lsalt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_salted = left.withColumn("__salt", lsalt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l_salted.join(r_salted, [on, "__salt"], how.lower()).drop("__salt")

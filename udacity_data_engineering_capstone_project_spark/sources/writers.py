@@ -44,3 +44,27 @@ def write_parquet(
                 )
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (saveAsTable — bucketing metadata lives
+    in the catalog): pre-shuffles the data into ``n_buckets`` files by
+    ``hash(bucket_by)``, optionally sorted within buckets.
+
+    The 100 TB payoff: two tables bucketed by the same key and count
+    join WITHOUT a shuffle (and with ``sort_by``, without a sort) —
+    the shuffle is paid once at write time instead of on every join.
+    The co-location test asserts the joined plan contains zero
+    Exchange operators.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
