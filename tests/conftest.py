@@ -19,3 +19,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias usable inside hypothesis @given tests (function-scoped
+    fixtures are disallowed there; the session-scoped spark is fine)."""
+    return spark
