@@ -183,3 +183,16 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     out = embedding_near_dup(emb, dim=16, threshold=0.95).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
     assert out[0].cos_r > 0.99
+
+
+def test_connected_components_chain(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (needs >1 propagation round) + separate pair 9-10
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (9, 10)], "doc_a long, doc_b long"
+    )
+    got = {r.doc: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9, 10: 9}

@@ -355,3 +355,65 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     return vsets.select(
         F.col("doc").alias(id_col), fingerprint("vs").alias("simhash")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into groups: connected components by
+    iterative min-label propagation — the step that turns pairwise
+    near-dup output into keep/drop decisions (component id = minimum
+    doc id in the component, a deterministic canonical keeper).
+
+    Each iteration is one join + one aggregate: every node adopts the
+    smallest label among itself and its neighbors; convergence when no
+    label changes (<= diameter iterations — near-dup clusters are
+    small and dense, typically 2-4). Scale mechanics: labels are
+    eagerly ``localCheckpoint``-ed each round so the lineage does not
+    grow with iterations (the classic iterative-algorithm trap), and
+    the per-round shuffle is on (node, label) longs only. For graphs
+    with huge diameters an alternating large-star/small-star scheme
+    converges in O(log n) rounds with the same building blocks.
+
+    Output: (doc, component) for every doc appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate lineage
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))

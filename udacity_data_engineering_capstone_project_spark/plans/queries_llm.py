@@ -21,6 +21,7 @@ from ..functions.hashing import sql_hex_to_long
 from ..functions.rounding import round_fixed, sql_round_fixed
 from ..functions.textnorm import sql_tokens
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -131,6 +132,35 @@ def minhash_pairs(spark, sf_dir):
 
 
 ORACLE_MINHASH_PAIRS = _jaccard_oracle(4, 5)
+
+
+def dedup_components(spark, sf_dir):
+    """Near-dup GROUPS, not just pairs: exact Jaccard >= 0.6 pairs ->
+    connected components via iterative min-label propagation (join +
+    aggregate per round, labels localCheckpoint-ed so lineage stays
+    flat). component = min doc id = the deterministic canonical
+    keeper. The oracle computes the same closure with a recursive
+    CTE."""
+    sets = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    prs = jaccard_pairs(sets, threshold_num=3, threshold_den=5)
+    return connected_components(prs)
+
+
+ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE p AS ({_jaccard_oracle(3, 5)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc, CAST(least(a, min(b)) AS BIGINT) AS component
+FROM reach GROUP BY a
+"""
 
 
 def simhash_fingerprints(spark, sf_dir):
@@ -627,6 +657,11 @@ LLM_QUERIES = {
         "dedup: n-gram Jaccard inverted index",
     ),
     "minhash_pairs": (minhash_pairs, ORACLE_MINHASH_PAIRS, "dedup: MinHash+LSH"),
+    "dedup_components": (
+        dedup_components,
+        ORACLE_DEDUP_COMPONENTS,
+        "dedup: connected components (iterative)",
+    ),
     "simhash_fingerprints": (simhash_fingerprints, ORACLE_SIMHASH, "dedup: SimHash"),
     "ann_topk_bruteforce": (
         ann_topk_bruteforce,

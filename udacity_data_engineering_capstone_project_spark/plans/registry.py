@@ -8,8 +8,9 @@ from __future__ import annotations
 
 from .queries_llm import LLM_QUERIES
 from .queries_parity import PARITY_QUERIES
+from .queries_sql import SQL_QUERIES
 
-ALL_QUERIES: dict = {**PARITY_QUERIES, **LLM_QUERIES}
+ALL_QUERIES: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 
 
 def query_fns() -> dict:
