@@ -106,3 +106,25 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted((r.k, r.v, r.name) for r in got.collect()) == sorted(
         (r.k, r.v, r.name) for r in want.collect()
     )
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    from udacity_data_engineering_capstone_project_spark.sources.readers import (
+        read_jsonl,
+        read_table,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        write_jsonl,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "docs.jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark, path,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert back.count() == 50
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text for r in back.collect()}
+    assert a == b
