@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: dedup (exact/Jaccard/MinHash/SimHash), ANN, text scoring.
 HEADLINE = [
     "tpch_q1",
+    "tpch_q3_sql",
+    "tpch_q5_sql",
     "star_join_agg",
     "pivot_status",
     "date_dim",
