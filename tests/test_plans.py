@@ -1,0 +1,74 @@
+"""Physical-plan regression guards: the plan properties that make the
+engine scale are asserted, not assumed. A change that silently turns a
+broadcast join into a sort-merge join, un-pushes a filter, or adds a
+Python eval to a JVM-only path fails here."""
+
+import re
+
+import pytest
+
+from udacity_data_engineering_capstone_project_spark.plans.registry import query_fns
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = query_fns()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan):
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "star_join_agg")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # the only shuffle is the final aggregate
+    assert _shuffles(plan) == 1
+
+
+def test_pruned_scan_pushes_filters_and_prunes_columns(spark):
+    import contextlib
+    import io
+
+    df = query_fns()["pruned_scan"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    formatted = buf.getvalue()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+    assert pushed and pushed[0].strip()  # filters reached the parquet scan
+    schema = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    assert schema and schema[0].count(":") <= 4  # narrow projection reached the scan
+
+
+def test_dedup_exact_shuffles_digest_not_payload(spark):
+    plan = _plan(spark, "dedup_exact")
+    assert _shuffles(plan) == 1
+    # the exchange operates on the md5 digest grouping, never raw text
+    exchange = plan[plan.index("Exchange") :]
+    assert "text_md5" in exchange.split("\n")[0]
+
+
+def test_no_python_eval_in_jvm_only_paths(spark):
+    for name in ["tpch_q1", "star_join_agg", "text_quality", "jaccard_pairs_exact"]:
+        plan = _plan(spark, name)
+        assert not re.search(
+            r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan
+        ), f"{name} gained a Python eval"
+
+
+def test_arrow_not_rowwise_python_in_vectorized_paths(spark):
+    # the sanctioned Python hops must be Arrow-batched, never row-wise
+    for name in ["minhash_pairs", "simhash_fingerprints", "embedding_near_dup"]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses row-wise Python"
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_semi_anti_joins_broadcast(spark):
+    plan = _plan(spark, "join_semi_anti")
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) == 0

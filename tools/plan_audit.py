@@ -26,8 +26,14 @@ STREAMING = {"stream_hourly_counts", "stream_user_totals"}
 
 
 def audit(name: str, df) -> dict:
+    import contextlib
+    import io
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    simple = df._jdf.queryExecution().simpleString()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # formatted mode keeps full scan detail
+    simple = buf.getvalue()
     counts = {
         "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoop", plan)),
