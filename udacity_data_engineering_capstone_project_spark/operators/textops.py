@@ -236,3 +236,120 @@ def winnow_fingerprints(
     return df.select(F.col(id_col).alias("doc"), norm.alias("s")).select(
         "doc", F.explode(fps("s")).alias("fp")
     )
+
+
+#: Characteristic character trigrams per language for the n-gram
+#: language-ID heuristic (high-frequency function-word trigrams; the
+#: pluggable part, as with LANG_MARKERS).
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "de": ["der", "ein", "ich", "und", "sch", "die", "ist"],
+    "en": ["the", "ing", "and", "ion", "ent", "her", "tha"],
+    "es": ["que", "los", "ión", "ent", "del", "las", "por"],
+    "fr": ["les", "ent", "que", "des", "ion", "est", "eur"],
+}
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigrams: dict[str, list[str]] | None = None,
+    default_lang: str = "und",
+) -> DataFrame:
+    """Language ID by character n-gram profile: slide a 3-char window
+    over the lowercased text (whitespace collapsed), join hits against
+    a broadcast trigram dim, argmax per doc (ties broken by language
+    code; no hits -> ``default_lang``).
+
+    The window is one JVM ``transform`` over ``sequence`` (no Python);
+    the explode ships (doc, trigram) pairs into a broadcast join +
+    one groupBy + one window — the same scale shape as the
+    marker-word variant, but robust to languages that share stopword
+    spellings.
+    """
+    trigrams = trigrams or LANG_TRIGRAMS
+    rows = [(lang, g) for lang, grams in sorted(trigrams.items()) for g in grams]
+    gram_df = spark.createDataFrame(rows, "lang string, gram string")
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    grams = (
+        df.select(F.col(id_col).alias("doc"), norm.alias("s"))
+        # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — short
+        # docs must be excluded before the window transform
+        .filter(F.length("s") >= 3)
+        .select(
+            "doc",
+            F.explode(
+                F.expr("transform(sequence(1, length(s) - 2), i -> substr(s, i, 3))")
+            ).alias("gram"),
+        )
+    )
+    hits = (
+        grams.join(F.broadcast(gram_df), "gram")
+        .groupBy("doc", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("hits").desc(), F.col("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc", F.col("lang").alias("pred_lang"), "hits")
+    )
+    ids = df.select(F.col(id_col).alias("doc"))
+    return ids.join(best, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce("pred_lang", F.lit(default_lang)).alias("pred_lang"),
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+    )
+
+
+#: English stopwords for the ratio heuristic (pluggable).
+STOPWORDS = ["the", "a", "of", "and", "is", "in", "to", "it", "that", "for"]
+
+
+def punct_stopword_ratios(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Punctuation and stopword ratios per document — the remaining
+    two classic quality signals (the length/diversity/word-length
+    bands live in :func:`quality_score`). Fixed-point x1000 integers
+    via integer division; zero-token/zero-char docs score 0.
+
+    punct_x1000: punctuation chars (not alnum, not whitespace) per
+    1000 chars of lowered text; stop_x1000: stopword tokens per 1000
+    tokens. One projection + one aggregation — no extra shuffle over
+    token_stats' shape.
+    """
+    stopwords = stopwords or STOPWORDS
+    low = F.lower(F.col(text_col))
+    n_chars = F.length(low)
+    n_punct = n_chars - F.length(F.regexp_replace(low, r"[^a-z0-9\s]", ""))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        n_chars.cast("long").alias("n_chars"),
+        n_punct.cast("long").alias("n_punct"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    stop_lit = F.array(*[F.lit(s) for s in stopwords])
+    per_doc = toks.groupBy("doc").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.array_contains(stop_lit, F.col("token")).cast("long")).alias("n_stop"),
+    )
+    j = base.join(per_doc, "doc", "left").na.fill(0, ["n_tokens", "n_stop"])
+    return j.select(
+        F.col("doc").alias(id_col),
+        "n_chars",
+        "n_punct",
+        "n_tokens",
+        "n_stop",
+        F.when(F.col("n_chars") > 0, F.expr("(n_punct * 1000) div n_chars"))
+        .otherwise(0).cast("long").alias("punct_x1000"),
+        F.when(F.col("n_tokens") > 0, F.expr("(n_stop * 1000) div n_tokens"))
+        .otherwise(0).cast("long").alias("stop_x1000"),
+    )

@@ -32,7 +32,11 @@ from ..functions.hashing import srp_planes
 from ..operators.multimodal import attach_payload, extract_payload_features
 from ..operators.similarity import brute_force_topk, embedding_near_dup, ivf_topk
 from ..operators.textops import (
+    LANG_TRIGRAMS,
+    STOPWORDS,
     lang_id,
+    lang_id_ngram,
+    punct_stopword_ratios,
     quality_score,
     subword_stats,
     token_stats,
@@ -383,6 +387,87 @@ FROM documents d LEFT JOIN best b ON b.doc = d.doc_id
 """
 
 
+def lang_id_ngram_docs(spark, sf_dir):
+    """Language ID by char-trigram profile: JVM sliding window over the
+    whitespace-collapsed text, broadcast trigram-dim join, argmax per
+    doc with lexicographic tie-break."""
+    return lang_id_ngram(_t(spark, sf_dir, "documents"), spark, "doc_id", "text")
+
+
+_TRIGRAM_VALUES = ", ".join(
+    f"('{lang}', '{g}')"
+    for lang, grams in sorted(LANG_TRIGRAMS.items())
+    for g in grams
+)
+
+ORACLE_LANG_ID_NGRAM = f"""
+WITH m AS (SELECT * FROM (VALUES {_TRIGRAM_VALUES}) AS t(lang, gram)),
+g AS (
+  SELECT doc_id AS doc, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc, unnest(list_transform(range(1, length(s) - 1),
+                     i -> substr(s, CAST(i AS INT), 3))) AS gram
+  FROM g WHERE length(s) >= 3
+),
+hits AS (
+  SELECT doc, lang, count(*) AS hits
+  FROM grams JOIN m USING (gram) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc, lang, hits FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc ORDER BY hits DESC, lang) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS pred_lang,
+       CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+FROM documents d LEFT JOIN best b ON b.doc = d.doc_id
+"""
+
+
+def text_punct_stopword(spark, sf_dir):
+    """Punctuation + stopword ratio scoring (fixed-point x1000
+    integers) — the classic quality signals complementing
+    text_quality's length/diversity/word-length bands."""
+    return punct_stopword_ratios(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_PUNCT_STOPWORD = f"""
+WITH base AS (
+  SELECT doc_id AS doc,
+         CAST(length(lower(text)) AS BIGINT) AS n_chars,
+         CAST(length(lower(text))
+              - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM documents
+),
+toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS_DUCK}) AS token FROM documents
+),
+per_doc AS (
+  SELECT doc, count(*) AS n_tokens,
+         sum(CASE WHEN token IN ({_STOP_LIST}) THEN 1 ELSE 0 END) AS n_stop
+  FROM toks WHERE token <> '' GROUP BY doc
+)
+SELECT b.doc AS doc_id,
+       b.n_chars,
+       b.n_punct,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_stop, 0) AS BIGINT) AS n_stop,
+       CAST(CASE WHEN b.n_chars > 0 THEN (b.n_punct * 1000) // b.n_chars
+                 ELSE 0 END AS BIGINT) AS punct_x1000,
+       CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+                 THEN (p.n_stop * 1000) // p.n_tokens
+                 ELSE 0 END AS BIGINT) AS stop_x1000
+FROM base b LEFT JOIN per_doc p ON p.doc = b.doc
+"""
+
+
 def text_quality(spark, sf_dir):
     """Quality scoring: length band + lexical diversity + word-length
     band, all integer arithmetic (cross-engine float->int casts round
@@ -674,7 +759,17 @@ LLM_QUERIES = {
         ORACLE_EMBEDDING_NEAR_DUP,
         "dedup: embedding-cosine SRP-LSH",
     ),
-    "lang_id": (lang_id_docs, ORACLE_LANG_ID, "text: language ID"),
+    "lang_id": (lang_id_docs, ORACLE_LANG_ID, "text: language ID (marker words)"),
+    "lang_id_ngram": (
+        lang_id_ngram_docs,
+        ORACLE_LANG_ID_NGRAM,
+        "text: language ID (char trigrams)",
+    ),
+    "text_punct_stopword": (
+        text_punct_stopword,
+        ORACLE_PUNCT_STOPWORD,
+        "text: punct/stopword ratios",
+    ),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY, "text: quality scoring"),
     "token_stats_by_source": (
         token_stats_by_source,
