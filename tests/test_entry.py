@@ -16,6 +16,7 @@ def test_every_query_has_oracle_except_streaming(spark):
     assert set(qs) - set(oracles) == {
         "stream_hourly_counts",
         "stream_user_totals",
+        "kmeans_assign",
     }
     assert len(qs) >= 39
 

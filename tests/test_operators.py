@@ -196,3 +196,26 @@ def test_connected_components_chain(spark):
     )
     got = {r.doc: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9, 10: 9}
+
+
+def test_kmeans_cosine_recovers_planted_clusters(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        kmeans_cosine,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    protos = [[10.0 if d // 5 == c else 0.0 for d in range(15)] for c in range(3)]
+    rows = []
+    for i in range(60):
+        p = protos[i % 3]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in p]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_cosine(emb, k=3, iters=4).collect()
+    by_true = {}
+    for r in out:
+        by_true.setdefault(r.vec_id % 3, set()).add(r.cluster)
+    # every planted cluster maps to exactly one learned cluster, all distinct
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len(set.union(*by_true.values())) == 3

@@ -243,3 +243,77 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_cosine(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's iterations, cosine assignment) —
+    the trainer for IVF centroids (:func:`ivf_topk` takes any centroid
+    DataFrame; this produces data-adaptive cells instead of an
+    arbitrary subset).
+
+    Deterministic by construction: init = the vectors of the ``k``
+    smallest ids, a FIXED number of iterations, cosine ties broken by
+    cluster id. Each iteration: assignment is a broadcast argmax over
+    ``k`` centroids (one pass over the corpus, no shuffle for the
+    join); the update re-estimates centroids with one posexplode +
+    (cluster, dim) aggregation — a single shuffle of (int, int,
+    double) rows. Centroids (k x dim doubles) are collected to the
+    driver between rounds — the textbook small-model/large-data
+    iteration; lineage stays flat because each round starts from
+    literal centroid arrays, not the previous round's plan.
+
+    Output: (vec_id, cluster) final assignments.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("vid"), "cv"
+    )
+    init = (
+        c.orderBy("vid").limit(k).collect()
+    )
+    centroids = [list(r.cv) for r in init]
+
+    def assign_udf(cents: list[list[float]]):
+        # Arrow-vectorized argmax: a literal-centroid expression tree
+        # would trigger a fresh multi-second codegen compile EVERY
+        # iteration (the literals change); the numpy closure does not.
+        cm = np.array(cents, dtype=np.float64)
+        cm_n = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+
+        @pandas_udf("int")
+        def assign(vecs: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy())
+            m_n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            # argmax returns the FIRST max -> ties break to lowest id
+            return pd.Series((m_n @ cm_n.T).argmax(axis=1).astype(np.int32))
+
+        return assign
+
+    assigned = None
+    for _ in range(iters):
+        assigned = c.select("vid", "cv", assign_udf(centroids)("cv").alias("cluster"))
+        new_rows = (
+            assigned.select("cluster", F.posexplode("cv").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cluster", F.expr("transform(pm, x -> x.m)").alias("centroid"))
+            .collect()
+        )
+        updated = dict((r.cluster, list(r.centroid)) for r in new_rows)
+        # empty clusters keep their previous centroid
+        centroids = [updated.get(j, centroids[j]) for j in range(k)]
+
+    return assigned.select(F.col("vid").alias(id_col), "cluster")

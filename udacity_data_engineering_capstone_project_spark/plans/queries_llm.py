@@ -30,7 +30,12 @@ from ..operators.dedup import (
 )
 from ..functions.hashing import srp_planes
 from ..operators.multimodal import attach_payload, extract_payload_features
-from ..operators.similarity import brute_force_topk, embedding_near_dup, ivf_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    ivf_topk,
+    kmeans_cosine,
+)
 from ..operators.textops import (
     LANG_TRIGRAMS,
     STOPWORDS,
@@ -279,6 +284,18 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
   FROM cand
 ) WHERE rank <= 5
 """
+
+
+def kmeans_assign(spark, sf_dir):
+    """Spherical k-means training (Lloyd's, 5 fixed iterations,
+    deterministic smallest-id init) over the embeddings — the IVF
+    centroid trainer. Iterative small-model/large-data loop: broadcast
+    argmax assignment + one (cluster, dim) shuffle per round. No SQL
+    oracle (iterative algorithm); the planted-cluster unit test is the
+    semantic check, the driver records rows-only."""
+    return kmeans_cosine(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, iters=5
+    )
 
 
 def embedding_near_dup_pairs(spark, sf_dir):
@@ -754,6 +771,11 @@ LLM_QUERIES = {
         "similarity: brute-force cosine top-k",
     ),
     "ann_topk_ivf": (ann_topk_ivf, ORACLE_ANN_IVF, "similarity: IVF ANN"),
+    "kmeans_assign": (
+        kmeans_assign,
+        None,
+        "similarity: spherical k-means trainer (iterative)",
+    ),
     "embedding_near_dup": (
         embedding_near_dup_pairs,
         ORACLE_EMBEDDING_NEAR_DUP,
