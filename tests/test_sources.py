@@ -128,3 +128,66 @@ def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     a = {r.doc_id: r.text for r in docs.collect()}
     b = {r.doc_id: r.text for r in back.collect()}
     assert a == b
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10000).repartition(50).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 50
+    n = compact_parquet(spark, path, target_file_mb=256)
+    assert n == 1
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_incremental_write_replaces_only_touched_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        write_parquet_incremental,
+    )
+
+    path = str(tmp_path / "inc")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)], "day string, v int"
+    )
+    write_parquet_incremental(full, path, ["day"])
+    # re-load day 2 only, with different content
+    day2 = spark.createDataFrame([("2024-01-02", 99)], "day string, v int")
+    write_parquet_incremental(day2, path, ["day"])
+    # partition-value inference turns the day strings into dates
+    got = {(str(r.day), r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)}
+
+
+def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        write_range_sorted,
+    )
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    write_range_sorted(df, path, "k", n_files=4)
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        stats = md.row_group(0).column(0).statistics
+        lo, hi = stats.min, stats.max
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(0).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # file ranges are disjoint -> min/max skipping works

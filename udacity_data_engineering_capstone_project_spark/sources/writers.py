@@ -83,3 +83,78 @@ def write_jsonl(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb`` each. The 100 TB hygiene op — streaming
+    ingests and over-partitioned writes leave thousands of KB-sized
+    files whose per-file open/footer cost dominates scans. Sizing is
+    estimated from the CURRENT on-disk bytes (compressed), then the
+    data is rewritten through a single coalesce-style repartition.
+    Returns the number of output files.
+
+    Writes to ``path + '.compact'`` then swaps — at scale use a
+    transactional table format; the swap here keeps the demo
+    self-contained.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
+def write_parquet_incremental(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving the rest of the dataset untouched — the
+    incremental-ETL write mode (daily loads replace yesterday's
+    partition without rewriting years of history; a full static
+    overwrite at 100 TB would drop the whole table first)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-file-sorted parquet: rows are range-
+    split on ``sort_col`` across files and sorted inside each, so
+    every file (and row group) covers a DISJOINT narrow range of the
+    column. Point/range filters then skip whole files via parquet
+    min/max stats — the poor man's clustering index, and the single
+    highest-leverage layout choice for a 100 TB time- or key-ordered
+    scan pattern."""
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
