@@ -19,7 +19,7 @@ why the plan survives 1000 executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.dates import date_to_sas, is_weekend_expr, season_expr
@@ -946,6 +946,35 @@ FROM orders
 """
 
 
+def rolling_window_orders(spark, sf_dir):
+    """Rolling-frame windows (the remaining §2.5 window shape): per
+    customer ordered by date — 3-row moving average of order totals
+    (rowsBetween), previous/next totals (lag/lead), cumulative count.
+    One shuffle on the partition key serves all four frames."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    moving = w.rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        round_fixed(F.avg("o_totalprice").over(moving), 2).alias("mavg3_r"),
+        round_fixed(F.lag("o_totalprice", 1).over(w), 2).alias("prev_total_r"),
+        round_fixed(F.lead("o_totalprice", 1).over(w), 2).alias("next_total_r"),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("n_so_far"),
+    )
+
+
+ORACLE_ROLLING_WINDOW = f"""
+SELECT o_custkey, o_orderkey,
+       {sql_round_fixed('avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)', 2)} AS mavg3_r,
+       {sql_round_fixed('lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)', 2)} AS prev_total_r,
+       {sql_round_fixed('lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)', 2)} AS next_total_r,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_so_far
+FROM orders
+"""
+
+
 def json_extract_agg(spark, sf_dir):
     """Semi-structured extraction: pull the integer ``k`` out of the
     events' JSON ``props`` column with get_json_object (JVM-side
@@ -1029,5 +1058,10 @@ PARITY_QUERIES = {
         json_extract_agg,
         ORACLE_JSON_EXTRACT_AGG,
         "JSON/semi-structured extraction",
+    ),
+    "rolling_window_orders": (
+        rolling_window_orders,
+        ORACLE_ROLLING_WINDOW,
+        "rolling frames: moving avg, lag/lead, cumulative",
     ),
 }
