@@ -219,3 +219,29 @@ def test_kmeans_cosine_recovers_planted_clusters(spark):
     # every planted cluster maps to exactly one learned cluster, all distinct
     assert all(len(s) == 1 for s in by_true.values())
     assert len(set.union(*by_true.values())) == 3
+
+
+def test_text_profile_fused_edge_cases(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        text_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat of the house and the dog is here"),  # clear en
+            (2, ""),  # empty: all zeros, lang 'und'
+            (3, "de la de la"),  # es/fr tie on markers -> 'es' (ascending)
+            (4, "zzz qqq xyzzy!!!"),  # no marker hits -> 'und', punct > 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text_profile(docs).collect()}
+    assert got[1].pred_lang == "en" and got[1].lang_hits > 0
+    assert got[2].pred_lang == "und"
+    assert got[2].n_tokens == 0 and got[2].quality == 0
+    assert got[3].pred_lang == "es"  # lexicographic tie-break
+    assert got[4].pred_lang == "und"
+    assert got[4].punct_x1000 > 0
+    assert got[1].n_tokens == 10
+    # 'the' x3 counts toward stopwords each time
+    assert got[1].n_stop >= 3

@@ -308,6 +308,103 @@ def lang_id_ngram(
 STOPWORDS = ["the", "a", "of", "and", "is", "in", "to", "it", "that", "for"]
 
 
+def text_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    markers: dict[str, list[str]] | None = None,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Fused single-pass text profile: language ID + token statistics +
+    quality score + punctuation/stopword ratios in ONE explode and ONE
+    aggregation.
+
+    The separate operators (:func:`lang_id`, :func:`token_stats`,
+    :func:`quality_score`, :func:`punct_stopword_ratios`) each scan and
+    re-tokenize the corpus; at 100 TB the tokenize/explode dominates, so
+    fusing the four passes into one shuffle is a ~4x scan saving. All
+    language/stopword hits are conditional sums over broadcast-literal
+    arrays (no join, so a token matching two languages' marker lists
+    cannot duplicate rows), and every output is integer or fixed-point
+    — deterministic across engines.
+    """
+    markers = markers or LANG_MARKERS
+    stopwords = stopwords or STOPWORDS
+    langs = sorted(markers)
+
+    low = F.lower(F.col(text_col))
+    n_chars = F.length(low)
+    n_punct = n_chars - F.length(F.regexp_replace(low, r"[^a-z0-9\s]", ""))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        n_chars.cast("long").alias("n_chars"),
+        n_punct.cast("long").alias("n_punct"),
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    stop_lit = F.array(*[F.lit(s) for s in stopwords])
+    hit_cols = [f"hits_{lang}" for lang in langs]
+    aggs = [
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        F.sum(F.length("token")).alias("n_token_chars"),
+        F.sum(F.array_contains(stop_lit, F.col("token")).cast("long")).alias("n_stop"),
+    ]
+    for lang in langs:
+        marker_lit = F.array(*[F.lit(w) for w in markers[lang]])
+        aggs.append(
+            F.sum(F.array_contains(marker_lit, F.col("token")).cast("long")).alias(
+                f"hits_{lang}"
+            )
+        )
+    per_doc = toks.groupBy("doc").agg(*aggs)
+
+    j = base.join(per_doc, "doc", "left").na.fill(
+        0,
+        ["n_tokens", "n_distinct_tokens", "n_token_chars", "n_stop"] + hit_cols,
+    )
+    mx = F.greatest(*[F.col(c) for c in hit_cols])
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang in langs:  # ascending order = lexicographic tie-break
+        pred = pred.when(F.col(f"hits_{lang}") == mx, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+
+    len_ok = ((F.col("n_chars") >= 200) & (F.col("n_chars") <= 20000)).cast("int") * 30
+    div = (
+        F.when(F.col("n_tokens") > 0, F.expr("(n_distinct_tokens * 40) div n_tokens"))
+        .otherwise(0)
+        .cast("int")
+    )
+    mean_len_x10 = (
+        F.when(F.col("n_tokens") > 0, F.expr("(n_token_chars * 10) div n_tokens"))
+        .otherwise(0)
+        .cast("int")
+    )
+    wordlen_ok = ((mean_len_x10 >= 30) & (mean_len_x10 <= 120)).cast("int") * 30
+
+    return j.select(
+        F.col("doc").alias(id_col),
+        pred.alias("pred_lang"),
+        mx.alias("lang_hits"),
+        "n_chars",
+        "n_punct",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_stop",
+        F.when(F.col("n_chars") > 0, F.expr("(n_punct * 1000) div n_chars"))
+        .otherwise(0)
+        .cast("long")
+        .alias("punct_x1000"),
+        F.when(F.col("n_tokens") > 0, F.expr("(n_stop * 1000) div n_tokens"))
+        .otherwise(0)
+        .cast("long")
+        .alias("stop_x1000"),
+        (len_ok + div + wordlen_ok).alias("quality"),
+    )
+
+
 def punct_stopword_ratios(
     df: DataFrame,
     id_col: str = "doc_id",

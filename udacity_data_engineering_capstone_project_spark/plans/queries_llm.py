@@ -37,6 +37,7 @@ from ..operators.similarity import (
     kmeans_cosine,
 )
 from ..operators.textops import (
+    LANG_MARKERS,
     LANG_TRIGRAMS,
     STOPWORDS,
     lang_id,
@@ -44,6 +45,7 @@ from ..operators.textops import (
     punct_stopword_ratios,
     quality_score,
     subword_stats,
+    text_profile,
     token_stats,
     winnow_fingerprints,
 )
@@ -520,6 +522,77 @@ FROM base b LEFT JOIN stats s USING (doc_id)
 """
 
 
+def text_profile_docs(spark, sf_dir):
+    """Fused corpus profile: lang-ID + token stats + quality + punct/
+    stopword ratios in one explode + one aggregation (one corpus scan
+    instead of four — the scan/tokenize cost dominates at 100 TB)."""
+    return text_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_PROFILE_LANGS = sorted(LANG_MARKERS)
+_LANG_HIT_SUMS = "".join(
+    ",\n         CAST(sum(CASE WHEN token IN ({words}) THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS hits_{lang}".format(
+        words=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang=lang
+    )
+    for lang in _PROFILE_LANGS
+)
+_MX = "greatest({})".format(
+    ", ".join(f"coalesce(p.hits_{lang}, 0)" for lang in _PROFILE_LANGS)
+)
+_PRED_CASE = "CASE WHEN mx = 0 THEN 'und' {} ELSE 'und' END".format(
+    " ".join(f"WHEN hits_{lang} = mx THEN '{lang}'" for lang in _PROFILE_LANGS)
+)
+
+ORACLE_TEXT_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id AS doc,
+         CAST(length(lower(text)) AS BIGINT) AS n_chars,
+         CAST(length(lower(text))
+              - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM documents
+),
+toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS_DUCK}) AS token FROM documents
+),
+per_doc AS (
+  SELECT doc,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+         CAST(sum(length(token)) AS BIGINT) AS n_token_chars,
+         CAST(sum(CASE WHEN token IN ({_STOP_LIST}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stop{_LANG_HIT_SUMS}
+  FROM toks WHERE token <> '' GROUP BY doc
+),
+j AS (
+  SELECT b.doc, b.n_chars, b.n_punct,
+         coalesce(p.n_tokens, 0) AS n_tokens,
+         coalesce(p.n_distinct_tokens, 0) AS n_distinct_tokens,
+         coalesce(p.n_token_chars, 0) AS n_token_chars,
+         coalesce(p.n_stop, 0) AS n_stop,
+         {_MX} AS mx,
+         {", ".join(f"coalesce(p.hits_{lang}, 0) AS hits_{lang}" for lang in _PROFILE_LANGS)}
+  FROM base b LEFT JOIN per_doc p ON p.doc = b.doc
+)
+SELECT doc AS doc_id,
+       {_PRED_CASE} AS pred_lang,
+       mx AS lang_hits,
+       n_chars, n_punct, n_tokens, n_distinct_tokens, n_stop,
+       CAST(CASE WHEN n_chars > 0 THEN (n_punct * 1000) // n_chars
+                 ELSE 0 END AS BIGINT) AS punct_x1000,
+       CAST(CASE WHEN n_tokens > 0 THEN (n_stop * 1000) // n_tokens
+                 ELSE 0 END AS BIGINT) AS stop_x1000,
+       CAST((CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 30 ELSE 0 END)
+          + (CASE WHEN n_tokens > 0
+                  THEN (n_distinct_tokens * 40) // n_tokens ELSE 0 END)
+          + (CASE WHEN n_tokens > 0
+                   AND ((n_token_chars * 10) // n_tokens) BETWEEN 30 AND 120
+                  THEN 30 ELSE 0 END) AS INT) AS quality
+FROM j
+"""
+
+
 def token_stats_by_source(spark, sf_dir):
     """Corpus token statistics rolled up by source feed — integer
     division for the average (x100 fixed-point)."""
@@ -793,6 +866,11 @@ LLM_QUERIES = {
         "text: punct/stopword ratios",
     ),
     "text_quality": (text_quality, ORACLE_TEXT_QUALITY, "text: quality scoring"),
+    "text_profile_fused": (
+        text_profile_docs,
+        ORACLE_TEXT_PROFILE,
+        "text: fused lang-ID+stats+quality+ratios, single scan",
+    ),
     "token_stats_by_source": (
         token_stats_by_source,
         ORACLE_TOKEN_STATS,
