@@ -63,3 +63,26 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
         gn, gtot, glast = got[uid]
         assert gn == n and glast == last
         assert abs(gtot - tot) <= 1  # incremental vs batch float sum order
+
+
+def test_foreach_batch_upsert_latest_per_user(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        read_events_stream,
+        upsert_latest_per_user,
+    )
+
+    got = upsert_latest_per_user(
+        spark, read_events_stream(spark, sf_dir), str(tmp_path / "latest")
+    )
+    # batch twin: argmax (ts, event_id) per user
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    expect = batch.groupBy("user_id").agg(
+        F.expr("max_by(event_id, struct(ts, event_id))").alias("event_id")
+    )
+    g = {(r.user_id, r.event_id) for r in got.select("user_id", "event_id").collect()}
+    e = {(r.user_id, r.event_id) for r in expect.collect()}
+    assert g == e and len(g) > 0

@@ -801,6 +801,48 @@ FROM s GROUP BY 1, 2
 """
 
 
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream self-join with watermark-bounded state: purchases
+    attributed to same-user clicks within the preceding hour. Inner
+    joins emit on match, so the finite replay equals the batch interval
+    self-join — giving this streaming query a full SQL oracle."""
+    from ..streaming.events import click_purchase_join_stream, read_events_stream, run_to_completion
+
+    return run_to_completion(
+        click_purchase_join_stream(read_events_stream(spark, sf_dir))
+    )
+
+
+ORACLE_STREAM_STREAM_JOIN = f"""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM {EVENTS_US} AS c
+JOIN {EVENTS_US} AS p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+def stream_dedup(spark, sf_dir):
+    """Exactly-once in-flight dedup: the stream unioned with itself
+    (manufactured duplicates) through dropDuplicatesWithinWatermark on
+    event_id — bounded state, oracle = the original table projection."""
+    from ..streaming.events import dedup_stream, read_events_stream, run_to_completion
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_completion(dedup_stream(ev.unionByName(read_events_stream(spark, sf_dir))))
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 def stream_hourly_counts(spark, sf_dir):
     """Structured Streaming smoke: the events parquet replayed through
     readStream -> watermark -> tumbling window -> memory sink, run to
@@ -895,6 +937,16 @@ LLM_QUERIES = {
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY, "streaming twin: window agg"),
     "sessionize_events": (sessionize_events, ORACLE_SESSIONIZE, "sessionization"),
     "stream_hourly_counts": (stream_hourly_counts, None, "structured streaming"),
+    "stream_stream_join": (
+        stream_stream_join,
+        ORACLE_STREAM_STREAM_JOIN,
+        "stream-stream join, watermark-bounded state",
+    ),
+    "stream_dedup": (
+        stream_dedup,
+        ORACLE_STREAM_DEDUP,
+        "dropDuplicatesWithinWatermark exactly-once dedup",
+    ),
     "stream_user_totals": (
         stream_user_totals,
         None,

@@ -73,6 +73,113 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def click_purchase_join_stream(
+    events: DataFrame, lookback: str = "1 HOUR", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream self-join: attribute each purchase to the clicks
+    of the same user within ``lookback`` before it.
+
+    Both sides carry a watermark and the join condition bounds both
+    event times, so Spark can expire join state: a click is held at
+    most watermark + lookback before it can never match again. Inner
+    joins emit eagerly on match (the watermark only bounds state, not
+    emission), so on a finite replay the result equals the batch
+    interval self-join — which is the DuckDB oracle.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = F.expr(
+        f"c_user = p_user AND click_ts >= purchase_ts - INTERVAL {lookback} "
+        "AND click_ts < purchase_ts"
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once in-flight dedup: ``dropDuplicatesWithinWatermark``
+    keyed on event_id. State holds one entry per key only until the
+    watermark passes it — the bounded-state form of streaming dedup
+    (plain dropDuplicates on a stream retains keys forever).
+
+    The fixture has unique event_ids, so callers union the stream with
+    itself to manufacture duplicates; the output then equals the
+    original table projection, which is the oracle.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def upsert_latest_per_user(
+    spark: SparkSession, events: DataFrame, target_dir: str
+) -> DataFrame:
+    """foreachBatch upsert sink: maintain a parquet table of each
+    user's latest event, merged micro-batch by micro-batch.
+
+    Vanilla parquet has no MERGE INTO (that's Delta/Iceberg territory),
+    and overwriting a path while reading it races — so each batch
+    writes a new generation directory ``gen=<k>`` (read gen k-1, merge,
+    write gen k; the swap is atomic at directory granularity and old
+    generations remain readable mid-write). Keys are totally ordered by
+    (ts, event_id) so the merge is deterministic under ties. State per
+    key is one row; table size is O(|users|), not O(events).
+
+    Returns the final generation as a DataFrame.
+    """
+    from pyspark.sql import Window
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+    state = {"gen": -1}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_latest = latest(batch_df)
+        if state["gen"] >= 0:
+            prev = spark.read.parquet(f"{target_dir}/gen={state['gen']}")
+            merged = latest(prev.unionByName(batch_latest))
+        else:
+            merged = batch_latest
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{target_dir}/gen={state['gen'] + 1}"
+        )
+        state["gen"] += 1
+
+    q = events.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(f"{target_dir}/gen={state['gen']}")
+
+
 def run_to_completion(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Drive a streaming DataFrame over its (finite) file source to
     completion via a memory sink and return the materialized result.
