@@ -288,6 +288,113 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def ann_recall_sweep(spark, sf_dir):
+    """IVF quality sweep: recall@5 versus exact brute force for
+    nprobe in {1, 2, 4}. The engineering dial of IVF is cells probed
+    vs recall — this query measures it inside the engine (hits are an
+    equi-join of the IVF and exact top-k sets; ratios are x1000
+    fixed-point). At production scale the cell assignment would be
+    computed once and cached across the sweep; each sweep point here
+    rebuilds it to keep the plan stateless."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    truth_cnt = exact.agg(F.count("*").alias("n_truth"))
+    parts = []
+    for np_ in (1, 2, 4):
+        approx = ivf_topk(
+            queries, emb, centroids,
+            id_col="vec_id", vec_col="embedding", centroid_id_col="centroid_id",
+            k=5, nprobe=np_,
+        ).select("query_id", "neighbor_id")
+        parts.append(
+            approx.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .withColumn("nprobe", F.lit(np_).cast("int"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.crossJoin(truth_cnt).select(
+        "nprobe",
+        "n_hits",
+        "n_truth",
+        F.expr("(n_hits * 1000) div n_truth").alias("recall_x1000"),
+    )
+
+
+def _ivf_sweep_ctes(np_: int) -> str:
+    return f"""
+probes_{np_} AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_QU} DESC,
+                                       cent.centroid_id) AS rn
+    FROM q, cent
+  ) WHERE rn <= {np_}
+),
+cand_{np_} AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_PC} AS cos_sim
+  FROM probes_{np_} p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN c c2 ON c2.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+ivf_{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM cand_{np_}
+  ) WHERE rank <= 5
+)"""
+
+
+ORACLE_ANN_RECALL_SWEEP = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS u FROM c WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_COS_CU} DESC,
+                                       cent.centroid_id) AS rn
+    FROM c, cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {_COS_QC.replace("cv", "c.v")} AS cos_sim
+          FROM q, c WHERE c.vec_id <> q.query_id)
+  ) WHERE rank <= 5
+),
+{",".join(_ivf_sweep_ctes(np_) for np_ in (1, 2, 4))},
+truth AS (SELECT count(*) AS n_truth FROM bf)
+SELECT nprobe,
+       n_hits,
+       CAST(t.n_truth AS BIGINT) AS n_truth,
+       CAST((n_hits * 1000) // t.n_truth AS BIGINT) AS recall_x1000
+FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({np_} AS INT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hits "
+      f"FROM ivf_{np_} i JOIN bf USING (query_id, neighbor_id)"
+      for np_ in (1, 2, 4)
+  )}
+) hits, truth t
+"""
+
+
 def kmeans_assign(spark, sf_dir):
     """Spherical k-means training (Lloyd's, 5 fixed iterations,
     deterministic smallest-id init) over the embeddings — the IVF
@@ -886,6 +993,11 @@ LLM_QUERIES = {
         "similarity: brute-force cosine top-k",
     ),
     "ann_topk_ivf": (ann_topk_ivf, ORACLE_ANN_IVF, "similarity: IVF ANN"),
+    "ann_recall_sweep": (
+        ann_recall_sweep,
+        ORACLE_ANN_RECALL_SWEEP,
+        "similarity: IVF recall@5 vs brute force, nprobe sweep",
+    ),
     "kmeans_assign": (
         kmeans_assign,
         None,
