@@ -23,6 +23,7 @@ from ..functions.textnorm import sql_tokens
 from ..operators.dedup import (
     connected_components,
     exact_dedup,
+    hashed_shingle_table,
     jaccard_pairs,
     minhash_lsh_pairs,
     shingle_sets,
@@ -143,6 +144,32 @@ def minhash_pairs(spark, sf_dir):
 
 
 ORACLE_MINHASH_PAIRS = _jaccard_oracle(4, 5)
+
+
+def shingle_df_hist(spark, sf_dir):
+    """Stop-shingle statistics: the document-frequency histogram of
+    3-gram shingles (how many shingles appear in exactly df docs).
+    Dedup pipelines use the high-df tail as a stop-shingle list —
+    ubiquitous boilerplate shingles that inflate MinHash similarity and
+    skew LSH buckets. Output is O(max df) rows at any corpus scale;
+    both aggregations are partial-agg friendly (no wide rows, no
+    collect)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = hashed_shingle_table(docs, "doc_id", "text")
+    return (
+        pairs.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .groupBy("df")
+        .agg(F.count("*").alias("n_shingles"))
+    )
+
+
+ORACLE_SHINGLE_DF_HIST = f"""
+WITH {_SHINGLES_CTE},
+hs AS (SELECT DISTINCT doc, {sql_hex_to_long("md5(shingle)", 15)} AS h FROM sh),
+dfs AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM hs GROUP BY h)
+SELECT df, CAST(count(*) AS BIGINT) AS n_shingles FROM dfs GROUP BY df
+"""
 
 
 def dedup_components(spark, sf_dir):
@@ -981,6 +1008,11 @@ LLM_QUERIES = {
         "dedup: n-gram Jaccard inverted index",
     ),
     "minhash_pairs": (minhash_pairs, ORACLE_MINHASH_PAIRS, "dedup: MinHash+LSH"),
+    "shingle_df_hist": (
+        shingle_df_hist,
+        ORACLE_SHINGLE_DF_HIST,
+        "dedup: stop-shingle document-frequency histogram",
+    ),
     "dedup_components": (
         dedup_components,
         ORACLE_DEDUP_COMPONENTS,

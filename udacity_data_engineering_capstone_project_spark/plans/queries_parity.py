@@ -26,7 +26,7 @@ from ..functions.dates import date_to_sas, is_weekend_expr, season_expr
 from ..functions.rounding import round_fixed, sql_round_fixed
 from ..operators.aggregates import pivot_wide, rollup_agg
 from ..operators.cleaning import dedup, drop_columns, drop_null_rows, fill_nulls
-from ..operators.joins import asof_join, equi_join, star_join
+from ..operators.joins import asof_join, equi_join, salted_join, star_join
 from ..operators.sets import union_distinct
 from ..operators.sorting import top_k
 from ..operators.windows import rank_in_group, sessionize
@@ -1006,6 +1006,48 @@ GROUP BY event_type
 """
 
 
+def salted_join_priority_revenue(spark, sf_dir):
+    """The skew-mitigation path exercised end-to-end: lineitem joined
+    to 1996 orders through operators.joins.salted_join (salt=8), then
+    revenue per order priority.
+
+    Salting spreads each join key over 8 reducers (key, salt), so one
+    hot key cannot melt a single reducer — the manual fallback for
+    skew that AQE's runtime splitting can't fix (AQE only splits after
+    materializing the oversized map output). Semantics are exactly the
+    plain join, which is what the oracle checks.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    j = salted_join(li, orders, "l_orderkey", salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        round_fixed(F.sum("rev"), 2).alias("revenue_r"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_SALTED_JOIN = f"""
+SELECT o_orderpriority,
+       {sql_round_fixed("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue_r,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate <  DATE '1997-01-01'
+GROUP BY o_orderpriority
+"""
+
+
 #: name -> (spark_fn, oracle_sql, SURVEY §2 coverage tags)
 PARITY_QUERIES = {
     "pruned_scan": (pruned_scan, ORACLE_PRUNED_SCAN, "S1 P11 P14"),
@@ -1028,6 +1070,11 @@ PARITY_QUERIES = {
     "tpch_q1": (tpch_q1, ORACLE_TPCH_Q1, "A1-A4 headline"),
     "rollup_flag_status": (rollup_flag_status, ORACLE_ROLLUP_FLAG_STATUS, "rollup"),
     "topk_orders": (topk_orders, ORACLE_TOPK_ORDERS, "O1 O2 O3"),
+    "salted_join_priority_revenue": (
+        salted_join_priority_revenue,
+        ORACLE_SALTED_JOIN,
+        "skew-resistant salted join, equality-checked vs plain join semantics",
+    ),
     "window_topk_per_group": (
         window_topk_per_group,
         ORACLE_WINDOW_TOPK_PER_GROUP,
