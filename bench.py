@@ -39,6 +39,8 @@ HEADLINE = [
     "ann_topk_ivf",
     "embedding_near_dup",
     "text_quality",
+    "tpch_q17_scalar",
+    "text_profile_fused",
 ]
 
 

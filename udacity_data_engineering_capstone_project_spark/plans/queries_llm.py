@@ -146,6 +146,52 @@ def minhash_pairs(spark, sf_dir):
 ORACLE_MINHASH_PAIRS = _jaccard_oracle(4, 5)
 
 
+def minhash_band_sweep(spark, sf_dir):
+    """The LSH b/r dial swept at fixed signature width: 64 hashes as
+    16x4, 32x2, and 64x1 bands, each verified at exact Jaccard >= 0.9.
+
+    More bands with shorter rows = more candidates, higher recall,
+    more verification work; the verified OUTPUT must be identical
+    across configs (false-negative probability at j >= 0.9 is <= 3e-8
+    for r=4 and vanishes for shorter rows), which is exactly what the
+    oracle asserts — the cross-config invariance that makes b/r a pure
+    cost/recall knob, safe to retune at 100 TB without changing
+    results."""
+    configs = [(16, 4), (32, 2), (64, 1)]
+    parts = []
+    for bands, rows in configs:
+        pairs = minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            n=3,
+            n_hashes=64,
+            bands=bands,
+            threshold_num=9,
+            threshold_den=10,
+        )
+        parts.append(
+            pairs.agg(F.count("*").alias("n_pairs")).select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                "n_pairs",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+ORACLE_MINHASH_BAND_SWEEP = f"""
+WITH pairs AS ({_jaccard_oracle(9, 10)})
+SELECT CAST(bands AS INT) AS bands,
+       CAST(rows_per_band AS INT) AS rows_per_band,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs
+FROM (VALUES (16, 4), (32, 2), (64, 1)) AS t(bands, rows_per_band)
+"""
+
+
 def shingle_df_hist(spark, sf_dir):
     """Stop-shingle statistics: the document-frequency histogram of
     3-gram shingles (how many shingles appear in exactly df docs).
@@ -1008,6 +1054,11 @@ LLM_QUERIES = {
         "dedup: n-gram Jaccard inverted index",
     ),
     "minhash_pairs": (minhash_pairs, ORACLE_MINHASH_PAIRS, "dedup: MinHash+LSH"),
+    "minhash_band_sweep": (
+        minhash_band_sweep,
+        ORACLE_MINHASH_BAND_SWEEP,
+        "dedup: LSH b/r sweep, cross-config recall invariance",
+    ),
     "shingle_df_hist": (
         shingle_df_hist,
         ORACLE_SHINGLE_DF_HIST,
