@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.hashing import sql_hex_to_long
+from ..functions.hashing import spark_hex_to_long, sql_hex_to_long, sql_md5_long
 from ..functions.rounding import round_fixed, sql_round_fixed
 from ..functions.textnorm import sql_tokens
 from ..operators.dedup import (
@@ -189,6 +189,45 @@ SELECT CAST(bands AS INT) AS bands,
        CAST(rows_per_band AS INT) AS rows_per_band,
        (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs
 FROM (VALUES (16, 4), (32, 2), (64, 1)) AS t(bands, rows_per_band)
+"""
+
+
+def corpus_split_stats(spark, sf_dir):
+    """Deterministic train/val/test corpus split (80/10/10) by content-
+    independent hash bucketing: bucket = md5(doc_id) mod 100. The split
+    is a pure function of the id — stable under reprocessing, cluster
+    layout, and partition count (unlike randomSplit/TABLESAMPLE, whose
+    assignment depends on partition iteration order), which is what a
+    reproducible training pipeline needs. Output: per (source, split)
+    doc and char counts — stratification audit included."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_CORPUS_SPLIT = f"""
+WITH d AS (
+  SELECT source, n_chars,
+         {sql_md5_long("CAST(doc_id AS VARCHAR)", 7)} % 100 AS b
+  FROM documents
+)
+SELECT source,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY 1, 2
 """
 
 
@@ -1058,6 +1097,11 @@ LLM_QUERIES = {
         minhash_band_sweep,
         ORACLE_MINHASH_BAND_SWEEP,
         "dedup: LSH b/r sweep, cross-config recall invariance",
+    ),
+    "corpus_split_stats": (
+        corpus_split_stats,
+        ORACLE_CORPUS_SPLIT,
+        "deterministic hash-bucketed train/val/test split",
     ),
     "shingle_df_hist": (
         shingle_df_hist,
