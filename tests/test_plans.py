@@ -72,3 +72,42 @@ def test_semi_anti_joins_broadcast(spark):
     plan = _plan(spark, "join_semi_anti")
     assert "SortMergeJoin" not in plan
     assert _shuffles(plan) == 0
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    plan = _plan(spark, "tpch_q4_exists")
+    # Catalyst must rewrite the correlated EXISTS into a join, not a
+    # per-row subquery: LeftSemi join present, no residual subquery exec
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    plan = _plan(spark, "tpch_q17_scalar")
+    # per-part avg becomes an aggregate joined back on partkey — one
+    # extra pass over lineitem, not O(parts) subquery executions
+    assert "Subquery" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython", plan)
+
+
+def test_salted_join_spreads_key_no_broadcast_of_fact(spark):
+    plan = _plan(spark, "salted_join_priority_revenue")
+    # join key must be the salted composite, so a hot l_orderkey spreads
+    assert "__salt" in plan
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)
+
+
+def test_text_profile_single_token_shuffle(spark):
+    plan = _plan(spark, "text_profile_fused")
+    # fused profile: the exploded token stream is aggregated with ONE
+    # hash-partitioning family on doc (partial distinct adds an expand,
+    # not an extra key family); no Python eval anywhere
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)
+    assert plan.count("Generate explode") == 1  # tokenized exactly once
+
+
+def test_corpus_split_stays_in_codegen(spark):
+    plan = _plan(spark, "corpus_split_stats")
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)
+    assert _shuffles(plan) == 1  # one aggregate exchange, nothing else
