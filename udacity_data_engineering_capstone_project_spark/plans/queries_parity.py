@@ -1006,6 +1006,39 @@ GROUP BY event_type
 """
 
 
+def window_distribution_orders(spark, sf_dir):
+    """Distribution window family: ntile(4), percent_rank, cume_dist
+    over o_totalprice within each order priority. The ordering is made
+    total with the unique o_orderkey tie-break, so rank-derived ratios
+    are exact rationals of identical integers on both engines (then
+    x1e6 fixed-point). Partitioned windows scale: state per partition,
+    no global sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("pr_x1e6"),
+        F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("cd_x1e6"),
+    )
+
+
+ORACLE_WINDOW_DISTRIBUTION = """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_x1e6,
+       CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_x1e6
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def salted_join_priority_revenue(spark, sf_dir):
     """The skew-mitigation path exercised end-to-end: lineitem joined
     to 1996 orders through operators.joins.salted_join (salt=8), then
@@ -1070,6 +1103,11 @@ PARITY_QUERIES = {
     "tpch_q1": (tpch_q1, ORACLE_TPCH_Q1, "A1-A4 headline"),
     "rollup_flag_status": (rollup_flag_status, ORACLE_ROLLUP_FLAG_STATUS, "rollup"),
     "topk_orders": (topk_orders, ORACLE_TOPK_ORDERS, "O1 O2 O3"),
+    "window_distribution_orders": (
+        window_distribution_orders,
+        ORACLE_WINDOW_DISTRIBUTION,
+        "ntile / percent_rank / cume_dist distribution windows",
+    ),
     "salted_join_priority_revenue": (
         salted_join_priority_revenue,
         ORACLE_SALTED_JOIN,
