@@ -245,3 +245,23 @@ def test_text_profile_fused_edge_cases(spark):
     assert got[1].n_tokens == 10
     # 'the' x3 counts toward stopwords each time
     assert got[1].n_stop >= 3
+
+
+def test_merge_upsert_semantics(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.cdc import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10, "old"), (2, 20, "keep")], "k long, v long, tag string"
+    )
+    updates = spark.createDataFrame(
+        [(1, 30, "new"), (1, 25, "stale"), (3, 40, "insert")],
+        "k long, v long, tag string",
+    )
+    got = {r.k: (r.v, r.tag) for r in merge_upsert(target, updates, ["k"], ["v"]).collect()}
+    assert got == {
+        1: (30, "new"),      # update wins over target; latest-wins in batch
+        2: (20, "keep"),     # untouched target key survives
+        3: (40, "insert"),   # new key inserted
+    }

@@ -192,6 +192,75 @@ FROM (VALUES (16, 4), (32, 2), (64, 1)) AS t(bands, rows_per_band)
 """
 
 
+def near_dup_triangles(spark, sf_dir):
+    """Triangle enumeration on the near-dup graph (exact Jaccard >=
+    0.6 pairs as edges): doc triples that are pairwise near-dups — the
+    densest clusters, ranked ahead of chains when choosing canonical
+    keepers. Edges are oriented a < b, so each triangle appears exactly
+    once via the two-hop join (a,b)+(b,c) closed by (a,c). Cost is
+    sum(degree^2) over edges, the standard distributed triangle shape;
+    at 100 TB you'd pre-filter edges by degree (the near-dup graph is
+    tiny relative to the corpus anyway)."""
+    sets = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    e = jaccard_pairs(sets, threshold_num=3, threshold_den=5).select(
+        "doc_a", "doc_b"
+    )
+    e12 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).join(
+        e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c")), "b"
+    )
+    closing = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return e12.join(closing, ["a", "c"]).select("a", "b", "c")
+
+
+ORACLE_NEAR_DUP_TRIANGLES = f"""
+WITH e AS (SELECT doc_a, doc_b FROM ({_jaccard_oracle(3, 5)}))
+SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+FROM e e1
+JOIN e e2 ON e2.doc_a = e1.doc_b
+JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""
+
+
+def upsert_user_snapshot(spark, sf_dir):
+    """Batch CDC upsert: the per-user event snapshot as of Jan 15
+    merged with the Jan 15+ event stream through operators.cdc.
+    merge_upsert — updates win per key, latest-wins within updates by
+    (ts, event_id). Result equals the per-user latest event over the
+    whole table, which is the oracle."""
+    from ..operators.cdc import merge_upsert
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    cut = "2024-01-15"
+    base = merge_upsert(
+        ev.filter(F.col("ts") < cut).limit(0),
+        ev.filter(F.col("ts") < cut),
+        ["user_id"],
+        ["ts", "event_id"],
+    )
+    return merge_upsert(
+        base, ev.filter(F.col("ts") >= cut), ["user_id"], ["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        round_fixed(F.col("value"), 2).alias("value_r"),
+    )
+
+
+ORACLE_UPSERT_SNAPSHOT = f"""
+SELECT user_id, event_id, ts, event_type,
+       {sql_round_fixed("value", 2)} AS value_r
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM {EVENTS_US} AS events
+) WHERE rn = 1
+"""
+
+
 def corpus_split_stats(spark, sf_dir):
     """Deterministic train/val/test corpus split (80/10/10) by content-
     independent hash bucketing: bucket = md5(doc_id) mod 100. The split
@@ -1097,6 +1166,16 @@ LLM_QUERIES = {
         minhash_band_sweep,
         ORACLE_MINHASH_BAND_SWEEP,
         "dedup: LSH b/r sweep, cross-config recall invariance",
+    ),
+    "near_dup_triangles": (
+        near_dup_triangles,
+        ORACLE_NEAR_DUP_TRIANGLES,
+        "graph: triangle enumeration on the near-dup edge set",
+    ),
+    "upsert_user_snapshot": (
+        upsert_user_snapshot,
+        ORACLE_UPSERT_SNAPSHOT,
+        "CDC: MERGE-style batch upsert, latest-wins per key",
     ),
     "corpus_split_stats": (
         corpus_split_stats,
