@@ -247,6 +247,36 @@ def test_text_profile_fused_edge_cases(spark):
     assert got[1].n_stop >= 3
 
 
+def test_kmeans_pp_init_farthest_first(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        kmeans_cosine,
+        kmeans_pp_init,
+    )
+
+    # three orthogonal directions plus near-duplicates of the first;
+    # farthest-first must pick one seed per direction, never two dups
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.98, 0.02, 0.0]),   # near-dup of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = kmeans_pp_init(emb, k=3)
+    assert len(seeds) == 3
+    assert seeds[0] == [1.0, 0.0, 0.0]          # smallest id
+    picked = {tuple(round(v) for v in s) for s in seeds}
+    assert picked == {(1, 0, 0), (0, 1, 0), (0, 0, 1)}
+    # determinism across invocations
+    assert kmeans_pp_init(emb, k=3) == seeds
+    # the trainer accepts the ++ init end-to-end
+    out = kmeans_cosine(emb, k=3, iters=2, init="kmeans++").collect()
+    clusters = {r.vec_id: r.cluster for r in out}
+    assert clusters[0] == clusters[1] == clusters[4]
+    assert len({clusters[0], clusters[2], clusters[3]}) == 3
+
+
 def test_merge_upsert_semantics(spark):
     from udacity_data_engineering_capstone_project_spark.operators.cdc import (
         merge_upsert,

@@ -111,3 +111,73 @@ def test_corpus_split_stays_in_codegen(spark):
     plan = _plan(spark, "corpus_split_stats")
     assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)
     assert _shuffles(plan) == 1  # one aggregate exchange, nothing else
+
+
+def test_trailing_hour_uses_range_frame_one_shuffle(spark):
+    plan = _plan(spark, "events_trailing_hour")
+    # value-based frame, not ROWS: peers share one frame deterministically
+    assert "RangeFrame" in plan
+    assert plan.count("Window") >= 1
+    assert _shuffles(plan) == 1  # one hash exchange on user_id feeds the sort
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: a hash-partitioned join with one hot key
+    is re-planned at runtime into split sub-partitions (skew=true on
+    the SortMergeJoin) instead of one straggler task. This is the
+    automatic path; the salted-join query covers the manual one."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        # ~95% of rows share key 0; payload inflates the hot partition
+        # past the 1MB skew threshold
+        left = spark.range(0, 120_000).select(
+            F.when(F.col("id") < 114_000, F.lit(0))
+            .otherwise(F.col("id") % 8)
+            .alias("k"),
+            # incompressible and id-derived: a literal payload would be
+            # constant-folded out of the shuffle, and a repetitive one
+            # lz4-compresses under the skew threshold
+            F.concat(
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2(F.concat(F.lit("s"), F.col("id").cast("string")), 256),
+            ).alias("payload"),
+        )
+        right = spark.range(0, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("weight")
+        )
+        joined = left.join(right, "k").select("k", "weight", "payload")
+        # collect() executes joined's OWN query execution (a count()
+        # would spawn a separate one that prunes the payload and ducks
+        # under the skew threshold)
+        assert len(joined.collect()) == 120_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

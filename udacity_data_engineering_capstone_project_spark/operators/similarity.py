@@ -245,12 +245,69 @@ def ivf_topk(
     )
 
 
+def kmeans_pp_init(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> list[list[float]]:
+    """Greedy k-means++ seeding (deterministic farthest-first
+    traversal): seed 0 is the vector of the smallest id; each later
+    seed is the point with the LOWEST best cosine to the seeds chosen
+    so far (= farthest in angular distance), ids breaking ties. The
+    classic D²-sampling draw is replaced by the argmax — the standard
+    derandomization, and what makes the result reproducible across
+    runs and partitionings.
+
+    Cost: k passes over the corpus, each a pandas-UDF best-cosine scan
+    + a global top-1 (a max-reduce, not a sort — Spark's takeOrdered).
+    At 100 TB you'd amortize passes by oversampling candidates per
+    round (k-means|| style); the per-round reduce shape is already
+    cluster-friendly: no shuffle of the corpus itself, only of one
+    (score, id) pair per partition.
+    """
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("vid"), "cv"
+    )
+    first = c.orderBy("vid").limit(1).collect()[0]
+    seeds = [list(first.cv)]
+
+    for _ in range(1, k):
+        best_cos = _best_cosine_udf(seeds)
+        nxt = (
+            c.select("vid", "cv", best_cos("cv").alias("bc"))
+            .orderBy(F.col("bc").asc(), F.col("vid").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append(list(nxt.cv))
+    return seeds
+
+
+def _best_cosine_udf(cents: list[list[float]]):
+    """Arrow-vectorized max-cosine-to-any-centroid (numpy closure, not
+    a literal expression tree — avoids per-round codegen recompiles)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cm = np.array(cents, dtype=np.float64)
+    cm_n = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+
+    @pandas_udf("double")
+    def best(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        m_n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        return pd.Series((m_n @ cm_n.T).max(axis=1))
+
+    return best
+
+
 def kmeans_cosine(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 5,
+    init: str = "first-k",
 ) -> DataFrame:
     """Spherical k-means (Lloyd's iterations, cosine assignment) —
     the trainer for IVF centroids (:func:`ivf_topk` takes any centroid
@@ -258,8 +315,9 @@ def kmeans_cosine(
     arbitrary subset).
 
     Deterministic by construction: init = the vectors of the ``k``
-    smallest ids, a FIXED number of iterations, cosine ties broken by
-    cluster id. Each iteration: assignment is a broadcast argmax over
+    smallest ids (``init="first-k"``) or greedy k-means++ farthest-
+    first seeds (``init="kmeans++"``, :func:`kmeans_pp_init`), a FIXED
+    number of iterations, cosine ties broken by cluster id. Each iteration: assignment is a broadcast argmax over
     ``k`` centroids (one pass over the corpus, no shuffle for the
     join); the update re-estimates centroids with one posexplode +
     (cluster, dim) aggregation — a single shuffle of (int, int,
@@ -275,10 +333,11 @@ def kmeans_cosine(
     c = _with_double_vec(corpus, vec_col, "cv").select(
         F.col(id_col).alias("vid"), "cv"
     )
-    init = (
-        c.orderBy("vid").limit(k).collect()
-    )
-    centroids = [list(r.cv) for r in init]
+    if init == "kmeans++":
+        centroids = kmeans_pp_init(corpus, id_col, vec_col, k)
+    else:
+        rows = c.orderBy("vid").limit(k).collect()
+        centroids = [list(r.cv) for r in rows]
 
     def assign_udf(cents: list[list[float]]):
         # Arrow-vectorized argmax: a literal-centroid expression tree

@@ -15,6 +15,7 @@ engine-independent.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import spark_hex_to_long, sql_hex_to_long, sql_md5_long
@@ -1089,6 +1090,41 @@ FROM s GROUP BY 1, 2
 """
 
 
+def events_trailing_hour(spark, sf_dir):
+    """Time-based RANGE window frame: per event, the count and average
+    value of the same user's events in the trailing hour (value-based
+    frame [ts-3600s, ts], peers included — unlike ROWS frames, ties on
+    the order key share one frame, so the result is deterministic
+    without a tie-break). One shuffle on user_id; frame evaluation is
+    a single sorted sliding pass per partition. Order key is epoch
+    seconds (timestamp cast to long floors identically on both
+    engines)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trail_1h"),
+        round_fixed(F.avg("value").over(w), 2).alias("avg_value_r"),
+    )
+
+
+ORACLE_TRAILING_HOUR = f"""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trail_1h,
+       {sql_round_fixed('avg(value) OVER w', 2)} AS avg_value_r
+FROM (SELECT event_id, user_id, value,
+             epoch_ns(ts) // CAST(1000000000 AS BIGINT) AS ts_s
+      FROM events) e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def stream_stream_join(spark, sf_dir):
     """Stream-stream self-join with watermark-bounded state: purchases
     attributed to same-user clicks within the preceding hour. Inner
@@ -1254,6 +1290,11 @@ LLM_QUERIES = {
     ),
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY, "streaming twin: window agg"),
     "sessionize_events": (sessionize_events, ORACLE_SESSIONIZE, "sessionization"),
+    "events_trailing_hour": (
+        events_trailing_hour,
+        ORACLE_TRAILING_HOUR,
+        "time-based RANGE frame: trailing-hour per-user stats",
+    ),
     "stream_hourly_counts": (stream_hourly_counts, None, "structured streaming"),
     "stream_stream_join": (
         stream_stream_join,

@@ -172,12 +172,178 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
 GROUP BY n_name
 """
 
+#: TPC-H Q6-shaped (forecast revenue change): pure scan-filter-agg, no
+#: join. The whole WHERE clause is parquet-pushable (min/max row-group
+#: skipping on l_shipdate); at 100 TB this query is I/O-bound on
+#: exactly the row groups that survive the date range.
+_Q6 = """
+SELECT {rev6} AS promo_rev_r,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate <  DATE '1998-01-01'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+"""
+
+#: TPC-H Q9-shaped (profit by nation and year). The fixture set has no
+#: partsupp, so supply cost is proxied as 10% of p_retailprice per
+#: unit — the plan shape (5-way join, LIKE filter on part, two-level
+#: group) is the point, not the costing model.
+_Q9 = """
+SELECT nation,
+       o_year,
+       {profit} AS profit_r
+FROM (SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - CAST(0.1 AS DOUBLE) * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+"""
+
+#: TPC-H Q10-shaped (returned-item reporting): top-20 customers by
+#: revenue lost to returns in a quarter. Deterministic top-k: rank on
+#: the fixed-point-rounded revenue with the unique custkey tie-break.
+_Q10 = """
+SELECT c_custkey,
+       c_name,
+       n_name,
+       {rev} AS revenue_r
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1997-01-01'
+  AND o_orderdate <  DATE '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_r DESC, c_custkey
+LIMIT 20
+"""
+
+#: TPC-H Q12-shaped (priority mix per line status; the fixture has no
+#: l_shipmode, so l_linestatus is the grouping axis): one join + one
+#: aggregate of two conditional counts — map-side partial aggregation
+#: collapses this to O(groups) rows before the shuffle.
+_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate <  DATE '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+#: TPC-H Q13-shaped (customer order-count distribution): LEFT OUTER
+#: join with a filter inside the join condition (customers with zero
+#: qualifying orders must survive with count 0), then a second
+#: aggregate over the first — the canonical histogram-of-groups shape.
+_Q13 = """
+SELECT c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey,
+             CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+#: TPC-H Q14-shaped (promo revenue share in a month): conditional-sum /
+#: total-sum ratio over a lineitem-part join; p_type here is a flat
+#: category so the promo class is equality, not LIKE.
+_Q14 = """
+SELECT {promo14} AS promo_share_r,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-09-01'
+  AND l_shipdate <  DATE '1997-10-01'
+"""
+
+#: TPC-H Q15-shaped (top supplier by quarterly revenue): a CTE used
+#: twice — once as the join input, once inside the scalar MAX subquery.
+#: Revenue is fixed-point-rounded inside the CTE so the max-equality
+#: predicate compares identical doubles on both engines; ties all
+#: qualify, as in the official query.
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {rev15} AS total_rev_r
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01'
+    AND l_shipdate <  DATE '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey,
+       s_name,
+       total_rev_r
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev_r = (SELECT max(total_rev_r) FROM revenue)
+"""
+
+#: TPC-H Q18-shaped (large-volume orders): an aggregate-HAVING over
+#: lineitem feeding a join back into orders/customer. Catalyst runs
+#: the HAVING as a partial-agg + filter before the join — at scale the
+#: join input is only the surviving large orders.
+_Q18 = """
+SELECT c_name,
+       c_custkey,
+       o_orderkey,
+       CAST(o_orderdate AS {str_t}) AS order_date,
+       {qty18} AS total_qty_r
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+HAVING sum(l_quantity) > 300
+"""
+
+#: TPC-H Q19-shaped (disjunctive brand/size/quantity bands): an
+#: OR-of-ANDs predicate spanning both join sides. Catalyst extracts
+#: the common per-table conjuncts below the join; the residual OR is
+#: evaluated post-join inside codegen.
+_Q19 = """
+SELECT {rev} AS revenue_r,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 20 AND 40
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
 _SHARE = sql_round_fixed(
     "sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) / sum(volume)", 6
 )
 _BAL = sql_round_fixed("sum(s_acctbal)", 2)
 _BAL2 = sql_round_fixed("sum(c_acctbal)", 2)
 _REV2 = sql_round_fixed("sum(l_extendedprice)", 2)
+_REV6 = sql_round_fixed("sum(l_extendedprice * l_discount)", 2)
+_PROFIT = sql_round_fixed("sum(amount)", 2)
+_PROMO14 = sql_round_fixed(
+    "100.0 * sum(CASE WHEN p_type = 'PROMO'"
+    " THEN l_extendedprice * (1 - l_discount) ELSE CAST(0.0 AS DOUBLE) END)"
+    " / sum(l_extendedprice * (1 - l_discount))",
+    6,
+)
+_REV15 = sql_round_fixed("sum(l_extendedprice * (1 - l_discount))", 2)
+_QTY18 = sql_round_fixed("sum(l_quantity)", 2)
 
 
 def tpch_q3_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,6 +372,13 @@ def _sql_query(text: str):
 
 
 _Q4_TEXT = _Q4
+_Q6_TEXT = _Q6.format(rev6=_REV6)
+_Q9_TEXT = _Q9.format(profit=_PROFIT)
+_Q12_TEXT = _Q12
+_Q13_TEXT = _Q13
+_Q14_TEXT = _Q14.format(promo14=_PROMO14)
+_Q15_TEXT = _Q15.format(rev15=_REV15)
+_Q19_TEXT = _Q19.format(rev=_REV)
 _Q7_TEXT = _Q7.format(rev=_REV)
 _Q8_TEXT = _Q8.format(share=_SHARE)
 _Q11_TEXT = _Q11.format(bal=_BAL)
@@ -214,6 +387,9 @@ _Q22_TEXT = _Q22.format(bal2=_BAL2)
 
 ORACLE_TPCH_Q3 = _Q3.format(rev=_REV, str_t="VARCHAR")
 ORACLE_TPCH_Q5 = _Q5.format(rev=_REV)
+SPARK_TPCH_Q10 = _Q10.format(rev=_REV)
+SPARK_TPCH_Q18 = _Q18.format(qty18=_QTY18, str_t="STRING")
+ORACLE_TPCH_Q18 = _Q18.format(qty18=_QTY18, str_t="VARCHAR")
 
 SQL_QUERIES = {
     "tpch_q3_sql": (tpch_q3_sql, ORACLE_TPCH_Q3, "SQL surface: Q3 join/group/topk"),
@@ -247,5 +423,50 @@ SQL_QUERIES = {
         _sql_query(_Q22_TEXT),
         _Q22_TEXT,
         "scalar threshold + NOT EXISTS anti join",
+    ),
+    "tpch_q6_scan": (
+        _sql_query(_Q6_TEXT),
+        _Q6_TEXT,
+        "pure scan-filter-agg, fully pushable predicate",
+    ),
+    "tpch_q9_profit": (
+        _sql_query(_Q9_TEXT),
+        _Q9_TEXT,
+        "5-way join profit by nation/year, LIKE filter",
+    ),
+    "tpch_q10_returns": (
+        _sql_query(SPARK_TPCH_Q10),
+        SPARK_TPCH_Q10,
+        "returned-item top-20 customers, deterministic top-k",
+    ),
+    "tpch_q12_priority": (
+        _sql_query(_Q12_TEXT),
+        _Q12_TEXT,
+        "conditional-count aggregate over join",
+    ),
+    "tpch_q13_histogram": (
+        _sql_query(_Q13_TEXT),
+        _Q13_TEXT,
+        "outer join with join-cond filter, histogram of groups",
+    ),
+    "tpch_q14_promo": (
+        _sql_query(_Q14_TEXT),
+        _Q14_TEXT,
+        "promo revenue share: conditional / total ratio",
+    ),
+    "tpch_q15_top": (
+        _sql_query(_Q15_TEXT),
+        _Q15_TEXT,
+        "CTE reused in scalar MAX subquery, ties kept",
+    ),
+    "tpch_q18_large": (
+        _sql_query(SPARK_TPCH_Q18),
+        ORACLE_TPCH_Q18,
+        "aggregate-HAVING feeding a join (large orders)",
+    ),
+    "tpch_q19_bands": (
+        _sql_query(_Q19_TEXT),
+        _Q19_TEXT,
+        "disjunctive OR-of-ANDs predicate across join sides",
     ),
 }
