@@ -41,6 +41,10 @@ HEADLINE = [
     "text_quality",
     "tpch_q17_scalar",
     "text_profile_fused",
+    "tpch_q6_scan",
+    "tpch_q9_profit",
+    "tpch_q13_histogram",
+    "events_trailing_hour",
 ]
 
 

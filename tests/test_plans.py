@@ -181,3 +181,22 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q6_fully_pushed_scan(spark):
+    """Q6's entire WHERE clause must reach the parquet scan, and the
+    scan must read only the 4 referenced columns."""
+    import contextlib
+    import io
+
+    df = query_fns()["tpch_q6_scan"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    formatted = buf.getvalue()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+    assert pushed and all(
+        c in pushed[0] for c in ("l_shipdate", "l_discount", "l_quantity")
+    )
+    schema = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    assert schema and schema[0].count(":") == 4

@@ -27,7 +27,7 @@ from ..functions.rounding import round_fixed, sql_round_fixed
 from ..operators.aggregates import pivot_wide, rollup_agg
 from ..operators.cleaning import dedup, drop_columns, drop_null_rows, fill_nulls
 from ..operators.joins import asof_join, equi_join, salted_join, star_join
-from ..operators.sets import union_distinct
+from ..operators.sets import except_distinct, intersect_distinct, union_distinct
 from ..operators.sorting import top_k
 from ..operators.windows import rank_in_group, sessionize
 from ..plans.quality import (
@@ -610,6 +610,40 @@ SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem
 """
 
 
+def intersect_except_buyers(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct) set ops, tagged and unioned into
+    one result: high-balance customers who did (intersect) and did not
+    (except) place a 1997 order. Both rewrite to semi/anti joins over
+    distinct keys — one exchange per side; the distinct-buyer side is
+    the smaller and broadcasts under AQE."""
+    cust = _t(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select(F.col("o_custkey").alias("k"))
+    )
+    both = intersect_distinct(rich, buyers).withColumn("op", F.lit("intersect"))
+    only = except_distinct(rich, buyers).withColumn("op", F.lit("except"))
+    return both.unionByName(only)
+
+
+ORACLE_INTERSECT_EXCEPT = """
+WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+     buyers AS (SELECT o_custkey AS k FROM orders
+                WHERE o_orderdate >= DATE '1997-01-01'
+                  AND o_orderdate <  DATE '1998-01-01')
+SELECT k, 'intersect' AS op FROM (SELECT k FROM rich INTERSECT SELECT k FROM buyers)
+UNION ALL
+SELECT k, 'except' AS op FROM (SELECT k FROM rich EXCEPT SELECT k FROM buyers)
+"""
+
+
 def asof_join_events(spark, sf_dir):
     """As-of join (beyond-parity; union+window implementation — one
     shuffle on user_id, no range probe): each 'view' event annotated
@@ -1119,6 +1153,11 @@ PARITY_QUERIES = {
         "§2.5 windows",
     ),
     "union_distinct_dates": (union_distinct_dates, ORACLE_UNION_DISTINCT_DATES, "U1"),
+    "intersect_except_buyers": (
+        intersect_except_buyers,
+        ORACLE_INTERSECT_EXCEPT,
+        "INTERSECT / EXCEPT set ops",
+    ),
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
     "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),
     "quality_checks": (quality_checks, ORACLE_QUALITY_CHECKS, "§5 checks"),
