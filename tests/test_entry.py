@@ -17,6 +17,7 @@ def test_every_query_has_oracle_except_streaming(spark):
         "stream_hourly_counts",
         "stream_user_totals",
         "kmeans_assign",
+        "ivf_trained_recall",
     }
     assert len(qs) >= 39
 

@@ -191,3 +191,29 @@ def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) == 4
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # file ranges are disjoint -> min/max skipping works
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from udacity_data_engineering_capstone_project_spark.sources.readers import (
+        read_orc,
+        read_table,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.writers import write_orc
+
+    src = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in src.collect()
+    )
+    # predicate reaches the ORC scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter("n_nationkey = 3").explain("formatted")
+    assert "PushedFilters" in buf.getvalue()
+    assert "n_nationkey" in buf.getvalue().split("PushedFilters")[1][:200]

@@ -301,6 +301,36 @@ def _best_cosine_udf(cents: list[list[float]]):
     return best
 
 
+def centroid_table(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize cluster centroids (mean vector per cluster) from a
+    (id, cluster) assignment table — the bridge from the k-means
+    trainer to :func:`ivf_topk`, which takes any centroid DataFrame.
+    One join + one (cluster, dim) aggregation: the shuffle carries
+    (int, int, double) triples, k x dim rows out."""
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("vid"), "cv"
+    )
+    j = c.join(
+        assignments.select(F.col(id_col).alias("vid"), "cluster"), "vid"
+    )
+    return (
+        j.select("cluster", F.posexplode("cv").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("cluster").alias("centroid_id"),
+            F.expr("transform(pm, x -> x.m)").alias("embedding"),
+        )
+    )
+
+
 def kmeans_cosine(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -36,6 +36,7 @@ from ..operators.similarity import (
     brute_force_topk,
     embedding_near_dup,
     ivf_topk,
+    centroid_table,
     kmeans_cosine,
 )
 from ..operators.textops import (
@@ -586,6 +587,42 @@ def kmeans_assign(spark, sf_dir):
     semantic check, the driver records rows-only."""
     return kmeans_cosine(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, iters=5
+    )
+
+
+def ivf_trained_recall(spark, sf_dir):
+    """The full ANN pipeline end-to-end: k-means++ seeding -> 3 Lloyd
+    iterations -> centroid materialization -> IVF search (nprobe=2)
+    -> recall@5 against exact brute force, per query. This is the
+    production loop (train cells on the corpus, serve approximate
+    top-k from them) as ONE lazy plan. No SQL oracle — the centroid
+    fixpoint is iterative; the driver records rows-only (one row per
+    query, always 20), and the nprobe sweep + planted-cluster unit
+    tests pin the semantics."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_cosine(emb, k=8, iters=3, init="kmeans++")
+    cents = centroid_table(emb, assigned)
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = ivf_topk(queries, emb, cents, k=5, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    hit_n = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hit_n, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) * 100 / F.col("n_exact"))
+            .cast("int")
+            .alias("recall_x100"),
+        )
     )
 
 
@@ -1239,6 +1276,11 @@ LLM_QUERIES = {
         ann_recall_sweep,
         ORACLE_ANN_RECALL_SWEEP,
         "similarity: IVF recall@5 vs brute force, nprobe sweep",
+    ),
+    "ivf_trained_recall": (
+        ivf_trained_recall,
+        None,
+        "ANN end-to-end: k-means++ train -> IVF serve -> recall@5",
     ),
     "kmeans_assign": (
         kmeans_assign,

@@ -116,3 +116,11 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None):
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader (native vectorized scan, same pushdown surface as
+    parquet: predicate pushdown, column pruning, min/max stripe
+    skipping). ORC parity matters for lakes that standardized on Hive:
+    the engine treats it as a drop-in columnar scan."""
+    return spark.read.orc(path)

@@ -158,3 +158,18 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zlib",
+) -> None:
+    """ORC sink — columnar alternative for Hive-standardized lakes;
+    same partitioned-layout rules as :func:`write_parquet`."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
