@@ -200,3 +200,35 @@ def test_q6_fully_pushed_scan(spark):
     )
     schema = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
     assert schema and schema[0].count(":") == 4
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime filtering: a selective dimension filter is turned into a
+    bloom filter applied to the fact side BEFORE the join shuffle
+    (might_contain on l_orderkey) — at 100 TB this drops most fact rows
+    at the scan instead of shuffling them."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

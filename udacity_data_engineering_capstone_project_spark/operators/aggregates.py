@@ -12,6 +12,8 @@ prove per-group constancy (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves postponed type hints via these globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,3 +57,23 @@ def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     """Rollup (hierarchical grouping sets) — beyond-reference but a core
     OLAP aggregate; nulls mark the rolled-up levels."""
     return df.rollup(*keys).agg(*aggs)
+
+
+def mad_agg(value_col: str = "value") -> Column:
+    """UDAF surface: median absolute deviation as an Arrow-batched
+    GROUPED_AGG pandas UDF — the escape hatch for aggregates with no
+    built-in (true medians need the whole group). Physical plan:
+    ``AggregateInPandas`` — each group's values stream to one Python
+    worker as Arrow batches, one double returns. Partial aggregation
+    does NOT apply (medians don't decompose), so every group's values
+    shuffle — at 100 TB prefer percentile_approx unless exactness is
+    required, and salt mega-groups first.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        a = v.to_numpy(dtype=np.float64)
+        return float(np.median(np.abs(a - np.median(a))))
+
+    return mad(value_col)

@@ -1127,6 +1127,39 @@ FROM s GROUP BY 1, 2
 """
 
 
+def mad_by_event_type(spark, sf_dir):
+    """UDAF via GROUPED_AGG pandas UDF: exact median absolute
+    deviation of value per event type (operators.aggregates.mad_agg)
+    next to built-in exact median — the custom-aggregate escape hatch
+    exercised end-to-end. DuckDB's native mad()/median() are the
+    oracle; numpy and DuckDB both interpolate even-count medians, so
+    fixed-point rounding at 4 aligns them."""
+    from ..operators.aggregates import mad_agg
+
+    e = _t(spark, sf_dir, "events")
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggregations
+    # over the same exchange, joined on the tiny key set
+    mad = e.groupBy("event_type").agg(round_fixed(mad_agg("value"), 4).alias("mad_r"))
+    builtin = e.groupBy("event_type").agg(
+        round_fixed(F.expr("median(value)"), 4).alias("median_r"),
+        F.count("*").alias("n_events"),
+    )
+    return mad.join(builtin, "event_type").select(
+        "event_type", "mad_r", "median_r", "n_events"
+    )
+
+
+ORACLE_MAD = f"""
+SELECT event_type,
+       {sql_round_fixed('mad(value)', 4)} AS mad_r,
+       {sql_round_fixed('median(value)', 4)} AS median_r,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_trailing_hour(spark, sf_dir):
     """Time-based RANGE window frame: per event, the count and average
     value of the same user's events in the trailing hour (value-based
@@ -1336,6 +1369,11 @@ LLM_QUERIES = {
         events_trailing_hour,
         ORACLE_TRAILING_HOUR,
         "time-based RANGE frame: trailing-hour per-user stats",
+    ),
+    "mad_by_event_type": (
+        mad_by_event_type,
+        ORACLE_MAD,
+        "UDAF surface: GROUPED_AGG pandas UDF (exact MAD) vs native oracle",
     ),
     "stream_hourly_counts": (stream_hourly_counts, None, "structured streaming"),
     "stream_stream_join": (
