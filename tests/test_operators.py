@@ -295,3 +295,21 @@ def test_merge_upsert_semantics(spark):
         2: (20, "keep"),     # untouched target key survives
         3: (40, "insert"),   # new key inserted
     }
+
+
+def test_merge_partial_aggs(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.cdc import (
+        merge_partial_aggs,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 1, 5.0)], "k long, n long, s double"
+    )
+    delta = spark.createDataFrame(
+        [(1, 3, 7.0), (3, 1, 1.0)], "k long, n long, s double"
+    )
+    got = {
+        r.k: (r.n, r.s)
+        for r in merge_partial_aggs(old, delta, ["k"], ["n", "s"]).collect()
+    }
+    assert got == {1: (5, 17.0), 2: (1, 5.0), 3: (1, 1.0)}

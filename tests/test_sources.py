@@ -217,3 +217,67 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         back.filter("n_nationkey = 3").explain("formatted")
     assert "PushedFilters" in buf.getvalue()
     assert "n_nationkey" in buf.getvalue().split("PushedFilters")[1][:200]
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        zorder_value,
+    )
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a int, b int").select(
+        zorder_value(F.col("a"), F.col("b"), bits=3).alias("z")
+    )
+    # a bits -> even positions (1,0,1), b bits -> odd (0,1,1):
+    # z = b2 a2 b1 a1 b0 a0 = 0 1 1 0 1 1 = 0b011011
+    assert df.collect()[0].z == 0b011011
+
+
+def test_zordered_write_skips_on_both_dims(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.readers import (
+        read_table,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        write_zordered,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey"
+    )
+    # normalize both dims into [0, 1024) — z-order interleaves raw
+    # bits, so comparable scales are the caller's contract
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_orderkey"), F.max("l_orderkey"),
+    ).collect()[0]
+    pk0, pk1, ok0, ok1 = b
+    scaled = li.select(
+        ((F.col("l_partkey") - pk0) * 1023 / (pk1 - pk0))
+        .cast("int")
+        .alias("pk_n"),
+        ((F.col("l_orderkey") - ok0) * 1023 / (ok1 - ok0))
+        .cast("int")
+        .alias("ok_n"),
+    )
+    path = str(tmp_path / "li_z")
+    write_zordered(scaled, path, "pk_n", "ok_n", n_files=8, bits=10)
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("pk_n") - F.min("pk_n")).alias("pk_span"),
+            (F.max("ok_n") - F.min("ok_n")).alias("ok_span"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    # z-clustering: the AVERAGE file is narrow on BOTH dimensions —
+    # a single-column sort would leave the other dim at ~full (1023)
+    avg_pk = sum(r.pk_span for r in per_file) / len(per_file)
+    avg_ok = sum(r.ok_span for r in per_file) / len(per_file)
+    assert avg_pk < 0.7 * 1023
+    assert avg_ok < 0.7 * 1023

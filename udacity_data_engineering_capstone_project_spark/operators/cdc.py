@@ -42,3 +42,26 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__src", "__rn")
     )
+
+
+def merge_partial_aggs(
+    agg_old: DataFrame,
+    agg_delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine two partial
+    aggregate tables (same schema: keys + decomposable measures that
+    merge by SUM — counts, sums, min/max need their own combinator)
+    into the aggregate of the union of their inputs.
+
+    This is the materialized-view refresh shape: keep yesterday's agg,
+    aggregate only today's delta, merge — O(|delta| + |groups|)
+    instead of re-scanning the full history. Physical: union + one
+    hash aggregate on the keys; both inputs are already one row per
+    key, so the shuffle carries group rows, not raw events.
+    """
+    merged = agg_old.unionByName(agg_delta)
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

@@ -263,6 +263,100 @@ FROM (
 """
 
 
+def incremental_user_totals(spark, sf_dir):
+    """Incremental materialized-view maintenance via operators.cdc.
+    merge_partial_aggs: per-user event totals built as agg(history
+    before Jan 15) MERGED WITH agg(delta after), never re-scanning
+    history. The oracle is the from-scratch aggregate over the whole
+    table — merge-of-partials must equal it exactly (counts and sums
+    are decomposable; the sum is rounded only at the END, after the
+    merge, exactly like the oracle)."""
+    from ..operators.cdc import merge_partial_aggs
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cut = "2024-01-15"
+
+    def part_agg(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    merged = merge_partial_aggs(
+        part_agg(ev.filter(F.col("ts") < cut)),
+        part_agg(ev.filter(F.col("ts") >= cut)),
+        ["user_id"],
+        ["n_events", "sum_value"],
+    )
+    return merged.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        round_fixed(F.col("sum_value"), 2).alias("sum_value_r"),
+    )
+
+
+ORACLE_INCREMENTAL_TOTALS = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_round_fixed('sum(value)', 2)} AS sum_value_r
+FROM events
+GROUP BY user_id
+"""
+
+
+def user_value_trend(spark, sf_dir):
+    """Grouped-map applyInPandas: per-user OLS slope of value over
+    time (seconds), each user's history handled as one pandas frame —
+    the batch grouped-map surface (the UDAF and stateful-streaming
+    cousins are covered elsewhere). One shuffle on user_id; each group
+    is small (events per user), the classic applyInPandas fit. Oracle:
+    DuckDB's native regr_slope over the same (x=epoch seconds, y) —
+    the closed-form sums match numpy's lstsq-free covariance formula;
+    4-decimal fixed-point absorbs float-order drift. x is epoch
+    seconds SHIFTED to a 2024-01-01 base on both engines: raw epochs
+    (~1.7e9) would make regr_slope's running-sum form lose ~9 digits
+    to cancellation and break the cross-engine match."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts").cast("long") - F.lit(1704067200)).alias("ts_s"),
+        "value",
+    )
+
+    def fit(pdf):
+        x = pdf["ts_s"].to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        xm, ym = x.mean(), y.mean()
+        denom = ((x - xm) ** 2).sum()
+        slope = float(((x - xm) * (y - ym)).sum() / denom) if denom > 0 else None
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "slope": [slope],
+            }
+        )
+
+    fitted = e.groupBy("user_id").applyInPandas(
+        fit, "user_id long, n_events long, slope double"
+    )
+    return fitted.select(
+        "user_id",
+        "n_events",
+        round_fixed(F.col("slope") * 1e6, 4).alias("slope_x1e6_r"),
+    )
+
+
+ORACLE_USER_TREND = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_round_fixed('regr_slope(value, epoch_ns(ts) // CAST(1000000000 AS BIGINT) - 1704067200) * 1000000', 4)} AS slope_x1e6_r
+FROM events
+GROUP BY user_id
+"""
+
+
 def corpus_split_stats(spark, sf_dir):
     """Deterministic train/val/test corpus split (80/10/10) by content-
     independent hash bucketing: bucket = md5(doc_id) mod 100. The split
@@ -1369,6 +1463,16 @@ LLM_QUERIES = {
         events_trailing_hour,
         ORACLE_TRAILING_HOUR,
         "time-based RANGE frame: trailing-hour per-user stats",
+    ),
+    "incremental_user_totals": (
+        incremental_user_totals,
+        ORACLE_INCREMENTAL_TOTALS,
+        "incremental MV maintenance: merge of partial aggregates",
+    ),
+    "user_value_trend": (
+        user_value_trend,
+        ORACLE_USER_TREND,
+        "grouped-map applyInPandas: per-user OLS slope vs regr_slope",
     ),
     "mad_by_event_type": (
         mad_by_event_type,

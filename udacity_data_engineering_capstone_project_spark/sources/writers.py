@@ -173,3 +173,50 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def zorder_value(c1, c2, bits: int = 16):
+    """Morton (Z-order) value of two non-negative int columns: their
+    low ``bits`` bits interleaved into one long. Rows close in Z-value
+    are close in BOTH dimensions, so range-splitting on it gives files
+    whose parquet min/max stats are narrow on both columns at once —
+    multi-dimensional data skipping where a single-column sort can
+    only serve one predicate. Pure JVM bit arithmetic (shift/and/or),
+    whole-stage codegen friendly. Callers normalize values into
+    [0, 2^bits) first (rank or min/max scale)."""
+    from pyspark.sql import functions as F
+
+    a = c1.cast("long")
+    b = c2.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: range-split + sort on the Morton
+    value of (col1, col2), so point/range filters on EITHER column
+    skip most files via footer min/max — :func:`write_range_sorted`
+    generalized to two dimensions. One extra range shuffle at write
+    time buys every later scan its skipping."""
+    z = zorder_value(df[col1], df[col2], bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
