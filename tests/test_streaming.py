@@ -86,3 +86,31 @@ def test_foreach_batch_upsert_latest_per_user(spark, sf_dir, tmp_path):
     g = {(r.user_id, r.event_id) for r in got.select("user_id", "event_id").collect()}
     e = {(r.user_id, r.event_id) for r in expect.collect()}
     assert g == e and len(g) > 0
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        incremental_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.mode(
+        "append"
+    ).parquet(src)
+    incremental_ingest(spark, src, dest, ckpt)
+    assert spark.read.parquet(dest).count() == 2
+
+    # re-run with no new files: exactly-once, nothing duplicated
+    incremental_ingest(spark, src, dest, ckpt)
+    assert spark.read.parquet(dest).count() == 2
+
+    # new file lands; only it is processed on the next run
+    spark.createDataFrame([(3, "c")], "id long, v string").write.mode(
+        "append"
+    ).parquet(src)
+    incremental_ingest(spark, src, dest, ckpt)
+    got = sorted(r.id for r in spark.read.parquet(dest).collect())
+    assert got == [1, 2, 3]

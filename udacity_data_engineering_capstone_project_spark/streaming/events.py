@@ -267,3 +267,29 @@ def run_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("s.total_value") * 100 + F.lit(0.5)).alias("total_value_x100"),
         F.expr("timestamp_micros(s.last_us)").alias("last_ts"),
     )
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental file ingestion with ``trigger(availableNow=True)``:
+    process every source file not yet recorded in the checkpoint, write
+    it to a parquet sink transactionally, then STOP — the
+    run-as-a-scheduled-job streaming mode. Re-running after new files
+    land processes ONLY the new files (checkpointed file log), and the
+    file-sink commit log makes the output exactly-once: a re-run
+    without new input writes nothing. This is the 100 TB landing-zone
+    pattern — continuous semantics, batch-shaped resource usage."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
