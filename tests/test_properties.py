@@ -95,3 +95,94 @@ def test_sessionize_matches_reference_model(spark_global, events):
                 sessions += 1
         want[u] = sessions
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.integers(min_value=0, max_value=50),  # version
+            st.integers(min_value=-100, max_value=100),  # payload
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=51, max_value=99),  # updates strictly newer
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_merge_upsert_equals_latest_per_key(spark_global, target_rows, update_rows):
+    """merge_upsert(target, updates) == latest row per key over the
+    union, ordered by (is_update, version, payload) — the MERGE
+    contract, for any batch contents including dup keys and empties."""
+    from udacity_data_engineering_capstone_project_spark.operators.cdc import (
+        merge_upsert,
+    )
+
+    schema = "k long, ver long, payload long"
+    target = spark_global.createDataFrame(target_rows, schema) if target_rows else \
+        spark_global.createDataFrame([], schema)
+    updates = spark_global.createDataFrame(update_rows, schema) if update_rows else \
+        spark_global.createDataFrame([], schema)
+    got = {
+        r.k: (r.ver, r.payload)
+        for r in merge_upsert(target, updates, ["k"], ["ver", "payload"]).collect()
+    }
+
+    want = {}
+    for src, rows in ((0, target_rows), (1, update_rows)):
+        for k, ver, payload in rows:
+            cur = want.get(k)
+            if cur is None or (src, ver, payload) > cur:
+                want[k] = (src, ver, payload)
+    assert got == {k: (v[1], v[2]) for k, v in want.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # key
+            st.integers(min_value=-50, max_value=50),  # measure
+            st.booleans(),                            # goes to delta?
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_merge_partial_aggs_equals_full_recompute(spark_global, rows):
+    """Splitting the input arbitrarily, aggregating the parts, and
+    merging MUST equal aggregating everything at once (count/sum are
+    decomposable) — the incremental-MV maintenance contract."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.cdc import (
+        merge_partial_aggs,
+    )
+
+    schema = "k long, m long"
+    old_rows = [(k, m) for k, m, d in rows if not d]
+    delta_rows = [(k, m) for k, m, d in rows if d]
+
+    def agg(data):
+        df = spark_global.createDataFrame(data, schema) if data else \
+            spark_global.createDataFrame([], schema)
+        return df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("m").alias("s")
+        )
+
+    merged = merge_partial_aggs(agg(old_rows), agg(delta_rows), ["k"], ["n", "s"])
+    got = {r.k: (r.n, r.s) for r in merged.collect()}
+
+    want = {}
+    for k, m in old_rows + delta_rows:
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + m)
+    assert got == want

@@ -263,6 +263,92 @@ FROM (
 """
 
 
+def udtf_flatten_props(spark, sf_dir):
+    """Python UDTF surface (Spark 4): a table function that flattens
+    each event's JSON props into (key, val) rows, laterally joined and
+    re-aggregated per key. The UDTF is the row-EXPANDING Python hop
+    (UDF: 1->1, UDAF: N->1, UDTF: 1->N) — Arrow-batched like the other
+    pandas paths. The fixture props happen to be single-key, but the
+    operator is the generic semi-structured flattener; DuckDB's
+    json_each is the oracle twin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val long")
+    class FlattenProps:
+        def eval(self, props: str):
+            import json
+
+            if props:
+                for k, v in json.loads(props).items():
+                    yield (k, int(v))
+
+    spark.udtf.register("flatten_props", FlattenProps)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_props_src")
+    return spark.sql(
+        """
+        SELECT f.key,
+               count(*) AS n_rows,
+               sum(f.val) AS sum_val
+        FROM events_props_src e, LATERAL flatten_props(e.props) f
+        GROUP BY f.key
+        """
+    )
+
+
+#: the bundled DuckDB lacks the json_each TABLE function (scalar JSON
+#: ops exist), so the oracle enumerates the fixture's key space
+#: explicitly — equivalent on this data, weaker in general.
+ORACLE_UDTF_FLATTEN = """
+SELECT 'k' AS key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_val
+FROM events
+WHERE props->>'k' IS NOT NULL
+GROUP BY 1
+"""
+
+
+def array_vector_stats(spark, sf_dir):
+    """Array higher-order functions, JVM-side end to end: per-vector
+    L2 norm (transform + aggregate fold), positive-component count
+    (filter + size), max |x| (transform + array_max), and a leading
+    slice sum — the F14 family the reference never touches, over the
+    embedding column. No Python: all four run inside codegen as
+    interpreted HOF lambdas; DuckDB's list_* twins are the oracle."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq = F.aggregate(
+        F.transform("v", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        round_fixed(F.sqrt(sq), 4).alias("l2_norm_r"),
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_pos"),
+        round_fixed(
+            F.array_max(F.transform("v", lambda x: F.abs(x))), 4
+        ).alias("max_abs_r"),
+        round_fixed(
+            F.aggregate(
+                F.slice("v", 1, 8), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            4,
+        ).alias("head8_sum_r"),
+    )
+
+
+ORACLE_ARRAY_STATS = f"""
+SELECT vec_id,
+       {sql_round_fixed('sqrt(list_sum(list_transform(v, x -> x * x)))', 4)} AS l2_norm_r,
+       CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+       {sql_round_fixed('list_max(list_transform(v, x -> abs(x)))', 4)} AS max_abs_r,
+       {sql_round_fixed('list_sum(list_transform(v[1:8], x -> x))', 4)} AS head8_sum_r
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
 def incremental_user_totals(spark, sf_dir):
     """Incremental materialized-view maintenance via operators.cdc.
     merge_partial_aggs: per-user event totals built as agg(history
@@ -1463,6 +1549,16 @@ LLM_QUERIES = {
         events_trailing_hour,
         ORACLE_TRAILING_HOUR,
         "time-based RANGE frame: trailing-hour per-user stats",
+    ),
+    "udtf_flatten_props": (
+        udtf_flatten_props,
+        ORACLE_UDTF_FLATTEN,
+        "Python UDTF: lateral row expansion of JSON props",
+    ),
+    "array_vector_stats": (
+        array_vector_stats,
+        ORACLE_ARRAY_STATS,
+        "array HOFs: transform/filter/aggregate/slice, JVM-side",
     ),
     "incremental_user_totals": (
         incremental_user_totals,

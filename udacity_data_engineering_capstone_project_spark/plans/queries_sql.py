@@ -328,6 +328,21 @@ WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
        AND l_quantity >= 20 AND l_quantity <= 40)
 """
 
+#: LATERAL correlated subquery (top-2 customers per nation by account
+#: balance): the per-row-subquery surface of both dialects. Catalyst
+#: plans the decorrelated form — a ranked window under the hood, not
+#: O(nations) subquery executions; the unique custkey tie-break makes
+#: the LIMIT deterministic.
+_LATERAL = """
+SELECT n_name, c.c_custkey, c.c_acctbal
+FROM nation,
+LATERAL (SELECT c_custkey, c_acctbal
+         FROM customer
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey
+         LIMIT 2) AS c
+"""
+
 _SHARE = sql_round_fixed(
     "sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) / sum(volume)", 6
 )
@@ -468,5 +483,10 @@ SQL_QUERIES = {
         _sql_query(_Q19_TEXT),
         _Q19_TEXT,
         "disjunctive OR-of-ANDs predicate across join sides",
+    ),
+    "lateral_topk_per_nation": (
+        _sql_query(_LATERAL),
+        _LATERAL,
+        "LATERAL correlated subquery -> decorrelated ranked join",
     ),
 }
