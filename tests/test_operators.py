@@ -313,3 +313,27 @@ def test_merge_partial_aggs(spark):
         for r in merge_partial_aggs(old, delta, ["k"], ["n", "s"]).collect()
     }
     assert got == {1: (5, 17.0), 2: (1, 5.0), 3: (1, 1.0)}
+
+
+def test_heavy_hitters_exact_across_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    # 60% 'a', 25% 'b', 15 singletons — spread over 8 partitions so the
+    # candidate sketch really runs per batch
+    rows = [("a",)] * 60 + [("b",)] * 25 + [(f"x{i}",) for i in range(15)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = {
+        r.value: r.n_occurrences
+        for r in heavy_hitters(df, "v", frac_num=20, frac_den=100).collect()
+    }
+    assert got == {"a": 60, "b": 25}
+    # threshold exactly at boundary: 15% -> a, b qualify; x* never do
+    got2 = {
+        r.value: r.n_occurrences
+        for r in heavy_hitters(df, "v", frac_num=25, frac_den=100).collect()
+    }
+    assert got2 == {"a": 60, "b": 25}

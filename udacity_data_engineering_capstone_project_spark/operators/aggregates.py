@@ -77,3 +77,55 @@ def mad_agg(value_col: str = "value") -> Column:
         return float(np.median(np.abs(a - np.median(a))))
 
     return mad(value_col)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    frac_num: int = 1,
+    frac_den: int = 100,
+) -> DataFrame:
+    """EXACT heavy hitters — every value occurring in at least
+    ``frac_num/frac_den`` of rows — computed scale-first, Misra-Gries
+    style: each Arrow batch emits only the values at or above the
+    threshold fraction WITHIN that batch (vectorized value_counts, at
+    most frac_den/frac_num survivors per batch). The union is
+    GUARANTEED to contain every true heavy hitter — if a value is
+    below the threshold in every batch, summing over batches puts it
+    below the global threshold too. One exact recount of only the
+    candidates (broadcast semi join) follows. The shuffle carries
+    candidate summaries (O(batches x frac_den) rows), never the full
+    key space — the two-pass exact-HH pattern for 100 TB
+    cardinality-explosive columns where a naive groupBy would shuffle
+    every distinct value. The final output is exact and
+    partitioning-independent even though the candidate set is not.
+
+    Output: (value, n_occurrences), exact counts, only true HH rows.
+    """
+
+    def batch_candidates(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = pdf[col].value_counts()
+            keep = vc[vc * frac_den >= len(pdf) * frac_num]
+            if len(keep):
+                yield pd.DataFrame({"value": keep.index})
+
+    candidates = (
+        df.select(F.col(col).alias(col))
+        .mapInPandas(batch_candidates, "value string")
+        .distinct()
+    )
+    total = df.count()
+    threshold = total * frac_num  # compare count*den >= total*num
+    return (
+        df.join(
+            F.broadcast(candidates),
+            df[col] == candidates["value"],
+            "left_semi",
+        )
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * frac_den >= F.lit(threshold))
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def drop_columns(df: DataFrame, *cols) -> DataFrame:
@@ -56,3 +57,30 @@ def rename_columns(df: DataFrame, renames: Mapping[str, str]) -> DataFrame:
 def with_columns(df: DataFrame, exprs: Mapping[str, Column]) -> DataFrame:
     """P15: add derived columns in one projection."""
     return df.withColumns(dict(exprs))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Deterministic stratified sampling: exactly ``n_per_stratum``
+    rows per stratum (fewer if the stratum is smaller), chosen by
+    ranking on md5(id) — content-independent, reproducible across
+    runs, partitionings, and engines (unlike ``sample()``, whose RNG
+    is partition-seeded). The balanced-corpus builder: per-language /
+    per-source quotas for eval sets and training mixes. One shuffle on
+    the stratum; per-group state is a single counter. For mega-strata
+    at 100 TB, pre-filter by a hash-prefix band before ranking so the
+    sort input is ~n rows per stratum, not the full stratum."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -263,6 +263,61 @@ FROM (
 """
 
 
+def stratified_doc_sample(spark, sf_dir):
+    """Deterministic stratified sampling (operators.cleaning.
+    stratified_sample): exactly 5 documents per source, selected by
+    md5(doc_id) rank — reproducible across runs/partitionings/engines,
+    which is precisely what Spark's RNG-based sample() can't give an
+    oracle. The balanced-corpus quota builder."""
+    from ..operators.cleaning import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "source", "doc_id", 5).select(
+        "doc_id", "source", "lang"
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def heavy_hitter_tokens(spark, sf_dir):
+    """Exact heavy hitters over the exploded token stream (>= 1% of
+    all tokens) via operators.aggregates.heavy_hitters: per-batch
+    candidate sketch -> broadcast semi join -> exact recount. The
+    oracle is the naive GROUP BY + HAVING against the total — the
+    two-pass sketch path must reproduce it exactly."""
+    from ..functions.textnorm import tokens_col
+    from ..operators.aggregates import heavy_hitters
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters(toks, "token", frac_num=1, frac_den=100)
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT t.token
+  FROM documents, unnest({sql_tokens('text', 'duckdb')}) AS t(token)
+  WHERE t.token <> ''
+)
+SELECT token AS value,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks
+GROUP BY token
+HAVING count(*) * 100 >= (SELECT count(*) FROM toks)
+"""
+
+
 def udtf_flatten_props(spark, sf_dir):
     """Python UDTF surface (Spark 4): a table function that flattens
     each event's JSON props into (key, val) rows, laterally joined and
@@ -1549,6 +1604,16 @@ LLM_QUERIES = {
         events_trailing_hour,
         ORACLE_TRAILING_HOUR,
         "time-based RANGE frame: trailing-hour per-user stats",
+    ),
+    "stratified_doc_sample": (
+        stratified_doc_sample,
+        ORACLE_STRATIFIED_SAMPLE,
+        "deterministic stratified sampling: md5-rank quota per stratum",
+    ),
+    "heavy_hitter_tokens": (
+        heavy_hitter_tokens,
+        ORACLE_HEAVY_HITTERS,
+        "exact heavy hitters: batch sketch -> recount, vs naive HAVING",
     ),
     "udtf_flatten_props": (
         udtf_flatten_props,
