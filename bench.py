@@ -45,6 +45,8 @@ HEADLINE = [
     "tpch_q9_profit",
     "tpch_q13_histogram",
     "events_trailing_hour",
+    "corpus_curation",
+    "heavy_hitter_tokens",
 ]
 
 

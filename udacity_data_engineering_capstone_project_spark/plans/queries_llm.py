@@ -263,6 +263,79 @@ FROM (
 """
 
 
+def corpus_curation(spark, sf_dir):
+    """The LLM-corpus curation pipeline END TO END as one lazy plan:
+    exact dedup (md5 digest groups, keep min id) -> English filter ->
+    quality gate (score >= 60) -> deterministic 80/10/10 hash split ->
+    per-split audit (docs, chars, integer-div mean quality). Every
+    stage is an independently-oracled operator; this query proves they
+    COMPOSE — one scan of the corpus text, digest-width shuffles, and
+    the split assignment a pure function of doc_id. This is the shape
+    of the real 100 TB job."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.textops import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id", "left_semi").filter(F.col("lang") == "en")
+    good = quality_score(kept).filter(F.col("quality") >= 60)
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        good.select(split.alias("split"), "n_chars", "quality")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("sum(quality) div count(*)").alias("mean_quality"),
+        )
+    )
+
+
+ORACLE_CORPUS_CURATION = f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+kept AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  JOIN keep USING (doc_id) WHERE d.lang = 'en'
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM kept
+),
+stats AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         count(DISTINCT token) AS n_distinct_tokens,
+         sum(length(token)) AS n_token_chars
+  FROM toks WHERE token <> '' GROUP BY doc_id
+),
+q AS (
+  SELECT k.doc_id, length(k.text) AS n_chars,
+         (CASE WHEN length(k.text) BETWEEN 200 AND 20000 THEN 30 ELSE 0 END)
+       + (CASE WHEN coalesce(s.n_tokens, 0) > 0
+               THEN (s.n_distinct_tokens * 40) // s.n_tokens ELSE 0 END)
+       + (CASE WHEN coalesce(s.n_tokens, 0) > 0
+                AND ((s.n_token_chars * 10) // s.n_tokens) BETWEEN 30 AND 120
+               THEN 30 ELSE 0 END) AS quality
+  FROM kept k LEFT JOIN stats s USING (doc_id)
+),
+good AS (
+  SELECT *, {sql_md5_long("CAST(doc_id AS VARCHAR)", 7)} % 100 AS b
+  FROM q WHERE quality >= 60
+)
+SELECT CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(quality) // count(*) AS BIGINT) AS mean_quality
+FROM good GROUP BY 1
+"""
+
+
 def stratified_doc_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators.cleaning.
     stratified_sample): exactly 5 documents per source, selected by
@@ -1604,6 +1677,11 @@ LLM_QUERIES = {
         events_trailing_hour,
         ORACLE_TRAILING_HOUR,
         "time-based RANGE frame: trailing-hour per-user stats",
+    ),
+    "corpus_curation": (
+        corpus_curation,
+        ORACLE_CORPUS_CURATION,
+        "flagship composite: dedup -> lang -> quality -> split, one plan",
     ),
     "stratified_doc_sample": (
         stratified_doc_sample,
