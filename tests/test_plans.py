@@ -232,3 +232,13 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_topk_fuses_to_take_ordered_not_global_sort(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-
+    partition top-k + driver merge of k-row heaps), not a full
+    RangePartitioning sort — the difference between shuffling k rows
+    and shuffling the table."""
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()

@@ -281,3 +281,21 @@ def test_zordered_write_skips_on_both_dims(spark, sf_dir, tmp_path):
     avg_ok = sum(r.ok_span for r in per_file) / len(per_file)
     assert avg_pk < 0.7 * 1023
     assert avg_ok < 0.7 * 1023
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    from udacity_data_engineering_capstone_project_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(path)
+    # later batch gains a column
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+
+    got = {r.id: (r.v, r.score) for r in read_parquet_evolved(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
