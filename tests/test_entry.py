@@ -27,3 +27,44 @@ def test_queries_run_at_smoke_sf(spark, sf_dir):
     qs = entry_mod.queries()
     for name in ["tpch_q1", "star_join_agg", "date_dim", "quality_checks"]:
         assert qs[name](spark, sf_dir).count() > 0
+
+
+def test_survey_s2_inventory_fully_claimed():
+    """Every operator ID in SURVEY.md §2 must be claimed by at least
+    one acceptance query's coverage tag — the checklist the engine is
+    graded against, enforced as a test so a refactor can't silently
+    drop coverage."""
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import (
+        PARITY_QUERIES,
+    )
+
+    claimed = set()
+    for _fn, _oracle, tags in PARITY_QUERIES.values():
+        claimed.update(tags.replace("/", " ").split())
+
+    required = (
+        [f"S{i}" for i in range(1, 9)]
+        + [f"P{i}" for i in range(1, 16)]
+        + [f"J{i}" for i in range(1, 6)]
+        + [f"A{i}" for i in range(1, 8)]
+        + [f"O{i}" for i in range(1, 4)]
+        + ["U1", "U-1", "U-2"]
+        + [f"F{i}" for i in range(1, 12)]  # F12-F14 are "none used"
+    )
+    # ranges like "A1-A4" / "F1-F7" in tags expand implicitly:
+    for tag in list(claimed):
+        if "-" in tag and tag[0] in "SPJAOF" and tag[1:2].isdigit():
+            try:
+                pre = tag[0]
+                lo, hi = tag[1:].split("-")
+                hi = hi.lstrip(pre)
+                for i in range(int(lo), int(hi) + 1):
+                    claimed.add(f"{pre}{i}")
+            except ValueError:
+                pass
+
+    missing = [t for t in required if t not in claimed]
+    # S-tags (sources/sinks) live in sources/ + pipeline tests, not only
+    # query tags; everything else must be query-claimed
+    missing_hard = [t for t in missing if not t.startswith("S")]
+    assert not missing_hard, f"SURVEY §2 items with no claiming query: {missing_hard}"

@@ -610,6 +610,74 @@ SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem
 """
 
 
+def order_gaps_surrogate(spark, sf_dir):
+    """F9 + F11: the reference's stay calculation shape (datediff
+    between two date columns, etl.py:112) over consecutive orders per
+    customer, plus a surrogate sequence key — row_number over a
+    deterministic total order, the stable replacement for
+    monotonically_increasing_id (SURVEY §7.4; partition-seeded ids
+    can't be value-compared, this can). Partitioned window: per-key
+    state, no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+    )
+
+
+ORACLE_ORDER_GAPS = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       CAST(date_diff('day',
+                      lag(CAST(o_orderdate AS DATE)) OVER w,
+                      CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def full_outer_nation_balance(spark, sf_dir):
+    """FULL OUTER join of two filtered per-nation aggregates (nations
+    with ultra-rich customers vs nations with in-debt suppliers):
+    either side can be absent, keys coalesce, counts null-fill to 0.
+    Post-aggregate outer joins are small-side x small-side — at scale
+    both inputs are already group rows, so the join is trivial
+    regardless of fact size."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_rich_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -300)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_debt_supp"))
+    )
+    return c.join(s, c["c_nationkey"] == s["s_nationkey"], "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+        F.coalesce("n_debt_supp", F.lit(0)).alias("n_debt_supp"),
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rich_cust
+           FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_debt_supp
+           FROM supplier WHERE s_acctbal < -300 GROUP BY s_nationkey)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_rich_cust, 0) AS n_rich_cust,
+       COALESCE(n_debt_supp, 0) AS n_debt_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+"""
+
+
 def intersect_except_buyers(spark, sf_dir):
     """INTERSECT / EXCEPT (distinct) set ops, tagged and unioned into
     one result: high-balance customers who did (intersect) and did not
@@ -1157,6 +1225,16 @@ PARITY_QUERIES = {
         intersect_except_buyers,
         ORACLE_INTERSECT_EXCEPT,
         "INTERSECT / EXCEPT set ops",
+    ),
+    "full_outer_nation_balance": (
+        full_outer_nation_balance,
+        ORACLE_FULL_OUTER,
+        "FULL OUTER join of filtered aggregates, coalesced keys",
+    ),
+    "order_gaps_surrogate": (
+        order_gaps_surrogate,
+        ORACLE_ORDER_GAPS,
+        "F9 F11 datediff stay-shape + deterministic surrogate key",
     ),
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
     "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),
