@@ -109,15 +109,33 @@ def heavy_hitters(
                 continue
             vc = pdf[col].value_counts()
             keep = vc[vc * frac_den >= len(pdf) * frac_num]
-            if len(keep):
-                yield pd.DataFrame({"value": keep.index})
+            # side-channel row: the batch's row count rides along as a
+            # NULL-valued row, so the global total needs no extra pass
+            # over the (possibly expensively derived) input
+            yield pd.DataFrame(
+                {
+                    "value": list(keep.index) + [None],
+                    "batch_rows": [0] * len(keep) + [len(pdf)],
+                }
+            )
 
-    candidates = (
+    spark = df.sparkSession
+    # one aggregation materializes BOTH the candidate set and the total
+    # (the candidates are about to be broadcast anyway, so collecting
+    # them costs nothing extra); df is scanned exactly twice: sketch +
+    # recount — no separate count() pass over a derived input
+    summary = (
         df.select(F.col(col).alias(col))
-        .mapInPandas(batch_candidates, "value string")
-        .distinct()
+        .mapInPandas(batch_candidates, "value string, batch_rows long")
+        .groupBy("value")
+        .agg(F.sum("batch_rows").alias("rows"))
+        .collect()
     )
-    total = df.count()
+    total = sum(r.rows for r in summary if r.value is None)
+    cand_values = [(r.value,) for r in summary if r.value is not None]
+    if not cand_values:
+        cand_values = [(None,)]  # degenerate empty input
+    candidates = spark.createDataFrame(cand_values, "value string")
     threshold = total * frac_num  # compare count*den >= total*num
     return (
         df.join(

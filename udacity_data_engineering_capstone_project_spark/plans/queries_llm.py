@@ -1400,6 +1400,46 @@ FROM {EVENTS_US} AS events GROUP BY 1, 2
 """
 
 
+def events_sliding_window(spark, sf_dir):
+    """Sliding-window aggregation (2h windows every 1h): each event
+    contributes to TWO overlapping windows — F.window with a slide,
+    the batch twin of the streaming sliding aggregate. Spark expands
+    events into per-window rows before one hash aggregate; the oracle
+    replicates that expansion with an explicit 2-offset unnest. Window
+    starts are rendered as strings for cross-engine hashing."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            round_fixed(F.sum("value"), 2).alias("sum_value_r"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value_r",
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOW = f"""
+WITH expanded AS (
+  SELECT CAST(date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR AS VARCHAR)
+           AS win_start,
+         event_type, value
+  FROM {EVENTS_US} AS events
+  CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+)
+SELECT win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_round_fixed('sum(value)', 2)} AS sum_value_r
+FROM expanded GROUP BY 1, 2
+"""
+
+
 def sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via lag +
     conditional cumsum — one shuffle on user_id; microsecond-precision
@@ -1673,6 +1713,11 @@ LLM_QUERIES = {
     ),
     "events_hourly": (events_hourly, ORACLE_EVENTS_HOURLY, "streaming twin: window agg"),
     "sessionize_events": (sessionize_events, ORACLE_SESSIONIZE, "sessionization"),
+    "events_sliding_window": (
+        events_sliding_window,
+        ORACLE_SLIDING_WINDOW,
+        "sliding-window agg: overlapping 2h/1h windows",
+    ),
     "events_trailing_hour": (
         events_trailing_hour,
         ORACLE_TRAILING_HOUR,
