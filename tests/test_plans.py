@@ -242,3 +242,52 @@ def test_topk_fuses_to_take_ordered_not_global_sort(spark):
     plan = _plan(spark, "topk_orders")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: a filter on the dim side becomes a runtime partition filter
+    on the partitioned fact scan (dynamicpruningexpression) — at scale
+    the fact read touches only the partitions the dim join can reach,
+    decided at runtime from the dim's build side."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "fact")
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 20).alias("day_bucket"), F.col("id").alias("v")
+    )
+    fact.write.partitionBy("day_bucket").mode("overwrite").parquet(d)
+    # dim from driver rows: no expression lineage Catalyst could fold
+    # into a static partition filter — the pruning must be dynamic
+    dim = spark.createDataFrame(
+        [(i, "hot" if i < 3 else "cold") for i in range(20)],
+        "day_bucket long, tag string",
+    )
+    j = spark.read.parquet(d).join(dim.filter("tag = 'hot'"), "day_bucket")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_aqe_coalesces_overprovisioned_shuffle(spark):
+    """AQE partition coalescing: a 32-partition shuffle of tiny data is
+    merged into far fewer post-shuffle partitions at runtime
+    (AQEShuffleRead coalesced) — the knob that lets one shuffle width
+    serve both sf0.001 smoke and the real cluster."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", None)
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        df = (
+            spark.range(0, 1000)
+            .select((F.col("id") % 50).alias("k"))
+            .groupBy("k")
+            .count()
+        )
+        assert len(df.collect()) == 50  # collect() finalizes df's OWN plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
