@@ -610,6 +610,44 @@ SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem
 """
 
 
+def window_value_functions(spark, sf_dir):
+    """Window value-function family: first_value / last_value /
+    nth_value over the full per-customer frame (UNBOUNDED..UNBOUNDED —
+    last_value under the default frame would just echo the current
+    row, the classic trap). Total ordering via the orderkey tie-break
+    makes nth_value deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first(d).over(w).cast("string").alias("first_order_date"),
+        F.last(d).over(w).cast("string").alias("last_order_date"),
+        round_fixed(F.nth_value("o_totalprice", 2).over(w), 2).alias(
+            "second_total_r"
+        ),
+    )
+
+
+ORACLE_WINDOW_VALUE_FUNCS = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(first_value(CAST(o_orderdate AS DATE)) OVER w AS VARCHAR)
+         AS first_order_date,
+       CAST(last_value(CAST(o_orderdate AS DATE)) OVER w AS VARCHAR)
+         AS last_order_date,
+       {sql_round_fixed('nth_value(o_totalprice, 2) OVER w', 2)}
+         AS second_total_r
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def order_gaps_surrogate(spark, sf_dir):
     """F9 + F11: the reference's stay calculation shape (datediff
     between two date columns, etl.py:112) over consecutive orders per
@@ -1235,6 +1273,11 @@ PARITY_QUERIES = {
         order_gaps_surrogate,
         ORACLE_ORDER_GAPS,
         "F9 F11 datediff stay-shape + deterministic surrogate key",
+    ),
+    "window_value_functions": (
+        window_value_functions,
+        ORACLE_WINDOW_VALUE_FUNCS,
+        "first_value / last_value / nth_value, full frame",
     ),
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
     "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),

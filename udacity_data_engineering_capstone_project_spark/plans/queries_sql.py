@@ -343,6 +343,20 @@ LATERAL (SELECT c_custkey, c_acctbal
          LIMIT 2) AS c
 """
 
+#: Arbitrary GROUPING SETS (beyond the rollup/cube special cases) with
+#: grouping() flags disambiguating real NULLs from subtotal rows.
+#: Physical: one Expand (4 replicas) + one hash aggregate — not four
+#: scans.
+_GSETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
 _SHARE = sql_round_fixed(
     "sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) / sum(volume)", 6
 )
@@ -488,5 +502,10 @@ SQL_QUERIES = {
         _sql_query(_LATERAL),
         _LATERAL,
         "LATERAL correlated subquery -> decorrelated ranked join",
+    ),
+    "grouping_sets_orders": (
+        _sql_query(_GSETS),
+        _GSETS,
+        "arbitrary GROUPING SETS + grouping() flags, one Expand",
     ),
 }
