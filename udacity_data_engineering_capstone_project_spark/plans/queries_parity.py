@@ -610,6 +610,36 @@ SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem
 """
 
 
+def map_funcs(spark, sf_dir):
+    """Map-type function family: map_from_arrays -> element_at /
+    map_keys / size, round-tripped back to scalars (map columns never
+    cross the oracle boundary — DuckDB MAPs hash differently, so the
+    query proves Spark's map ops by extracting comparable scalars).
+    All JVM-side expressions inside codegen."""
+    e = _t(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("v"), F.lit("v2")),
+        F.array(F.col("value"), F.col("value") * 2),
+    )
+    return e.select(
+        "event_id",
+        round_fixed(F.element_at(m, "v"), 2).alias("v_r"),
+        round_fixed(F.element_at(m, "v2"), 2).alias("v2_r"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+ORACLE_MAP_FUNCS = f"""
+SELECT event_id,
+       {sql_round_fixed('value', 2)} AS v_r,
+       {sql_round_fixed('value * 2', 2)} AS v2_r,
+       CAST(2 AS INT) AS n_keys,
+       'v,v2' AS keys_csv
+FROM events
+"""
+
+
 def window_value_functions(spark, sf_dir):
     """Window value-function family: first_value / last_value /
     nth_value over the full per-customer frame (UNBOUNDED..UNBOUNDED —
@@ -1278,6 +1308,11 @@ PARITY_QUERIES = {
         window_value_functions,
         ORACLE_WINDOW_VALUE_FUNCS,
         "first_value / last_value / nth_value, full frame",
+    ),
+    "map_funcs": (
+        map_funcs,
+        ORACLE_MAP_FUNCS,
+        "map function family: build / extract / keys / size",
     ),
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
     "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),
