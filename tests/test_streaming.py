@@ -88,6 +88,105 @@ def test_foreach_batch_upsert_latest_per_user(spark, sf_dir, tmp_path):
     assert g == e and len(g) > 0
 
 
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill a running query mid-stream, restart from the checkpoint,
+    and assert exactly-once sink output: the checkpointed source offset
+    log + the file sink's _spark_metadata commit log together guarantee
+    no row is lost or duplicated across the crash/restart boundary."""
+    import time
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j,) for j in range(10)], "id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # 3 files -> 3 micro-batches
+        .parquet(src)
+    )
+
+    def sink(s):
+        return (
+            s.writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+        )
+
+    q = sink(stream).start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not any(
+            p["numInputRows"] > 0 for p in q.recentProgress
+        ):
+            time.sleep(0.2)
+        assert any(p["numInputRows"] > 0 for p in q.recentProgress)
+    finally:
+        q.stop()  # killed with batches still pending (mid-stream)
+
+    # restart from the SAME checkpoint; drain whatever was unprocessed
+    q2 = sink(stream).trigger(availableNow=True).start()
+    q2.awaitTermination()
+
+    got = sorted(r.id for r in spark.read.parquet(dest).collect())
+    assert got == list(range(30))  # every row exactly once
+
+
+def test_stateful_recovery_resumes_counts(spark, tmp_path):
+    """Aggregation STATE survives a restart: per-key running counts
+    accumulated before the stop must continue (not reset) when the
+    query restarts from its checkpoint on new data. If state were
+    lost, the post-restart emission would be 5 per key, not 10."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(tag):
+        spark.createDataFrame(
+            [(k, tag) for k in ("a", "b") for _ in range(5)], "k string, tag string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_file("first")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    counts = stream.groupBy("k").count()
+
+    def sink_batch(df, _bid):
+        df.write.mode("append").parquet(log)
+
+    def start(trigger_once=False):
+        w = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+        )
+        if trigger_once:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    q = start(trigger_once=True)
+    q.awaitTermination()  # batch 1 committed: counts = 5 per key
+    write_file("second")  # lands while the query is DOWN
+    q2 = start(trigger_once=True)  # restart from checkpoint
+    q2.awaitTermination()
+
+    final = {
+        r.k: r.n
+        for r in spark.read.parquet(log)
+        .groupBy("k")
+        .agg(F.max("count").alias("n"))
+        .collect()
+    }
+    assert final == {"a": 10, "b": 10}  # resumed, not reset
+
+
 def test_incremental_ingest_exactly_once(spark, tmp_path):
     from udacity_data_engineering_capstone_project_spark.streaming.events import (
         incremental_ingest,

@@ -59,10 +59,19 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     import __spark_entry__ as entry_mod
     from udacity_data_engineering_capstone_project_spark.session import get_spark
 
     spark = get_spark("oracle-check", shuffle_partitions=8)
+    # $SPARK_GRAFT_ANSI=true|false pins ANSI mode for the whole gate
+    # (Spark 4 defaults to true; the gate is kept green under ANSI —
+    # NOTES.md documents the overflow/cast rules that make that hold).
+    ansi = os.environ.get("SPARK_GRAFT_ANSI")
+    if ansi is not None:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+    print(f"spark.sql.ansi.enabled={spark.conf.get('spark.sql.ansi.enabled')}")
 
     con = duckdb.connect()
     for t in TABLES:

@@ -1,0 +1,131 @@
+"""Build a ~10x replica of an existing fixture SF for SCALING BENCH runs.
+
+Measurement infrastructure ONLY — correctness always runs against the
+driver-shipped fixtures untouched. This tool exists to convert the
+"survives 100x" argument from plan-reading into measurement (VERDICT r1
+#5): replicate sf0.1 k times with key offsets into ./.scratch/sf1, then
+`SPARK_GRAFT_SF_DIR=.scratch/sf1 python bench.py`.
+
+Replication rules (semantics-preserving at k-times scale):
+
+- region/nation: fixed-size dims in TPC-H — NOT replicated.
+- customer/supplier/part/orders/lineitem/events/embeddings: keys get a
+  per-replica offset (key + r * ceil_pow10(max_key)) so FK joins keep
+  exactly the original fan-out — a join's matches per key do not
+  change, only the number of keys, which is precisely what a bigger SF
+  means.
+- documents.text: a per-(doc, replica) tag token is interleaved every
+  4th word. Verbatim replication would make every doc a 10-way exact
+  dup and blow the near-dup pair count up quadratically (k^2 per
+  group) — a different WORKLOAD, not a bigger one. The tag rewrites
+  ~all 3-gram shingles per replica, so cross-replica Jaccard drops to
+  ~0 and dedup/LSH cost scales with corpus size, as at a real 10x.
+- embeddings.embedding: per-replica dimension ROTATION. A rotated
+  vector is ~orthogonal to its source (random high-dim cosine), so
+  ANN/SRP workloads see k-times more points, not k-times copies of
+  the same point.
+
+Usage: python tools/scale_data.py [src_sf_dir] [dest_dir] [k]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _offset(maxval: int) -> int:
+    """Next power of ten above maxval: replica keys stay readable
+    (replica index in the high digits) and never collide."""
+    return 10 ** (int(math.log10(max(maxval, 1))) + 1)
+
+
+def replicate(spark, src: str, dest: str, k: int = 10) -> None:
+    read = lambda t: spark.read.parquet(f"{src}/{t}.parquet")  # noqa: E731
+
+    for t in ("region", "nation"):
+        read(t).write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+
+    key_cols = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "embeddings": ["vec_id"],
+        "documents": ["doc_id"],
+    }
+    # one offset per logical key DOMAIN so FKs stay consistent
+    domain_of = {
+        "c_custkey": "cust", "o_custkey": "cust",
+        "o_orderkey": "ord", "l_orderkey": "ord",
+        "p_partkey": "part", "l_partkey": "part",
+        "s_suppkey": "supp", "l_suppkey": "supp",
+        "event_id": "event", "user_id": "user",
+        "vec_id": "vec", "doc_id": "doc",
+    }
+    dmax: dict[str, int] = {}
+    for t, cols in key_cols.items():
+        df = read(t)
+        row = df.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
+        for c in cols:
+            d = domain_of[c]
+            dmax[d] = max(dmax.get(d, 0), int(row[c]))
+    off = {d: _offset(m) for d, m in dmax.items()}
+
+    for t, cols in key_cols.items():
+        df = read(t)
+        parts = []
+        for r in range(k):
+            rep = df
+            for c in cols:
+                rep = rep.withColumn(c, F.col(c) + F.lit(r * off[domain_of[c]]))
+            if t == "documents":
+                # interleave a per-(doc, replica) tag every 4th word:
+                # rewrites ~all 3-gram shingles, so replicas are NOT
+                # near-dups of their source (see module docstring)
+                rep = rep.withColumn(
+                    "text",
+                    F.expr(
+                        "array_join(flatten(transform("
+                        "  sequence(0, cast(size(split(text, ' ')) / 4 as int)),"
+                        f"  i -> concat(array(concat('x', doc_id, 'q{r}')),"
+                        "              slice(split(text, ' '), i * 4 + 1, 4)))), ' ')"
+                    ),
+                )
+            if t == "embeddings" and r > 0:
+                # rotate dimensions by r: ~orthogonal to the source
+                rep = rep.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(sequence(0, size(embedding) - 1),"
+                        f" i -> embedding[(i + {r}) % size(embedding)])"
+                    ),
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+        print(f"[scale_data] {t}: {k}x written")
+
+
+def main() -> int:
+    from udacity_data_engineering_capstone_project_spark.session import get_spark
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dest = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("scale-data")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replicate(spark, src, dest, k)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -122,28 +122,39 @@ def hashed_shingle_table(
     )
 
 
+#: Default document-frequency cap for :func:`jaccard_pairs`. The
+#: inverted-index self-join costs sum(freq^2) per shingle, so ONE
+#: boilerplate shingle in 1M docs is ~10^12 candidate pairs; capping at
+#: 10k bounds any single shingle's contribution to <=10^8 while being a
+#: provable no-op on any corpus whose max shingle df stays below it
+#: (the oracle gate proves exactly that on the fixture corpora).
+DEFAULT_MAX_SHINGLE_FREQ = 10_000
+
+
 def jaccard_pairs(
     sets: DataFrame,
     threshold_num: int = 4,
     threshold_den: int = 5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     persist: bool = True,
 ) -> DataFrame:
-    """Exact near-dup pairs with Jaccard >= num/den, via inverted index
+    """Near-dup pairs with Jaccard >= num/den, via inverted index
     over :func:`shingle_sets` (columns ``doc``, ``hs``).
 
     Self-join on the digest column: cost is sum over shingles of
     freq^2, not corpus^2. The threshold compare is integer arithmetic
-    (``inter * den >= union * num``) — exact in every engine. Set
-    sizes come from ``size(hs)`` — no extra aggregation.
+    (``inter * den >= union * num``) — exact in every engine.
 
-    ``max_shingle_freq`` drops ubiquitous shingles before the join (the
-    standard skew guard at scale: a stop-shingle appearing in 1M docs
-    contributes 10^12 candidate pairs). Leave ``None`` for exact
-    results; at high thresholds dropping only ultra-frequent shingles
-    rarely loses a true pair, but it is a recall trade-off — hence
-    opt-in (union sizes are then computed on the filtered sets, like
-    the candidate intersections).
+    ``max_shingle_freq`` (DEFAULT ``10_000`` — the safe-at-scale path)
+    drops ubiquitous shingles before the join: the standard skew guard,
+    since a stop-shingle appearing in 1M docs contributes 10^12
+    candidate pairs. Union sizes are then computed on the filtered
+    sets, like the candidate intersections, so capped output is
+    self-consistent Jaccard over the filtered shingle space. Pass
+    ``None`` for the exact ground-truth twin (only safe when the
+    df tail is known to be bounded — check ``shingle_df_hist``);
+    at high thresholds dropping only ultra-frequent shingles rarely
+    loses a true pair, but it is a recall trade-off.
     """
     if persist:
         # one narrow (doc, array) row per doc feeds the self-join (x2)
@@ -415,5 +426,18 @@ def connected_components(
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # Exhausted max_iter with labels still moving: the returned
+        # labels would silently SPLIT any component whose diameter
+        # exceeds max_iter into multiple ids — fail loudly instead.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({n_changed} labels still changing): a "
+            "component's diameter exceeds max_iter and its labels "
+            "would be split. Raise max_iter (or switch to the "
+            "large-star/small-star O(log n) scheme for long-chain "
+            "graphs)."
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))

@@ -120,8 +120,12 @@ def salted_join(
     per-row salt (``hash(all left columns) pmod salt``), the other
     side is replicated ``salt`` times (explode of a literal range),
     and the join runs on (key, salt) — a hot key's rows now spread
-    over ``salt`` reducers instead of melting one. Result equals the
-    plain join exactly.
+    over ``salt`` reducers instead of melting one. For ``inner`` and
+    ``left`` joins the result equals the plain join exactly; those are
+    the ONLY ``how`` values accepted — with the right side replicated
+    ``salt`` times, a right/full outer join would emit each unmatched
+    right row ``salt`` times, so such requests raise rather than
+    silently multiply rows.
 
     Use when a specific known-skewed join still overwhelms AQE's
     runtime skew splitting (AQE splits oversized partitions, but only
@@ -129,6 +133,12 @@ def salted_join(
     downstream join on that key is balanced. Replication multiplies
     the small side by ``salt`` — keep it for dim-sized right sides.
     """
+    if how.lower() not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "the replicated right side would duplicate unmatched right "
+            "rows under right/full outer semantics"
+        )
     lsalt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
     l_salted = left.withColumn("__salt", lsalt)
     r_salted = right.withColumn(

@@ -36,9 +36,17 @@ def nonempty_check(df: DataFrame, name: str) -> DataFrame:
 
 def unique_key_check(df: DataFrame, key_cols: list[str], name: str) -> DataFrame:
     """Check 2 (etl.py:504-541): key uniqueness, incl. composite keys.
-    metric = duplicate-row count (count - distinct-key count)."""
-    dups = F.count("*") - F.countDistinct(*key_cols)
-    return df.agg(*_result(name, dups, dups == 0))
+    metric = duplicate-row count: sum over key groups of (rows - 1).
+
+    Counted via groupBy(keys) rather than count(*) - countDistinct:
+    countDistinct skips rows with any null key column, which would
+    inflate the metric for null-keyed rows even when keys are unique.
+    Here null keys form their own group (SQL GROUP BY semantics), so a
+    single null-keyed row is NOT a violation but two identical ones
+    are."""
+    dups = F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+    grouped = df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    return grouped.agg(*_result(name, dups, dups == 0))
 
 
 def predicate_absent_check(df: DataFrame, bad: Column, name: str) -> DataFrame:

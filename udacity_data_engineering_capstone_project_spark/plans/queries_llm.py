@@ -120,12 +120,49 @@ FROM documents GROUP BY md5(text)
 def jaccard_pairs_exact(spark, sf_dir):
     """Exact near-dup pairs (word-3-gram Jaccard >= 0.6) via the
     shingle-digest inverted index — cost sum(freq^2) per shingle, not
-    corpus^2. Integer threshold comparison; no floats anywhere."""
+    corpus^2. Integer threshold comparison; no floats anywhere.
+
+    This is the explicitly-named ground-truth twin
+    (``max_shingle_freq=None``); the DEFAULT ``jaccard_pairs`` path is
+    df-capped — see ``jaccard_pairs_capped`` for the capped semantics
+    under oracle."""
     sh = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
-    return jaccard_pairs(sh, threshold_num=3, threshold_den=5)
+    return jaccard_pairs(sh, threshold_num=3, threshold_den=5, max_shingle_freq=None)
 
 
 ORACLE_JACCARD_PAIRS = _jaccard_oracle(3, 5)
+
+
+def jaccard_pairs_capped(spark, sf_dir):
+    """The default-at-scale Jaccard path: ``max_shingle_freq`` drops
+    ubiquitous shingles BEFORE the inverted-index self-join (the
+    sum(freq^2) skew guard — one boilerplate shingle in 1M docs is
+    10^12 candidate pairs). Cap=5 deliberately BINDS on the fixture
+    (max shingle df is 7 at the gate SF), so the oracle cross-checks
+    the genuinely-capped semantics end to end: df filter, filtered-set
+    sizes, filtered intersections — not a no-op disguise."""
+    sh = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    return jaccard_pairs(sh, threshold_num=3, threshold_den=5, max_shingle_freq=5)
+
+
+ORACLE_JACCARD_CAPPED = f"""
+WITH {_SHINGLES_CTE},
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+fsh AS (SELECT sh.doc, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc, count(*) AS n_sh FROM fsh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter_size
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter_size AS BIGINT) AS inter_size,
+       CAST(sa.n_sh + sb.n_sh - inter_size AS BIGINT) AS union_size
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE inter_size * 5 >= (sa.n_sh + sb.n_sh - inter_size) * 3
+"""
 
 
 def minhash_pairs(spark, sf_dir):
@@ -396,9 +433,15 @@ def udtf_flatten_props(spark, sf_dir):
     each event's JSON props into (key, val) rows, laterally joined and
     re-aggregated per key. The UDTF is the row-EXPANDING Python hop
     (UDF: 1->1, UDAF: N->1, UDTF: 1->N) — Arrow-batched like the other
-    pandas paths. The fixture props happen to be single-key, but the
-    operator is the generic semi-structured flattener; DuckDB's
-    json_each is the oracle twin."""
+    pandas paths.
+
+    The fixture props happen to be single-key, so a derived TWO-key
+    JSON document (``{"a": id%7, "b": id%3}``) is flattened alongside
+    them: the UDTF must emit multiple keys per input row and the
+    oracle must enumerate three distinct key groups — no single-key
+    shortcut can pass. (The bundled DuckDB lacks the json_each TABLE
+    function, so the oracle enumerates the closed key space
+    {a, b, k} explicitly — exhaustive here by construction.)"""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="key string, val long")
@@ -414,25 +457,36 @@ def udtf_flatten_props(spark, sf_dir):
     _t(spark, sf_dir, "events").createOrReplaceTempView("events_props_src")
     return spark.sql(
         """
+        WITH src AS (
+          SELECT props AS doc FROM events_props_src
+          UNION ALL
+          SELECT concat('{"a": ', CAST(event_id % 7 AS STRING),
+                        ', "b": ', CAST(event_id % 3 AS STRING), '}')
+          FROM events_props_src
+        )
         SELECT f.key,
                count(*) AS n_rows,
                sum(f.val) AS sum_val
-        FROM events_props_src e, LATERAL flatten_props(e.props) f
+        FROM src, LATERAL flatten_props(src.doc) f
         GROUP BY f.key
         """
     )
 
 
-#: the bundled DuckDB lacks the json_each TABLE function (scalar JSON
-#: ops exist), so the oracle enumerates the fixture's key space
-#: explicitly — equivalent on this data, weaker in general.
 ORACLE_UDTF_FLATTEN = """
-SELECT 'k' AS key,
+WITH vals AS (
+  SELECT 'k' AS key, CAST(props->>'k' AS BIGINT) AS val
+  FROM events WHERE props->>'k' IS NOT NULL
+  UNION ALL
+  SELECT 'a', CAST(event_id % 7 AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'b', CAST(event_id % 3 AS BIGINT) FROM events
+)
+SELECT key,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_val
-FROM events
-WHERE props->>'k' IS NOT NULL
-GROUP BY 1
+       CAST(sum(val) AS BIGINT) AS sum_val
+FROM vals
+GROUP BY key
 """
 
 
@@ -1613,7 +1667,12 @@ LLM_QUERIES = {
     "jaccard_pairs_exact": (
         jaccard_pairs_exact,
         ORACLE_JACCARD_PAIRS,
-        "dedup: n-gram Jaccard inverted index",
+        "dedup: n-gram Jaccard inverted index (exact ground-truth twin)",
+    ),
+    "jaccard_pairs_capped": (
+        jaccard_pairs_capped,
+        ORACLE_JACCARD_CAPPED,
+        "dedup: df-capped Jaccard (default scale path; cap binds on fixture)",
     ),
     "minhash_pairs": (minhash_pairs, ORACLE_MINHASH_PAIRS, "dedup: MinHash+LSH"),
     "minhash_band_sweep": (

@@ -640,6 +640,50 @@ FROM events
 """
 
 
+def map_entries_pivot(spark, sf_dir):
+    """DATA-DEPENDENT map construction (the deep map-semantics twin of
+    the ``map_funcs`` API smoke, whose map shape is constant): per
+    customer, the (order-status -> order-count) map is built with
+    map_from_entries over grouped key/value pairs — its keys, size,
+    and values all vary per row — then extracted back to scalars
+    (element_at per status, size, sorted key CSV) so the oracle
+    cross-checks real map construction, lookup with absent-key NULL
+    semantics, and key enumeration. sort_array on the entry structs
+    pins map-entry (hence map_keys) order deterministically."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey", "o_orderstatus").agg(F.count("*").alias("cnt"))
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("m")
+    )
+    zero = F.lit(0).cast("long")
+    return m.select(
+        "o_custkey",
+        F.coalesce(F.element_at("m", F.lit("O")), zero).alias("n_open"),
+        F.coalesce(F.element_at("m", F.lit("F")), zero).alias("n_finished"),
+        F.coalesce(F.element_at("m", F.lit("P")), zero).alias("n_pending"),
+        F.size("m").alias("n_statuses"),
+        F.array_join(F.map_keys("m"), ",").alias("status_csv"),
+    )
+
+
+ORACLE_MAP_ENTRIES_PIVOT = """
+WITH per AS (
+  SELECT o_custkey, o_orderstatus, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN cnt END), 0) AS BIGINT) AS n_open,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN cnt END), 0) AS BIGINT) AS n_finished,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN cnt END), 0) AS BIGINT) AS n_pending,
+       CAST(count(*) AS INT) AS n_statuses,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS status_csv
+FROM per
+GROUP BY o_custkey
+"""
+
+
 def window_value_functions(spark, sf_dir):
     """Window value-function family: first_value / last_value /
     nth_value over the full per-customer frame (UNBOUNDED..UNBOUNDED —
@@ -1312,7 +1356,12 @@ PARITY_QUERIES = {
     "map_funcs": (
         map_funcs,
         ORACLE_MAP_FUNCS,
-        "map function family: build / extract / keys / size",
+        "map function family: build / extract / keys / size (API smoke)",
+    ),
+    "map_entries_pivot": (
+        map_entries_pivot,
+        ORACLE_MAP_ENTRIES_PIVOT,
+        "data-dependent map_from_entries pivot, extracted to scalars",
     ),
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
     "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),

@@ -2,6 +2,17 @@
 
 Consumed by ``__spark_entry__.py`` (the driver contract) and by
 ``bench.py``/tests. Every entry is (spark_fn, oracle_sql|None, note).
+
+ORDERING CONTRACT: the driver's per-round CORRECTNESS file records only
+the FIRST 50 registry entries, so insertion order is rotated each round
+to maximize driver-recorded coverage across rounds (VERDICT r1 #1):
+
+- round 1 recorded the 43 parity queries + the first 7 SQL queries;
+- round 2 therefore leads with (a) queries new/changed this round,
+  (b) the full LLM tier, (c) the SQL queries round 1 did not record;
+  the already-driver-recorded parity tier moves to the back.
+Every query not in the current window stays verified by
+``tools/oracle_check.py`` (run per-round, see NOTES.md).
 """
 
 from __future__ import annotations
@@ -10,7 +21,38 @@ from .queries_llm import LLM_QUERIES
 from .queries_parity import PARITY_QUERIES
 from .queries_sql import SQL_QUERIES
 
-ALL_QUERIES: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
+_MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
+
+#: Names the driver must record THIS round, in priority order.
+#: (1) new/changed this round, (2) LLM tier, (3) SQL not in r1's file.
+_PRIORITY_R2 = [
+    # -- new or semantically changed in round 2
+    "jaccard_pairs_capped",
+    "map_entries_pivot",
+    "udtf_flatten_props",
+    # -- remainder of the LLM tier (round 1 recorded none of it):
+    #    44 entries so far, all inside the 50-entry window
+    *[n for n in LLM_QUERIES if n not in ("jaccard_pairs_capped", "udtf_flatten_props")],
+    # -- SQL-tier queries round 1's CORRECTNESS file never reached;
+    #    the first ~6 fit this round's window, the rest rotate to r3
+    "tpch_q22_anti",
+    "tpch_q6_scan",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q12_priority",
+    "tpch_q13_histogram",
+    "tpch_q14_promo",
+    "tpch_q15_top",
+    "tpch_q18_large",
+    "tpch_q19_bands",
+    "lateral_topk_per_nation",
+    "grouping_sets_orders",
+]
+
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R2}
+ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
+
+assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
 
 
 def query_fns() -> dict:

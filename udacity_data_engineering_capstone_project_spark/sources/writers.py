@@ -98,12 +98,20 @@ def compact_parquet(
     data is rewritten through a single coalesce-style repartition.
     Returns the number of output files.
 
-    Writes to ``path + '.compact'`` then swaps — at scale use a
-    transactional table format; the swap here keeps the demo
-    self-contained.
+    A Hive-partitioned input (``col=val`` directories) is rewritten
+    with the SAME ``partitionBy`` layout — partition columns stay
+    directory-encoded, and ``n_files`` becomes files-per-partition.
+
+    Crash-safe swap: the rewrite lands at ``path + '.compact'``, the
+    old dataset is renamed aside to ``path + '.old'``, the rewrite is
+    renamed into place, and only then is ``.old`` deleted — at no
+    point is ``path`` the only copy missing. (At scale use a
+    transactional table format; the rename dance keeps the demo
+    self-contained and never loses data to a mid-swap crash.)
     """
     import math
     import os
+    import re
     import shutil
 
     total = 0
@@ -112,11 +120,38 @@ def compact_parquet(
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+
+    # Detect Hive partition columns from the directory layout so the
+    # rewrite preserves it (else partition cols silently become data
+    # cols and the dataset layout changes under the caller).
+    part_cols: list[str] = []
+    probe = path
+    while True:
+        subdirs = [
+            d
+            for d in os.listdir(probe)
+            if os.path.isdir(os.path.join(probe, d))
+            and re.fullmatch(r"[^=]+=[^=]*", d)
+        ]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subdirs[0])
+
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    writer = df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+    w = writer.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(tmp)
+
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)  # old data set aside, still intact
+    os.rename(tmp, path)  # rewrite becomes live
+    shutil.rmtree(old)  # only now is the original deleted
     return n_files
 
 
