@@ -337,3 +337,60 @@ def test_heavy_hitters_exact_across_partitions(spark):
         for r in heavy_hitters(df, "v", frac_num=25, frac_den=100).collect()
     }
     assert got2 == {"a": 60, "b": 25}
+
+
+def test_profile_table_nulls_and_approx(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, "b"), (2.0, None), (2.0, "b")], "x double, s string"
+    )
+    out = {r.col_name: r for r in profile_table(df, ["x"], ["s"]).collect()}
+    x = out["x"]
+    assert (x.n_nonnull, x.n_null, x.n_distinct) == (3, 1, 2)
+    # mean = floor(500/3 + 0.5) = 167
+    assert (x.min_x100, x.max_x100, x.mean_x100) == (100, 200, 167)
+    assert x.min_s is None and x.max_s is None
+    s = out["s"]
+    assert (s.n_nonnull, s.n_null, s.n_distinct) == (3, 1, 2)
+    assert (s.min_s, s.max_s) == ("a", "b")
+    assert s.min_x100 is None
+    # approx (HLL) mode: the 100 TB profiling path, sanity-bounded only
+    approx = {
+        r.col_name: r
+        for r in profile_table(df, ["x"], ["s"], exact_distinct=False).collect()
+    }
+    assert approx["x"].n_distinct >= 1 and approx["s"].n_distinct >= 1
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.joins import (
+        salted_join,
+    )
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    with pytest.raises(ValueError):
+        salted_join(a, b, "k", how="full")
+    assert salted_join(a, b, "k", how="left").count() == 1
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 6-node path graph has diameter 5: max_iter=2 cannot converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    ok = connected_components(chain, max_iter=10)
+    assert {r.component for r in ok.collect()} == {0}

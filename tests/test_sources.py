@@ -146,6 +146,31 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10000
 
 
+def test_compact_parquet_preserves_partitioning(spark, tmp_path):
+    """A Hive-partitioned dataset stays partitioned (and its old copy
+    survives until the swap completes) through compaction."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "parts")
+    df = spark.range(0, 1000).withColumn("bucket", F.col("id") % 4)
+    df.repartition(10).write.partitionBy("bucket").parquet(path)
+    assert len(glob.glob(f"{path}/bucket=*/")) == 4
+    compact_parquet(spark, path, target_file_mb=256)
+    # layout preserved: still 4 partition dirs, fewer files inside
+    assert len(glob.glob(f"{path}/bucket=*/")) == 4
+    assert not glob.glob(f"{path}/*.old") and not glob.glob(f"{path}.old")
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert set(back.columns) == {"id", "bucket"}
+    assert back.groupBy().agg(F.countDistinct("bucket").alias("n")).collect()[0].n == 4
+
+
 def test_incremental_write_replaces_only_touched_partition(spark, tmp_path):
     from pyspark.sql import functions as F
 

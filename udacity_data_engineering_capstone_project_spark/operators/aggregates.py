@@ -79,6 +79,90 @@ def mad_agg(value_col: str = "value") -> Column:
     return mad(value_col)
 
 
+def profile_table(
+    df: DataFrame,
+    num_cols: list[str],
+    str_cols: list[str],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """General table-profiling operator — the ``df.summary()`` twin of
+    the reference's exploratory cells (capstone ipynb cells 11-14),
+    re-expressed as ONE declarative aggregation instead of a
+    per-column driver loop.
+
+    Output is long-format, one row per profiled column:
+    (col_name, n_nonnull, n_null, n_distinct,
+     min_x100, max_x100, mean_x100,   -- numeric cols, fixed-point
+     min_s, max_s)                    -- string cols, else NULL
+
+    Scale shape: a single global HashAggregate pass computes every
+    statistic for every column at once (Catalyst plans the multiple
+    COUNT(DISTINCT)s via one Expand — data is scanned ONCE, expanded
+    x(#distinct-cols), never collected per column). The long-format
+    unpivot is a driver-free explode of a literal-keyed struct array
+    over the single aggregate row. With ``exact_distinct=False`` the
+    distinct counts switch to ``approx_count_distinct`` (HLL) — the
+    right profiling mode at 100 TB, where exact distinct of a
+    high-cardinality column is a full shuffle of the key space
+    (not oracle-comparable cross-engine, hence opt-in).
+
+    Fixed-point x100 statistics keep floats out of the comparison path
+    (mean is floor(sum*100/n + 0.5): sums of 2-decimal values are
+    exact integers in double well past 2^53-cents corpora).
+    """
+    ndist = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in num_cols + str_cols:
+        aggs += [F.count(c).alias(f"n_{c}"), ndist(c).alias(f"d_{c}")]
+    for c in num_cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(c).alias(f"sum_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"mins_{c}"), F.max(c).alias(f"maxs_{c}")]
+    g = df.agg(*aggs)
+
+    def x100(col: Column) -> Column:
+        return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"n_{c}").alias("n_nonnull"),
+                (F.col("_total") - F.col(f"n_{c}")).alias("n_null"),
+                F.col(f"d_{c}").alias("n_distinct"),
+                x100(F.col(f"min_{c}")).alias("min_x100"),
+                x100(F.col(f"max_{c}")).alias("max_x100"),
+                F.floor(
+                    F.col(f"sum_{c}") * 100 / F.col(f"n_{c}") + F.lit(0.5)
+                ).cast("long").alias("mean_x100"),
+                null_s.alias("min_s"),
+                null_s.alias("max_s"),
+            )
+        )
+    for c in str_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"n_{c}").alias("n_nonnull"),
+                (F.col("_total") - F.col(f"n_{c}")).alias("n_null"),
+                F.col(f"d_{c}").alias("n_distinct"),
+                null_l.alias("min_x100"),
+                null_l.alias("max_x100"),
+                null_l.alias("mean_x100"),
+                F.col(f"mins_{c}").alias("min_s"),
+                F.col(f"maxs_{c}").alias("max_s"),
+            )
+        )
+    return g.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

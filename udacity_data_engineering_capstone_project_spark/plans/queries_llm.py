@@ -1624,6 +1624,51 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def stream_static_join(spark, sf_dir):
+    """Stream-static broadcast enrichment: each micro-batch joins the
+    live stream against a static category dimension (re-broadcast per
+    batch, NO join state, no watermark required — the static side is
+    bounded). Inner-join emissions on a finite replay equal the batch
+    join, so the post-stream per-category rollup has a full SQL
+    oracle."""
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("signup", "acquisition"),
+            ("purchase", "revenue"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    enriched = stream_static_enrich(read_events_stream(spark, sf_dir), dim)
+    out = run_to_completion(enriched)
+    return out.groupBy("category").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_STREAM_STATIC_JOIN = """
+WITH dim(event_type, category) AS (
+  VALUES ('click', 'engagement'), ('view', 'engagement'),
+         ('signup', 'acquisition'), ('purchase', 'revenue'),
+         ('error', 'ops')
+)
+SELECT category,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events JOIN dim USING (event_type)
+GROUP BY category
+"""
+
+
 def stream_dedup(spark, sf_dir):
     """Exactly-once in-flight dedup: the stream unioned with itself
     (manufactured duplicates) through dropDuplicatesWithinWatermark on
@@ -1827,6 +1872,11 @@ LLM_QUERIES = {
         stream_stream_join,
         ORACLE_STREAM_STREAM_JOIN,
         "stream-stream join, watermark-bounded state",
+    ),
+    "stream_static_join": (
+        stream_static_join,
+        ORACLE_STREAM_STATIC_JOIN,
+        "stream-static broadcast enrichment, stateless per-batch join",
     ),
     "stream_dedup": (
         stream_dedup,

@@ -684,6 +684,56 @@ GROUP BY o_custkey
 """
 
 
+def profile_orders(spark, sf_dir):
+    """General table-profiling operator (reference ipynb cells 11-14,
+    df.summary()-style exploration) as ONE declarative aggregation:
+    per-column non-null / null / exact-distinct counts, fixed-point
+    min/max/mean for numerics, lexicographic min/max for strings —
+    long format, one row per column. The multiple COUNT(DISTINCT)s
+    compile to a single Expand-based scan, not per-column jobs."""
+    from ..operators.aggregates import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        num_cols=["o_totalprice", "o_custkey"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+def _profile_num_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name,
+       CAST(count({c}) AS BIGINT) AS n_nonnull,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(floor(min({c}) * 100 + 0.5) AS BIGINT) AS min_x100,
+       CAST(floor(max({c}) * 100 + 0.5) AS BIGINT) AS max_x100,
+       CAST(floor(sum({c}) * 100 / count({c}) + 0.5) AS BIGINT) AS mean_x100,
+       CAST(NULL AS VARCHAR) AS min_s,
+       CAST(NULL AS VARCHAR) AS max_s
+FROM orders"""
+
+
+def _profile_str_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name,
+       CAST(count({c}) AS BIGINT) AS n_nonnull,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(NULL AS BIGINT) AS min_x100,
+       CAST(NULL AS BIGINT) AS max_x100,
+       CAST(NULL AS BIGINT) AS mean_x100,
+       min({c}) AS min_s,
+       max({c}) AS max_s
+FROM orders"""
+
+
+ORACLE_PROFILE_ORDERS = " UNION ALL ".join(
+    [_profile_num_sql("o_totalprice"), _profile_num_sql("o_custkey")]
+    + [_profile_str_sql("o_orderstatus"), _profile_str_sql("o_orderpriority")]
+)
+
+
 def window_value_functions(spark, sf_dir):
     """Window value-function family: first_value / last_value /
     nth_value over the full per-customer frame (UNBOUNDED..UNBOUNDED —
@@ -1362,6 +1412,11 @@ PARITY_QUERIES = {
         map_entries_pivot,
         ORACLE_MAP_ENTRIES_PIVOT,
         "data-dependent map_from_entries pivot, extracted to scalars",
+    ),
+    "profile_orders": (
+        profile_orders,
+        ORACLE_PROFILE_ORDERS,
+        "df.summary()-style table profiling, one Expand-based pass",
     ),
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
     "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),

@@ -29,10 +29,17 @@ _PRIORITY_R2 = [
     # -- new or semantically changed in round 2
     "jaccard_pairs_capped",
     "map_entries_pivot",
+    "profile_orders",
+    "stream_static_join",
     "udtf_flatten_props",
     # -- remainder of the LLM tier (round 1 recorded none of it):
     #    44 entries so far, all inside the 50-entry window
-    *[n for n in LLM_QUERIES if n not in ("jaccard_pairs_capped", "udtf_flatten_props")],
+    *[
+        n
+        for n in LLM_QUERIES
+        if n
+        not in ("jaccard_pairs_capped", "udtf_flatten_props", "stream_static_join")
+    ],
     # -- SQL-tier queries round 1's CORRECTNESS file never reached;
     #    the first ~6 fit this round's window, the rest rotate to r3
     "tpch_q22_anti",

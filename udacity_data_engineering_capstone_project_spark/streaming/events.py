@@ -134,6 +134,21 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static broadcast enrichment: each micro-batch of the
+    stream hash-joins against a STATIC dimension (no watermark needed —
+    static side is bounded and re-broadcast per batch, no join state is
+    kept). The standard pattern for attaching slowly-changing
+    reference data (category maps, geo tables, model registries) to a
+    live stream; inner join semantics on a finite replay equal the
+    batch join, which is the oracle."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(dim), on, "inner")
+
+
 def upsert_latest_per_user(
     spark: SparkSession, events: DataFrame, target_dir: str
 ) -> DataFrame:
