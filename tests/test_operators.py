@@ -394,3 +394,25 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(chain, max_iter=2)
     ok = connected_components(chain, max_iter=10)
     assert {r.component for r in ok.collect()} == {0}
+
+
+def test_hll_sketch_rollup_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+        hll_sketch_rollup,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    got = {r.event_type: r.approx_users for r in hll_sketch_rollup(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        # lgConfigK=14 HLL: relative standard error ~0.8%; 2% is >2 sigma
+        assert abs(got[t] - n) <= max(2, 0.02 * n), (t, got[t], n)

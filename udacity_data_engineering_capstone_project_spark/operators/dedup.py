@@ -156,23 +156,34 @@ def jaccard_pairs(
     at high thresholds dropping only ultra-frequent shingles rarely
     loses a true pair, but it is a recall trade-off.
     """
+    if max_shingle_freq is not None:
+        # The cap drops the FEW ubiquitous shingles (df > cap), so the
+        # filter is a broadcast ANTI-join against that small bad set —
+        # not a semi-join against the (huge) ok set. The filtered sets
+        # are rebuilt ONCE and persisted; the self-join, sizes, and
+        # verification below then reuse them exactly like the uncapped
+        # path (same shuffle count + 2: the df count and the set
+        # rebuild). If a pathologically low cap ever made the bad set
+        # big, remove the broadcast hint — semantics are unchanged.
+        exploded = sets.select("doc", F.explode("hs").alias("h"))
+        bad = (
+            exploded.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("h")
+        )
+        sets = (
+            exploded.join(F.broadcast(bad), "h", "left_anti")
+            .groupBy("doc")
+            .agg(F.collect_list("h").alias("hs"))  # already distinct per doc
+        )
     if persist:
         # one narrow (doc, array) row per doc feeds the self-join (x2)
         # and the size lookup; exploding from the persisted sets is
         # cheap, re-tokenizing the corpus per subtree is not.
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     shingles = sets.select("doc", F.explode("hs").alias("h"))
-    if max_shingle_freq is not None:
-        ok = (
-            shingles.groupBy("h")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
-            .select("h")
-        )
-        shingles = shingles.join(ok, "h")
-        sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    else:
-        sizes = sets.select("doc", F.size("hs").cast("long").alias("n_sh"))
+    sizes = sets.select("doc", F.size("hs").cast("long").alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (

@@ -428,6 +428,35 @@ HAVING count(*) * 100 >= (SELECT count(*) FROM toks)
 """
 
 
+def hll_sketch_rollup(spark, sf_dir):
+    """MERGEABLE-sketch cardinality rollup (Apache DataSketches HLL,
+    built into Spark 4): per-(day, event_type) user sketches are
+    union-merged into per-type distinct-user estimates — the
+    pre-aggregation pattern that makes 100 TB distinct counts cheap
+    (daily sketch builds scan each day once; any rollup window is then
+    a merge of kilobyte sketches, never a re-scan, and sketch merge is
+    exactly what a multi-stage shuffle's partial aggregation needs —
+    unlike exact countDistinct, which must shuffle the full key
+    space). Estimates are engine-specific (DuckDB's HLL differs), so
+    no SQL oracle — the driver records rows-only; accuracy vs exact is
+    pinned by a 2%-tolerance pytest (tests/test_operators.py).
+    Output: (event_type, approx_users) with the estimate rounded to
+    long."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("approx_users")
+        )
+        .orderBy("event_type")
+    )
+
+
 def udtf_flatten_props(spark, sf_dir):
     """Python UDTF surface (Spark 4): a table function that flattens
     each event's JSON props into (key, val) rows, laterally joined and
@@ -1846,6 +1875,12 @@ LLM_QUERIES = {
         udtf_flatten_props,
         ORACLE_UDTF_FLATTEN,
         "Python UDTF: lateral row expansion of JSON props",
+    ),
+    "hll_sketch_rollup": (
+        hll_sketch_rollup,
+        None,
+        "mergeable HLL sketch rollup (engine-specific estimate: "
+        "rows-only here, 2%-tolerance pytest pins accuracy)",
     ),
     "array_vector_stats": (
         array_vector_stats,

@@ -734,6 +734,72 @@ ORACLE_PROFILE_ORDERS = " UNION ALL ".join(
 )
 
 
+def ntile_deciles(spark, sf_dir):
+    """ntile(10) decile assignment over a TOTAL order (price with
+    orderkey tie-break — without the tie-break, equal prices straddle
+    bucket boundaries nondeterministically), then per-decile rollup.
+    Exercises the one ranking window function the window family
+    queries don't: ntile's uneven-bucket rule (first n%k buckets get
+    the extra row) must agree across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice",
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_fixed(F.min("o_totalprice"), 2).alias("lo_r"),
+            round_fixed(F.max("o_totalprice"), 2).alias("hi_r"),
+        )
+    )
+
+
+ORACLE_NTILE_DECILES = f"""
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_round_fixed('min(o_totalprice)', 2)} AS lo_r,
+       {sql_round_fixed('max(o_totalprice)', 2)} AS hi_r
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+"""
+
+
+def group_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group: percentile(p) per
+    order-priority at p = 0.25/0.5/0.75. Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the same definition (linear
+    interpolation at rank p*(n-1)); sums of 2-decimal prices make the
+    interpolants exact binary rationals, so fixed-point x100 rounding
+    agrees bit-for-bit. At 100 TB prefer ``percentile_approx`` (no
+    full per-group sort/shuffle of values) — exact percentile is the
+    ground-truth twin, same trade as exact vs capped Jaccard."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        round_fixed(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25_r"),
+        round_fixed(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50_r"),
+        round_fixed(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75_r"),
+    )
+
+
+ORACLE_GROUP_QUANTILES = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_round_fixed('quantile_cont(o_totalprice, 0.25)', 2)} AS p25_r,
+       {sql_round_fixed('quantile_cont(o_totalprice, 0.50)', 2)} AS p50_r,
+       {sql_round_fixed('quantile_cont(o_totalprice, 0.75)', 2)} AS p75_r
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def window_value_functions(spark, sf_dir):
     """Window value-function family: first_value / last_value /
     nth_value over the full per-customer frame (UNBOUNDED..UNBOUNDED —
@@ -1417,6 +1483,16 @@ PARITY_QUERIES = {
         profile_orders,
         ORACLE_PROFILE_ORDERS,
         "df.summary()-style table profiling, one Expand-based pass",
+    ),
+    "ntile_deciles": (
+        ntile_deciles,
+        ORACLE_NTILE_DECILES,
+        "ntile(10) deciles over total order + per-decile rollup",
+    ),
+    "group_quantiles": (
+        group_quantiles,
+        ORACLE_GROUP_QUANTILES,
+        "exact interpolated percentiles per group (quantile_cont twin)",
     ),
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
     "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),

@@ -30,7 +30,10 @@ _PRIORITY_R2 = [
     "jaccard_pairs_capped",
     "map_entries_pivot",
     "profile_orders",
+    "ntile_deciles",
+    "group_quantiles",
     "stream_static_join",
+    "hll_sketch_rollup",
     "udtf_flatten_props",
     # -- remainder of the LLM tier (round 1 recorded none of it):
     #    44 entries so far, all inside the 50-entry window
@@ -38,7 +41,12 @@ _PRIORITY_R2 = [
         n
         for n in LLM_QUERIES
         if n
-        not in ("jaccard_pairs_capped", "udtf_flatten_props", "stream_static_join")
+        not in (
+            "jaccard_pairs_capped",
+            "udtf_flatten_props",
+            "stream_static_join",
+            "hll_sketch_rollup",
+        )
     ],
     # -- SQL-tier queries round 1's CORRECTNESS file never reached;
     #    the first ~6 fit this round's window, the rest rotate to r3
