@@ -21,6 +21,9 @@ def test_every_query_has_oracle_except_streaming(spark):
         # engine-specific HLL estimate: rows-only by design, accuracy
         # pinned by test_hll_sketch_rollup_within_tolerance
         "hll_sketch_rollup",
+        # iterative numpy codebook training: rows-only, recall floor
+        # pinned by test_pq_recall_floor
+        "ann_pq_recall",
     }
     assert len(qs) >= 39
 

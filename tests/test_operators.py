@@ -416,3 +416,35 @@ def test_hll_sketch_rollup_within_tolerance(spark, sf_dir):
     for t, n in exact.items():
         # lgConfigK=14 HLL: relative standard error ~0.8%; 2% is >2 sigma
         assert abs(got[t] - n) <= max(2, 0.02 * n), (t, got[t], n)
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    """PQ (m=16, k=32, shortlist=100) with exact re-rank must keep
+    recall@10 high — the quantization error budget the serving dial is
+    tuned for. Floors are below the measured 1.0 to stay robust to
+    fixture SF changes."""
+    from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+        ann_pq_recall,
+    )
+
+    rows = ann_pq_recall(spark, sf_dir).collect()
+    assert len(rows) == 20
+    rc = [r.recall_x100 for r in rows]
+    assert sum(rc) / len(rc) >= 90
+    assert min(rc) >= 70
+
+
+def test_pq_encode_codes_in_range(spark, sf_dir):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, k=16, sample_n=200)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:50]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)

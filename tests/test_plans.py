@@ -291,3 +291,53 @@ def test_aqe_coalesces_overprovisioned_shuffle(spark):
             spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
         else:
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+
+
+def test_profile_orders_single_pass(spark):
+    """Profiling must stay ONE Expand-based aggregation pass: multiple
+    COUNT(DISTINCT)s compile to Expand + two aggregate levels, never
+    per-column jobs or a Python hop."""
+    plan = _plan(spark, "profile_orders")
+    assert "Expand" in plan
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)
+    # generated-column explode of the single aggregate row, not a union
+    # of per-column subplans: exactly one parquet scan of orders
+    assert plan.count("Scan parquet") == 1
+
+
+def test_ntile_runs_single_partition_window(spark):
+    """ntile over a global order needs a single-partition sort — the
+    documented cost of global ranking. Guard that no EXTRA shuffles
+    sneak in beyond the global sort exchange + final aggregate."""
+    plan = _plan(spark, "ntile_deciles")
+    assert plan.count("Window") >= 1
+    assert _shuffles(plan) <= 2  # singlepartition + decile aggregate
+
+
+def test_stream_static_dim_is_broadcast(spark, sf_dir):
+    """The static dimension side of a stream-static join must
+    broadcast — per-batch state-free enrichment is the point."""
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        stream_static_enrich,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.createDataFrame(
+        [("click", "engagement")], "event_type string, category string"
+    )
+    plan = (
+        stream_static_enrich(events, dim)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_capped_filters_via_broadcast_anti_join(spark):
+    """The df-cap must be a broadcast ANTI join against the small
+    over-cap set, never a shuffled semi join against the huge ok
+    set."""
+    plan = _plan(spark, "jaccard_pairs_capped")
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)

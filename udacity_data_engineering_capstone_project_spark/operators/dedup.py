@@ -298,7 +298,13 @@ def minhash_lsh_pairs(
             keys = (keys + sig[:, :, k]) * mix  # wrapping int64 mix
         return pd.Series(list(keys))
 
-    bands_df = sets.select("doc", F.explode(band_keys("hs")).alias("band_key"))
+    # persisted: the candidate self-join references this subtree TWICE;
+    # sets being cached makes a re-run cheap-ish, but the signature UDF
+    # itself (the dominant per-doc cost) would still run once per side
+    # without this. Rows are (long, long).
+    bands_df = sets.select(
+        "doc", F.explode(band_keys("hs")).alias("band_key")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     x = bands_df.alias("x")
     y = bands_df.alias("y")
     candidates = (

@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import srp_planes
 from ..functions.vectors import cosine_cols, to_double_array
@@ -124,7 +125,13 @@ def embedding_near_dup(
     c = _with_double_vec(corpus, vec_col, "cv").select(
         F.col(id_col).alias("vid"), "cv"
     )
-    keyed = c.select("vid", F.explode(band_keys("cv")).alias("band_key"))
+    # persisted: the self-join below references this subtree TWICE —
+    # without the persist, the Arrow sign-bit UDF (and the corpus scan
+    # feeding it) would run once per side, doubling the dominant cost
+    # at scale. Rows are (long, long) — tiny.
+    keyed = c.select(
+        "vid", F.explode(band_keys("cv")).alias("band_key")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     x = keyed.alias("x")
     y = keyed.alias("y")
     candidates = (
@@ -406,3 +413,192 @@ def kmeans_cosine(
         centroids = [updated.get(j, centroids[j]) for j in range(k)]
 
     return assigned.select(F.col("vid").alias(id_col), "cluster")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's PQ half): the memory-compression path
+# that makes billion-vector ANN tractable — 64 float64 dims (512 B)
+# become m single-byte codes (8 B here), and approximate scoring reads
+# ONLY codes + a per-query lookup table, never the vectors.
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+):
+    """Train PQ codebooks: split the (unit-normalized) vector space
+    into ``m`` equal subspaces and run seeded Lloyd k-means with ``k``
+    centroids in each.
+
+    Driver-side on a BOUNDED deterministic sample (first ``sample_n``
+    ids): O(sample_n * dim) memory — the standard PQ recipe (codebooks
+    are trained on a sample, applied to everything; at 100 TB the
+    sample is still thousands of rows). Deterministic: seeded init,
+    fixed iteration count, ties broken by argmin index.
+
+    Returns a numpy array of shape (m, k, dim//m).
+    """
+    rows = (
+        _with_double_vec(corpus, vec_col, "cv")
+        .select(F.col(id_col).alias("vid"), "cv")
+        .orderBy("vid")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([r.cv for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n, dim = x.shape
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            code = d2.argmin(axis=1)
+            for c in range(k):
+                pts = sub[code == c]
+                if len(pts):  # empty clusters keep their centroid
+                    cent[c] = pts.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` small codes (nearest sub-centroid
+    per subspace, on the unit-normalized vector). One Arrow-batched
+    pandas_udf, vectorized argmin over the whole batch; output rows
+    are (id, array<int>) — the 64x-compressed index that replaces the
+    vector column in the scoring scan.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks)
+    m, k, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            # ||s - c||^2 = |s|^2 - 2 s.c + |c|^2; argmin needs only
+            # the cross and centroid terms
+            d = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("vid"), encode("cv").alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ asymmetric distance computation
+    (ADC) + exact re-rank — the production serving shape:
+
+    1. Per query, a (m x k) lookup table of sub-dot-products against
+       every sub-centroid (tiny, broadcast in the UDF closure).
+    2. One pass over the CODES (8 B/vector, not 512 B): approximate
+       cosine = sum of m table lookups, fully vectorized per Arrow
+       batch. This is the only corpus-wide scan and it reads no
+       vectors.
+    3. The top-``shortlist`` per query by approximate score fetch
+       their true vectors (hash join on id) and are re-ranked by
+       exact rounded cosine; top-``k`` of that is emitted.
+
+    Recall is governed by ``shortlist`` (the IVF-PQ dial): quantization
+    error can reorder near-ties, the re-rank fixes everything inside
+    the shortlist. Output: (query_id, neighbor_id, cos_r, rank) like
+    :func:`brute_force_topk`, so recall joins line up.
+
+    ``queries`` must be small (collected to build LUTs).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks)
+    m, kk, dsub = books.shape
+    qrows = (
+        _with_double_vec(queries, vec_col, "qv")
+        .select(F.col(id_col).alias("query_id"), "qv")
+        .collect()
+    )
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.qv for r in qrows], dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    # LUT[q, j, c] = dot(q_subj, centroid_{j,c}): nq x m x k
+    lut = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub), books)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())  # batch x m
+            # approx[b, q] = sum_j LUT[q, j, codes[b, j]]
+            approx = lut[:, np.arange(m)[None, :], codes].sum(axis=2).T
+            nb, nq = approx.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, nb),
+                    "neighbor_id": np.tile(pdf["vid"].to_numpy(), nq),
+                    "approx": approx.T.ravel(),
+                }
+            )
+
+    codes_df = pq_encode(corpus, codebooks, id_col, vec_col)
+    scored = codes_df.mapInPandas(
+        score, "query_id long, neighbor_id long, approx double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("r", F.row_number().over(w_short))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"), "cv"
+    )
+    q = _with_double_vec(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
+    )
+    rer = (
+        short.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_cols(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return rer.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

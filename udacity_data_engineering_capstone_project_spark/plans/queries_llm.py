@@ -1017,6 +1017,48 @@ def ivf_trained_recall(spark, sf_dir):
     )
 
 
+def ann_pq_recall(spark, sf_dir):
+    """Product quantization end-to-end (the PQ half of IVF-PQ, the
+    billion-vector memory-compression path): seeded per-subspace
+    k-means codebooks (driver-side on a bounded sample) -> one
+    Arrow-batched encode pass (64 float64 dims / 512 B -> 16 byte-wide
+    codes, 32x smaller) -> ADC scoring that scans ONLY codes via
+    per-query lookup tables -> top-100 shortlist -> exact re-rank ->
+    top-10, measured as recall@10 against exact brute force per query.
+    m=16 subspaces x 32 centroids + shortlist 100 measures recall 1.0
+    on this corpus (param sweep in the round-2 notes); the shortlist
+    is the recall/cost dial and stays O(100) regardless of corpus
+    size. No SQL oracle (the codebooks are iterative numpy k-means);
+    the driver records rows-only (always 20 rows), and the recall
+    floor is pinned by pytest (test_operators.py)."""
+    from ..operators.similarity import pq_topk, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=16, k=32, sample_n=400)
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = pq_topk(queries, emb, books, k=10, shortlist=100).select(
+        "query_id", "neighbor_id"
+    )
+    exact = brute_force_topk(queries, emb, k=10).select("query_id", "neighbor_id")
+    hit_n = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hit_n, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) * 100 / F.col("n_exact"))
+            .cast("int")
+            .alias("recall_x100"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup mining in its true regime: the corpus
     is the fixture embeddings UNIONed with +0.01-perturbed copies
@@ -1483,6 +1525,137 @@ FROM {EVENTS_US} AS events GROUP BY 1, 2
 """
 
 
+def gap_fill_daily(spark, sf_dir):
+    """Time-series resampling with gap fill: per-type daily counts
+    joined against the FULL date spine (sequence(min_d, max_d)) so
+    silent days surface as explicit zero rows — the resample step
+    every monitoring/forecasting pipeline needs (a missing row and a
+    zero row mean different things). The spine is O(days) and the type
+    dim O(types): both broadcast; the only data-sized shuffle is the
+    daily aggregate itself."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["d", "event_type"], "left")
+        .select(
+            F.col("d").cast("string").alias("d"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_GAP_FILL_DAILY = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(s.d AS VARCHAR) AS d, t.event_type,
+       CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN daily ON daily.d = s.d AND daily.event_type = t.event_type
+"""
+
+
+def funnel_counts(spark, sf_dir):
+    """Ordered-funnel analysis (view -> click -> purchase): per user,
+    the first timestamp of each stage; a stage counts only if its
+    first occurrence is strictly after the previous stage's. One
+    shuffle (per-user conditional-min aggregate) then a global
+    single-row rollup — the standard first-touch funnel at any
+    scale."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_view_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+ORACLE_FUNNEL_COUNTS = f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM {EVENTS_US}
+  GROUP BY user_id
+)
+SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+       CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+         AS n_view_then_click,
+       CAST(count(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 END)
+            AS BIGINT) AS n_full_funnel
+FROM per_user
+"""
+
+
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by first-active day,
+    distinct-user counts per (cohort, week offset). Two shuffles
+    (first-touch aggregate; cohort-cell distinct count) — the growth
+    analytics staple, partition-friendly at any scale because both
+    aggregates are keyed and partial-agg friendly."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_d"))
+    active = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.col("cohort_d").cast("string").alias("cohort_d"),
+            F.floor(F.datediff("d", "cohort_d") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_d", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d FROM events GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT CAST(f.cohort_d AS VARCHAR) AS cohort_d,
+       CAST(floor((a.d - f.cohort_d) / 7) AS INT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def events_sliding_window(spark, sf_dir):
     """Sliding-window aggregation (2h windows every 1h): each event
     contributes to TWO overlapping windows — F.window with a slide,
@@ -1796,6 +1969,12 @@ LLM_QUERIES = {
         None,
         "ANN end-to-end: k-means++ train -> IVF serve -> recall@5",
     ),
+    "ann_pq_recall": (
+        ann_pq_recall,
+        None,
+        "product quantization: train -> encode (64x) -> ADC shortlist "
+        "-> exact re-rank -> recall@10 (recall floor pinned by pytest)",
+    ),
     "kmeans_assign": (
         kmeans_assign,
         None,
@@ -1850,6 +2029,21 @@ LLM_QUERIES = {
         events_sliding_window,
         ORACLE_SLIDING_WINDOW,
         "sliding-window agg: overlapping 2h/1h windows",
+    ),
+    "gap_fill_daily": (
+        gap_fill_daily,
+        ORACLE_GAP_FILL_DAILY,
+        "time-series resample: date-spine gap fill with explicit zeros",
+    ),
+    "funnel_counts": (
+        funnel_counts,
+        ORACLE_FUNNEL_COUNTS,
+        "ordered funnel view->click->purchase, first-touch semantics",
+    ),
+    "cohort_retention": (
+        cohort_retention,
+        ORACLE_COHORT_RETENTION,
+        "cohort retention matrix: first-active cohorts x week offset",
     ),
     "events_trailing_hour": (
         events_trailing_hour,

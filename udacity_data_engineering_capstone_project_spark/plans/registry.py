@@ -9,8 +9,10 @@ to maximize driver-recorded coverage across rounds (VERDICT r1 #1):
 
 - round 1 recorded the 43 parity queries + the first 7 SQL queries;
 - round 2 therefore leads with (a) queries new/changed this round,
-  (b) the full LLM tier, (c) the SQL queries round 1 did not record;
-  the already-driver-recorded parity tier moves to the back.
+  (b) the full LLM tier (minus ``stream_user_totals``, demoted: its
+  driver check is rows-only anyway and pytest pins it — the window is
+  one slot short), (c) SQL queries round 1 did not record; the
+  already-driver-recorded parity tier moves to the back.
 Every query not in the current window stays verified by
 ``tools/oracle_check.py`` (run per-round, see NOTES.md).
 """
@@ -23,10 +25,9 @@ from .queries_sql import SQL_QUERIES
 
 _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 
-#: Names the driver must record THIS round, in priority order.
-#: (1) new/changed this round, (2) LLM tier, (3) SQL not in r1's file.
-_PRIORITY_R2 = [
-    # -- new or semantically changed in round 2
+#: Round-2 window, in priority order: (1) new/changed this round,
+#: (2) LLM tier, (3) demoted + SQL not in r1's file (rotate to r3).
+_NEW_R2 = [
     "jaccard_pairs_capped",
     "map_entries_pivot",
     "profile_orders",
@@ -34,22 +35,25 @@ _PRIORITY_R2 = [
     "group_quantiles",
     "stream_static_join",
     "hll_sketch_rollup",
+    "ann_pq_recall",
+    "gap_fill_daily",
+    "funnel_counts",
+    "cohort_retention",
     "udtf_flatten_props",
-    # -- remainder of the LLM tier (round 1 recorded none of it):
-    #    44 entries so far, all inside the 50-entry window
-    *[
-        n
-        for n in LLM_QUERIES
-        if n
-        not in (
-            "jaccard_pairs_capped",
-            "udtf_flatten_props",
-            "stream_static_join",
-            "hll_sketch_rollup",
-        )
-    ],
+]
+#: Demoted behind the window: all rows-only entries whose driver check
+#: (row count only) adds least evidence — each is pinned by pytest
+#: (batch-twin equality, planted-cluster semantics, recall floors).
+#: hll_sketch_rollup and ann_pq_recall stay in-window as this round's
+#: new entries. Rotate these into round 3's window.
+_DEMOTED = ["stream_user_totals", "kmeans_assign", "ivf_trained_recall"]
+
+_PRIORITY_R2 = [
+    *_NEW_R2,
+    *[n for n in LLM_QUERIES if n not in _NEW_R2 and n not in _DEMOTED],
+    *_DEMOTED,
     # -- SQL-tier queries round 1's CORRECTNESS file never reached;
-    #    the first ~6 fit this round's window, the rest rotate to r3
+    #    whatever fits this round's window records, the rest rotate
     "tpch_q22_anti",
     "tpch_q6_scan",
     "tpch_q9_profit",
