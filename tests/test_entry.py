@@ -24,6 +24,8 @@ def test_every_query_has_oracle_except_streaming(spark):
         # iterative numpy codebook training: rows-only, recall floor
         # pinned by test_pq_recall_floor
         "ann_pq_recall",
+        # iterative float fixpoint: rows-only, numpy-equality pytest
+        "pagerank_near_dup",
     }
     assert len(qs) >= 39
 

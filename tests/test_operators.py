@@ -448,3 +448,76 @@ def test_pq_encode_codes_in_range(spark, sf_dir):
     for r in codes[:50]:
         assert len(r.codes) == 8
         assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_asof_forward_and_tolerance(spark):
+    import datetime as dt
+
+    from udacity_data_engineering_capstone_project_spark.operators.joins import (
+        asof_join,
+    )
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, T(10), "a"), (1, T(30), "b"), (2, T(5), "c")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), 100.0), (1, T(50), 200.0), (2, T(4), 300.0)],
+        "k long, ts timestamp, val double",
+    )
+    fwd = {
+        r.tag: r.val_asof
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_value_cols=["val"], direction="forward",
+        ).collect()
+    }
+    # equal ts is inclusive; next-following otherwise; none after -> NULL
+    assert fwd == {"a": 100.0, "b": 200.0, "c": None}
+    tol = {
+        r.tag: r.val_asof
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_value_cols=["val"], direction="forward",
+            tolerance_seconds=600,
+        ).collect()
+    }
+    # b's match (T50) is 20 min away > 10 min tolerance -> masked
+    assert tol == {"a": 100.0, "b": None, "c": None}
+    back = {
+        r.tag: r.val_asof
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_value_cols=["val"], tolerance_seconds=60,
+        ).collect()
+    }
+    # backward: c matches T(4) one minute earlier, inside 60s; b's
+    # match (T10) is 20 min stale -> masked
+    assert back == {"a": 100.0, "b": None, "c": 300.0}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        pagerank,
+    )
+
+    # directed graph with a dangling node (3) and a hub (0)
+    E = [(0, 1), (0, 2), (1, 0), (2, 0), (1, 2), (2, 3)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(edges, iters=15).collect()}
+
+    n, d = 4, 0.85
+    deg = {0: 2, 1: 2, 2: 2}
+    r = np.full(n, 1.0 / n)
+    for _ in range(15):
+        nxt = np.zeros(n)
+        for s, t in E:
+            nxt[t] += r[s] / deg[s]
+        dangling = r[3]
+        r = (1 - d) / n + d * dangling / n + d * nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])

@@ -385,6 +385,77 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count — deterministic power
+    iteration over an edge list, the second graph primitive (next to
+    :func:`connected_components`) a dedup/influence pipeline needs.
+
+    Per round: one join (ranks -> out-edges) + one aggregate (sum of
+    incoming rank/degree), both keyed shuffles on long ids;
+    ``localCheckpoint`` truncates the lineage each round (the
+    iterative-algorithm trap). Dangling mass (nodes with no
+    out-edges) is redistributed uniformly each round via one O(1)
+    driver aggregate, so total rank is conserved to float precision.
+    Fixed ``iters`` (not convergence-tested) keeps runs reproducible;
+    damping is passed as a rational to keep the constant exact.
+
+    Output: (node, rank) — ranks sum to ~1.
+    """
+    d = damping_num / damping_den
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        per_src = ranks.join(deg, ranks.node == deg.src, "inner").select(
+            F.col("node").alias("s"),
+            (F.col("rank") / F.col("out_deg")).alias("contrib"),
+        )
+        contribs = (
+            e.join(per_src, e.src == F.col("s"))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]
+            .m
+        )
+        base = (1.0 - d) / n_nodes + d * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, nodes.node == F.col("node2"), "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(d) * F.coalesce("incoming", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -58,17 +58,30 @@ def asof_join(
     right_ts: str = "ts",
     right_value_cols: list[str] | None = None,
     tie_break: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` key.
+    ``right_ts <= left_ts`` (``direction='backward'``, default) or the
+    earliest right row with ``right_ts >= left_ts``
+    (``direction='forward'``) within the same ``on`` key.
 
     Implementation is the scalable union+window pattern: tag both
-    inputs, union, sort within key by (ts, side), and carry the last
-    seen right values forward with ``last(..., ignorenulls=True)``.
-    One shuffle on ``on``; no range-probe, no crossJoin. Right rows
-    at exactly ``left_ts`` are considered visible (<=, right sorts
-    first on ties).
+    inputs, union, sort within key by (ts, side) — descending for
+    forward — and carry the last seen right values with
+    ``last(..., ignorenulls=True)``. One shuffle on ``on``; no
+    range-probe, no crossJoin. Right rows at exactly ``left_ts`` are
+    considered visible (inclusive; right sorts first on ties in both
+    directions).
+
+    ``tolerance_seconds`` bounds the match age (pandas ``merge_asof``
+    semantics): matches farther than the tolerance become NULL. The
+    matched right timestamp rides along in the same window pass, so
+    the bound costs one comparison, not another join. Timestamp
+    columns only.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -77,7 +90,8 @@ def asof_join(
     tagged_r = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),  # right first on ties -> inclusive <=
+        F.lit(0).alias("__side"),  # right first on ties -> inclusive
+        F.col(right_ts).alias("__rts"),  # matched-ts carrier (tolerance)
         *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
     )
@@ -85,10 +99,12 @@ def asof_join(
         F.col(on).alias(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
         *[F.col(c) for c in lcols if c != on],
     )
-    order = [F.col("__ts"), F.col("__side")]
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    order = [ts_order, F.col("__side")]
     if tie_break:
         order.append(F.col(tie_break))
     w = (
@@ -99,6 +115,16 @@ def asof_join(
     carried = tagged_r.unionByName(tagged_l)
     for c in right_value_cols:
         carried = carried.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    carried = carried.withColumn("__rts", F.last("__rts", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.abs(F.unix_micros("__ts") - F.unix_micros("__rts"))
+            <= F.lit(int(tolerance_seconds) * 1_000_000)
+        )
+        for c in right_value_cols:
+            carried = carried.withColumn(
+                f"__r_{c}", F.when(in_tol, F.col(f"__r_{c}"))
+            )
     return carried.filter(F.col("__side") == 1).select(
         on,
         F.col("__ts").alias(left_ts),

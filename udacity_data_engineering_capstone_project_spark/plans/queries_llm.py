@@ -1525,6 +1525,28 @@ FROM {EVENTS_US} AS events GROUP BY 1, 2
 """
 
 
+def pagerank_near_dup(spark, sf_dir):
+    """PageRank over the near-dup graph (symmetric Jaccard >= 0.6
+    edges): rank mass concentrates in the big duplicate clusters — the
+    influence/centrality primitive next to connected components (pick
+    a canonical doc per cluster by rank instead of min-id, find
+    template hubs). Fixed 10 power iterations, join+aggregate per
+    round, lineage checkpointed. No SQL oracle (iterative float
+    fixpoint); rows-only + a numpy power-iteration equality test
+    (test_operators.py). Ranks reported fixed-point x1e9."""
+    from ..operators.dedup import pagerank
+
+    sets = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    prs = jaccard_pairs(sets, threshold_num=3, threshold_den=5)
+    edges = prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        prs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank(edges, iters=10).select(
+        F.col("node").alias("doc"),
+        F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("long").alias("rank_x1e9"),
+    )
+
+
 def gap_fill_daily(spark, sf_dir):
     """Time-series resampling with gap fill: per-type daily counts
     joined against the FULL date spine (sequence(min_d, max_d)) so
@@ -2029,6 +2051,12 @@ LLM_QUERIES = {
         events_sliding_window,
         ORACLE_SLIDING_WINDOW,
         "sliding-window agg: overlapping 2h/1h windows",
+    ),
+    "pagerank_near_dup": (
+        pagerank_near_dup,
+        None,
+        "PageRank over the near-dup graph (fixed power iterations; "
+        "numpy-equality pytest)",
     ),
     "gap_fill_daily": (
         gap_fill_daily,

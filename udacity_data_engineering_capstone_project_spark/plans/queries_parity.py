@@ -972,6 +972,51 @@ SELECT event_id, user_id, ts, click_ts_asof FROM w WHERE event_type = 'view'
 """
 
 
+def asof_forward_tolerance(spark, sf_dir):
+    """FORWARD as-of join with a match-age bound (pandas merge_asof
+    semantics): each click annotated with the next same-user purchase
+    timestamp, but only if it lands within 2 hours — later matches
+    become NULL. Same union+window machinery as the backward as-of
+    (one shuffle, no range probe); the tolerance costs one comparison
+    against the carried matched-ts, not a second join."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("buy_ts")
+    )
+    joined = asof_join(
+        clicks,
+        buys,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["buy_ts"],
+        direction="forward",
+        tolerance_seconds=7200,
+    )
+    return joined.select("event_id", "user_id", "ts", "buy_ts_asof")
+
+
+ORACLE_ASOF_FORWARD_TOLERANCE = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN ts END AS bt
+  FROM {EVENTS_US} AS events WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(bt) OVER (PARTITION BY user_id
+                       ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_buy
+  FROM t
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN next_buy <= ts + INTERVAL 2 HOUR THEN next_buy END AS buy_ts_asof
+FROM w WHERE event_type = 'click'
+"""
+
+
 # --------------------------------------------------------------------------
 # Scalar functions / quality checks
 
@@ -1495,6 +1540,11 @@ PARITY_QUERIES = {
         "exact interpolated percentiles per group (quantile_cont twin)",
     ),
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
+    "asof_forward_tolerance": (
+        asof_forward_tolerance,
+        ORACLE_ASOF_FORWARD_TOLERANCE,
+        "forward as-of join with 2h tolerance (merge_asof semantics)",
+    ),
     "scalar_funcs": (scalar_funcs, ORACLE_SCALAR_FUNCS, "F1-F7"),
     "quality_checks": (quality_checks, ORACLE_QUALITY_CHECKS, "§5 checks"),
     "join_semi_anti": (join_semi_anti, ORACLE_JOIN_SEMI_ANTI, "semi/anti join"),

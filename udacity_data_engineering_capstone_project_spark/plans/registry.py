@@ -39,6 +39,7 @@ _NEW_R2 = [
     "gap_fill_daily",
     "funnel_counts",
     "cohort_retention",
+    "asof_forward_tolerance",
     "udtf_flatten_props",
 ]
 #: Demoted behind the window: all rows-only entries whose driver check
@@ -46,7 +47,16 @@ _NEW_R2 = [
 #: (batch-twin equality, planted-cluster semantics, recall floors).
 #: hll_sketch_rollup and ann_pq_recall stay in-window as this round's
 #: new entries. Rotate these into round 3's window.
-_DEMOTED = ["stream_user_totals", "kmeans_assign", "ivf_trained_recall"]
+#: plus shingle_df_hist: a diagnostic histogram whose shingle/digest
+#: machinery is identical to the in-window jaccard queries' — the
+#: least-marginal oracled entry when the window runs one slot short.
+_DEMOTED = [
+    "stream_user_totals",
+    "kmeans_assign",
+    "ivf_trained_recall",
+    "shingle_df_hist",
+    "pagerank_near_dup",
+]
 
 _PRIORITY_R2 = [
     *_NEW_R2,
