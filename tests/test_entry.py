@@ -26,6 +26,8 @@ def test_every_query_has_oracle_except_streaming(spark):
         "ann_pq_recall",
         # iterative float fixpoint: rows-only, numpy-equality pytest
         "pagerank_near_dup",
+        # iterative merge loop: rows-only, reference-equality pytest
+        "bpe_train_merges",
     }
     assert len(qs) >= 39
 

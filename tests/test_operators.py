@@ -521,3 +521,52 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+def test_bpe_merges_match_reference_impl(spark):
+    """The distributed BPE trainer must learn exactly the merge table a
+    sequential reference implementation learns (same tie-breaks)."""
+    import re
+
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        train_bpe_merges,
+    )
+
+    texts = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest new new",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = train_bpe_merges(df, "text", n_merges=12)
+
+    # pure-python reference on the same normalized word counts
+    words = {}
+    for t in texts:
+        for w in re.sub(r"[^a-z0-9 ]", " ", t.lower()).split():
+            words[w] = words.get(w, 0) + 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for rank in range(12):
+        counts = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = counts.get((sym[i], sym[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        expect.append((rank, a, b, n))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            res, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+        vocab = new_vocab
+    assert got == expect and len(got) >= 8

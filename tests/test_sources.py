@@ -324,3 +324,42 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
 
     got = {r.id: (r.v, r.score) for r in read_parquet_evolved(spark, path).collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_jsonl_malformed_rows_quarantined_not_fatal(spark, tmp_path):
+    """Dirty-ingest discipline: malformed JSON lines must land in
+    _corrupt_record (PERMISSIVE) for quarantine instead of killing a
+    100 TB job; clean rows parse normally alongside them."""
+    from udacity_data_engineering_capstone_project_spark.sources.readers import (
+        read_jsonl,
+    )
+
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "{not json at all}\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "not-an-int", "v": "c"}\n'
+    )
+    df = read_jsonl(
+        spark, str(p), "id long, v string, _corrupt_record string"
+    ).cache()  # cache: corrupt-record queries need the full row context
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {(r.id, r.v) for r in good.collect()} == {(1, "a"), (2, "b")}
+    assert bad.count() == 2  # syntax error + type mismatch both quarantined
+    df.unpersist()
+
+
+def test_csv_dropmalformed_mode(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,v\n1,a\nnot-an-int,b\n2,c\n")
+    strict = (
+        spark.read.option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .schema("id int, v string")
+        .csv(str(p))
+    )
+    assert {(r.id, r.v) for r in strict.collect()} == {(1, "a"), (2, "c")}

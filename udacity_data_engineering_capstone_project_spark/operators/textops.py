@@ -450,3 +450,103 @@ def punct_stopword_ratios(
         F.when(F.col("n_tokens") > 0, F.expr("(n_stop * 1000) div n_tokens"))
         .otherwise(0).cast("long").alias("stop_x1000"),
     )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+    min_count: int = 2,
+) -> list:
+    """Distributed BPE tokenizer training — learn the merge table from
+    a corpus, the way real tokenizers are trained over real 100 TB
+    datasets.
+
+    Shape: the corpus collapses ONCE into a (distinct word, count)
+    table (one shuffle; the word table is orders of magnitude smaller
+    than the corpus and is the only thing the loop ever touches).
+    Each merge round is then: adjacent-symbol-pair counts weighted by
+    word frequency (explode + one aggregate over the WORD table),
+    argmax with deterministic (count desc, pair asc) tie-break
+    (a 1-row driver collect), and an Arrow-batched merge-apply over
+    only the words that contain the winning pair. ``localCheckpoint``
+    per round bounds lineage. Driver state is O(n_merges) rows.
+
+    Deterministic end to end (integer counts, total tie order), so the
+    learned table is reproducible on any cluster layout — pinned by a
+    pytest against a pure-Python reference implementation.
+
+    Returns [(rank, left, right, pair_count), ...].
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    syms = words.select(
+        "cnt", F.split("w", "").alias("s")
+    ).localCheckpoint()
+
+    pair_expr = F.expr(
+        "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i+1] AS b))"
+    )
+    merges: list = []
+    for rank in range(n_merges):
+        pairs = (
+            syms.filter(F.size("s") >= 2)  # sequence(0,-1) counts DOWN
+            .select("cnt", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not top or top[0].n < min_count:
+            break
+        a, b, n = top[0].a, top[0].b, int(top[0].n)
+        merges.append((rank, a, b, n))
+
+        def make_apply(a: str, b: str):
+            ab = a + b
+
+            @pandas_udf("array<string>")
+            def apply_merge(col: pd.Series) -> pd.Series:
+                out = []
+                for lst in col:
+                    lst = list(lst)
+                    if a not in lst:
+                        out.append(lst)
+                        continue
+                    res, i, L = [], 0, len(lst)
+                    while i < L:
+                        if i < L - 1 and lst[i] == a and lst[i + 1] == b:
+                            res.append(ab)
+                            i += 2
+                        else:
+                            res.append(lst[i])
+                            i += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            return apply_merge
+
+        syms = syms.select(
+            "cnt", make_apply(a, b)("s").alias("s")
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_merges_table(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+) -> DataFrame:
+    """The learned merge table as a DataFrame:
+    (merge_rank, left_sym, right_sym, pair_count)."""
+    merges = train_bpe_merges(df, text_col, n_merges)
+    return spark.createDataFrame(
+        merges or [(-1, "", "", 0)],
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    ).filter(F.col("merge_rank") >= 0)

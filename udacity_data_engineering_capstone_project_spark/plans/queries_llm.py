@@ -1525,6 +1525,21 @@ FROM {EVENTS_US} AS events GROUP BY 1, 2
 """
 
 
+def bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training on the documents corpus: the
+    corpus collapses once into a (distinct word, count) table, then 20
+    merge rounds of pair-count aggregate -> deterministic argmax ->
+    Arrow-batched merge-apply (operators/textops.train_bpe_merges).
+    Deterministic end to end (integer counts, total tie order) but
+    iterative, so no SQL oracle: rows-only + a pure-Python
+    reference-equality pytest."""
+    from ..operators.textops import bpe_merges_table
+
+    return bpe_merges_table(
+        spark, _t(spark, sf_dir, "documents"), "text", n_merges=20
+    )
+
+
 def pagerank_near_dup(spark, sf_dir):
     """PageRank over the near-dup graph (symmetric Jaccard >= 0.6
     edges): rank mass concentrates in the big duplicate clusters — the
@@ -2051,6 +2066,12 @@ LLM_QUERIES = {
         events_sliding_window,
         ORACLE_SLIDING_WINDOW,
         "sliding-window agg: overlapping 2h/1h windows",
+    ),
+    "bpe_train_merges": (
+        bpe_train_merges,
+        None,
+        "distributed BPE tokenizer training (20 merges; "
+        "reference-equality pytest)",
     ),
     "pagerank_near_dup": (
         pagerank_near_dup,

@@ -56,6 +56,7 @@ _DEMOTED = [
     "ivf_trained_recall",
     "shingle_df_hist",
     "pagerank_near_dup",
+    "bpe_train_merges",
 ]
 
 _PRIORITY_R2 = [
