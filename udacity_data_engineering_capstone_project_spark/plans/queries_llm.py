@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import spark_hex_to_long, sql_hex_to_long, sql_md5_long
 from ..functions.rounding import round_fixed, sql_round_fixed
-from ..functions.textnorm import sql_tokens
+from ..functions.textnorm import sql_tokens, tokens_col
 from ..operators.dedup import (
     connected_components,
     exact_dedup,
@@ -1946,7 +1946,257 @@ def stream_user_totals(spark, sf_dir):
     return run_user_totals_batch(spark, sf_dir)
 
 
+# --------------------------------------------------------------------------
+# Curation tier: decontamination, packing, mixing, repetition filtering
+
+
+def decontaminate_overlap(spark, sf_dir):
+    """Train-vs-benchmark contamination check: the md5-bucket test
+    split (bucket >= 90, same split function as corpus_split_stats)
+    plays the benchmark; every train doc (bucket < 80) is scored by
+    how many of its distinct 3-gram shingle digests appear anywhere in
+    the benchmark, and flagged at >= 20% overlap. Digests, not text,
+    cross the wire; the benchmark digest set is broadcast."""
+    from ..operators.curation import benchmark_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    return benchmark_decontaminate(
+        docs.filter(b < 80),
+        docs.filter(b >= 90),
+        threshold_num=1,
+        threshold_den=5,
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH {_SHINGLES_CTE},
+hs AS (
+  SELECT DISTINCT doc, {sql_hex_to_long("md5(shingle)", 15)} AS h,
+         {sql_md5_long("CAST(doc AS VARCHAR)", 7)} % 100 AS bkt
+  FROM sh
+),
+train AS (SELECT doc, h FROM hs WHERE bkt < 80),
+bench AS (SELECT DISTINCT h FROM hs WHERE bkt >= 90),
+sizes AS (SELECT doc, count(*) AS n_shingles FROM train GROUP BY doc),
+m AS (
+  SELECT t.doc, count(*) AS n_matched
+  FROM train t JOIN bench USING (h) GROUP BY t.doc
+)
+SELECT s.doc AS doc,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(CASE WHEN coalesce(m.n_matched, 0) * 5 >= s.n_shingles * 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM sizes s LEFT JOIN m ON m.doc = s.doc
+"""
+
+
+def sequence_packing(spark, sf_dir):
+    """Packed-pretraining layout audit: documents concatenated in
+    doc_id order, token stream chunked into 512-token sequences via a
+    DISTRIBUTED PREFIX SUM (per-partition totals -> broadcast offsets
+    -> partition-local cumsum; no global single-task sort). Per
+    sequence: docs starting in it, their token mass, id span. The
+    result is provably independent of the partition count (pytest
+    pins 1 vs 32)."""
+    from ..operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, seq_len=512)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tok_start
+  FROM t
+)
+SELECT tok_start // 512 AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+def mixture_sample_stats(spark, sf_dir):
+    """Domain-mixture downsample audit: target mixture src0=30%,
+    src1=20%, src2=10%, src3=5% of a 60-doc budget, selected by
+    deterministic md5-rank within each domain (reproducible across
+    runs/partitionings, unlike sample()). Unlisted domains drop out.
+    Output: per-domain kept count + char mass."""
+    from ..operators.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs,
+        weights={"src0": 0.30, "src1": 0.20, "src2": 0.10, "src3": 0.05},
+        total=60,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {sql_md5_long("CAST(doc_id AS VARCHAR)", 15)}, doc_id
+         ) AS rk
+  FROM documents
+),
+kept AS (
+  SELECT * FROM ranked
+  WHERE rk <= CASE source
+                WHEN 'src0' THEN 18 WHEN 'src1' THEN 12
+                WHEN 'src2' THEN 6  WHEN 'src3' THEN 3
+                ELSE 0 END
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY source
+"""
+
+
+def repetition_scores(spark, sf_dir):
+    """Intra-document repetition: total vs distinct word 2-grams and
+    the duplicated fraction in integer permille — all per-row array
+    expressions (size vs size(array_distinct)), zero shuffles, whole
+    plan in codegen."""
+    from ..operators.curation import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+ORACLE_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+  FROM toks WHERE len(toks) >= 2
+),
+g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram FROM idx),
+agg AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST((n_grams - n_distinct) * 1000 // n_grams AS BIGINT) AS rep_score
+FROM agg
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM toks WHERE len(toks) < 2
+"""
+
+
+def quality_filter_reasons(spark, sf_dir):
+    """Reason-coded corpus filter: every doc gets its FIRST failing
+    reason in priority order (too_short -> wrong_lang -> repetitive ->
+    keep); output is the reason histogram with char mass — the
+    curation audit a data pipeline reports per snapshot. Repetition
+    reuses the per-row 2-gram expressions (no shuffle before the final
+    1-row-per-reason aggregate)."""
+    from ..operators.curation import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(docs, n=2).select("doc_id", "n_grams", "n_distinct")
+    reason = (
+        F.when(F.col("n_chars") < 120, "too_short")
+        .when(F.col("lang") != "en", "wrong_lang")
+        .when(F.col("n_distinct") < F.col("n_grams"), "repetitive")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(rep, "doc_id")
+        .select(reason.alias("reason"), "n_chars")
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_QUALITY_REASONS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars, {_TOKS_DUCK} AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+  FROM toks WHERE len(toks) >= 2
+),
+g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram FROM idx),
+rep AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+  FROM g GROUP BY doc_id
+),
+labeled AS (
+  SELECT CASE
+           WHEN t.n_chars < 120 THEN 'too_short'
+           WHEN t.lang <> 'en' THEN 'wrong_lang'
+           WHEN coalesce(r.n_distinct, 0) < coalesce(r.n_grams, 0)
+             THEN 'repetitive'
+           ELSE 'keep' END AS reason,
+         t.n_chars
+  FROM toks t LEFT JOIN rep r ON r.doc_id = t.doc_id
+)
+SELECT reason,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM labeled GROUP BY reason
+"""
+
+
 LLM_QUERIES = {
+    "decontaminate_overlap": (
+        decontaminate_overlap,
+        ORACLE_DECONTAMINATE,
+        "curation: train-vs-benchmark n-gram contamination check",
+    ),
+    "sequence_packing": (
+        sequence_packing,
+        ORACLE_SEQUENCE_PACKING,
+        "curation: packed-pretraining chunking via distributed prefix sum",
+    ),
+    "mixture_sample_stats": (
+        mixture_sample_stats,
+        ORACLE_MIXTURE_SAMPLE,
+        "curation: deterministic domain-mixture downsample",
+    ),
+    "repetition_scores": (
+        repetition_scores,
+        ORACLE_REPETITION,
+        "curation: intra-doc 2-gram repetition, shuffle-free",
+    ),
+    "quality_filter_reasons": (
+        quality_filter_reasons,
+        ORACLE_QUALITY_REASONS,
+        "curation: reason-coded filter histogram",
+    ),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT, "dedup: exact hash-groupBy"),
     "jaccard_pairs_exact": (
         jaccard_pairs_exact,

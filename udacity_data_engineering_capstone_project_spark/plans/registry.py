@@ -28,6 +28,11 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 #: Round-2 window, in priority order: (1) new/changed this round,
 #: (2) LLM tier, (3) demoted + SQL not in r1's file (rotate to r3).
 _NEW_R2 = [
+    "decontaminate_overlap",
+    "sequence_packing",
+    "mixture_sample_stats",
+    "repetition_scores",
+    "quality_filter_reasons",
     "jaccard_pairs_capped",
     "map_entries_pivot",
     "profile_orders",
