@@ -341,3 +341,32 @@ def test_jaccard_capped_filters_via_broadcast_anti_join(spark):
     set."""
     plan = _plan(spark, "jaccard_pairs_capped")
     assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
+
+
+def test_repetition_scores_is_shuffle_free(spark):
+    """Per-row array expressions only: a shuffle or Python eval here
+    means the operator stopped being a pure map — the property that
+    lets it run at corpus scale inside codegen."""
+    plan = _plan(spark, "repetition_scores")
+    assert "Exchange" not in plan
+    assert not re.search(r"EvalPython|MapInPandas", plan)
+
+
+def test_decontaminate_broadcasts_benchmark_digests(spark):
+    """The benchmark digest set must reach the train side as a
+    broadcast probe — a SortMergeJoin would shuffle the full train
+    shingle table against a tiny eval set."""
+    plan = _plan(spark, "decontaminate_overlap")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_has_no_global_sort(spark):
+    """The prefix sum must stay distributed: range partition + local
+    window, never a single-task global Sort/Window."""
+    plan = _plan(spark, "sequence_packing")
+    assert not re.search(r"Sort \[[^\]]*\], true", plan) or "rangepartitioning" in plan
+    # every Window is partitioned (partition-local), none global
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : plan.index("\n", m.start())]
+        assert "__pid" in seg or "windowspecdefinition" not in seg
