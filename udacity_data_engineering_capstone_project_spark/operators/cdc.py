@@ -65,3 +65,45 @@ def merge_partial_aggs(
     return merged.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event stream:
+    collapse each key's history into validity intervals, one row per
+    RUN of consecutive equal attribute values (gaps-and-islands).
+
+    Output: (key, version, attr, valid_from, valid_to, n_events) where
+    ``version`` numbers the runs per key from 1, ``valid_from`` is the
+    run's first event time, ``valid_to`` the next run's start (NULL for
+    the current run) — the standard SCD2 shape warehouses serve
+    point-in-time joins from.
+
+    Scale: every window and the aggregate share one partitioning on
+    ``key_col`` — a single shuffle for the whole build; run detection
+    is lag + running sum (no self-join)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.col(attr_col) != F.lag(attr_col).over(w))
+    ).cast("int")
+    runs = df.withColumn(
+        "version",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agg = runs.groupBy(key_col, "version").agg(
+        F.first(attr_col).alias("attr"),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    return agg.withColumn("valid_to", F.lead("valid_from").over(wv)).select(
+        key_col, "version", "attr", "valid_from", "valid_to", "n_events"
+    )

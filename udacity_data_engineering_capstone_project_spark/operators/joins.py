@@ -171,3 +171,42 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l_salted.join(r_salted, [on, "__salt"], how.lower()).drop("__salt")
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_sql: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-join: equality blocking + edit-
+    distance verification. ``block_sql`` is a SQL expression over the
+    aliased columns ``id``/``nm`` (e.g. ``concat(length(nm), '|',
+    substr(nm, 1, 4))``) that buckets candidate matches; only pairs
+    sharing a block key are compared with ``levenshtein``, so the cost
+    is sum(block_size^2)/2, never n^2.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist <= max_distance.
+
+    Scale: the blocked self-join shuffles on the block key; choose
+    blocks so the largest stays executor-sized (the same df-capping
+    discipline as jaccard_pairs). Edit distance runs JVM-side
+    (``levenshtein`` is a built-in), no Python anywhere.
+    """
+    side = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("nm")
+    ).withColumn("blk", F.expr(block_sql))
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "blk"
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("nm").alias("nm_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+        .filter(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", "dist")
+    )

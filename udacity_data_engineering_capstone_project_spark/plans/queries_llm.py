@@ -2171,6 +2171,139 @@ FROM labeled GROUP BY reason
 """
 
 
+# --------------------------------------------------------------------------
+# Warehouse-ops tier: fuzzy entity resolution, SCD2, table reconciliation
+
+
+def fuzzy_name_pairs(spark, sf_dir):
+    """Entity-resolution fuzzy self-join on customer names: equality
+    blocking on the first 16 chars (bounds every block; the last two
+    digits stay free) + JVM-side levenshtein verification at distance
+    <= 1. The blocked plan costs sum(block^2)/2 — never the n^2
+    cross-join a naive fuzzy match implies."""
+    from ..operators.joins import blocked_fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return blocked_fuzzy_pairs(
+        cust, "c_custkey", "c_name", "substr(nm, 1, 16)", max_distance=1
+    )
+
+
+ORACLE_FUZZY_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b
+  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def scd2_user_status(spark, sf_dir):
+    """SCD2 dimension build from the event stream: each user's history
+    collapsed to validity intervals per run of consecutive equal
+    event_type (gaps-and-islands: lag + running sum + lead — one
+    shuffle on user_id shared by both windows and the aggregate).
+    Timestamps exported as epoch micros (exact integers on both
+    engines)."""
+    from ..operators.cdc import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    iv = scd2_intervals(ev, "user_id", "ts", "event_type", "event_id")
+    return iv.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        F.col("attr").alias("event_type"),
+        F.unix_micros("valid_from").alias("from_us"),
+        F.unix_micros("valid_to").alias("to_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+ORACLE_SCD2 = f"""
+WITH e AS (SELECT user_id, ts, event_type, event_id FROM {EVENTS_US} AS events),
+l AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type <> lag(event_type) OVER w
+                 THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT *, sum(chg) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS version FROM l
+),
+g AS (
+  SELECT user_id, version, min(event_type) AS event_type,
+         min(ts) AS vf, count(*) AS n_events
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+       epoch_us(vf) AS from_us,
+       epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY version)) AS to_us,
+       CAST(n_events AS BIGINT) AS n_events
+FROM g
+"""
+
+#: Float-free canonical row encoding for the reconciliation digest:
+#: fixed-point price, never a raw double's string form.
+_ORDERS_DIGEST = (
+    "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+)
+
+
+def orders_drift_diff(spark, sf_dir):
+    """Merkle-style table reconciliation: orders vs a drifted replica
+    (every 500th key deleted, every 497th price bumped), compared as
+    32 bucketed (count, xor-of-row-digest) signatures. Only the
+    signature tables — O(n_buckets) rows — ever meet; the divergent
+    buckets come back with both sides' counts."""
+    from ..operators.reconcile import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    drifted = orders.filter(F.col("o_orderkey") % 500 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 497 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(orders, drifted, "o_orderkey", _ORDERS_DIGEST, n_buckets=32)
+
+
+ORACLE_DRIFT_DIFF = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+drift AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 497 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 500 <> 0
+),
+sa AS (
+  SELECT o_orderkey % 32 AS bucket, count(*) AS n_rows,
+         bit_xor({sql_hex_to_long(f"md5({_ORDERS_DIGEST})", 15)}) AS sig
+  FROM base GROUP BY 1
+),
+sb AS (
+  SELECT o_orderkey % 32 AS bucket, count(*) AS n_rows,
+         bit_xor({sql_hex_to_long(f"md5({_ORDERS_DIGEST})", 15)}) AS sig
+  FROM drift GROUP BY 1
+)
+SELECT CAST(coalesce(sa.bucket, sb.bucket) AS BIGINT) AS bucket,
+       CAST(coalesce(sa.n_rows, 0) AS BIGINT) AS n_rows_a,
+       CAST(coalesce(sb.n_rows, 0) AS BIGINT) AS n_rows_b,
+       CAST(CASE WHEN coalesce(sa.sig, 0) = coalesce(sb.sig, 0)
+                 THEN 1 ELSE 0 END AS INTEGER) AS sigs_match
+FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+WHERE coalesce(sa.n_rows, 0) <> coalesce(sb.n_rows, 0)
+   OR coalesce(sa.sig, 0) <> coalesce(sb.sig, 0)
+"""
+
+
 LLM_QUERIES = {
     "decontaminate_overlap": (
         decontaminate_overlap,
@@ -2196,6 +2329,21 @@ LLM_QUERIES = {
         quality_filter_reasons,
         ORACLE_QUALITY_REASONS,
         "curation: reason-coded filter histogram",
+    ),
+    "fuzzy_name_pairs": (
+        fuzzy_name_pairs,
+        ORACLE_FUZZY_PAIRS,
+        "warehouse: blocked levenshtein fuzzy self-join",
+    ),
+    "scd2_user_status": (
+        scd2_user_status,
+        ORACLE_SCD2,
+        "warehouse: SCD2 interval build (gaps-and-islands, 1 shuffle)",
+    ),
+    "orders_drift_diff": (
+        orders_drift_diff,
+        ORACLE_DRIFT_DIFF,
+        "warehouse: merkle-style bucketed table reconciliation",
     ),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT, "dedup: exact hash-groupBy"),
     "jaccard_pairs_exact": (
