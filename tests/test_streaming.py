@@ -3,6 +3,7 @@ its batch twin (append mode withholds watermark-open windows)."""
 
 from pyspark.sql import functions as F
 
+from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
 from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
     events_hourly,
 )
@@ -45,9 +46,7 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
         r.user_id: (r.n_events, r.total_value_x100, r.last_ts)
         for r in run_user_totals_batch(spark, sf_dir).collect()
     }
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    events = read_table(spark, sf_dir, "events")
     want = {
         r.user_id: (r.n, r.tot, r.last)
         for r in events.groupBy("user_id")
@@ -77,9 +76,7 @@ def test_foreach_batch_upsert_latest_per_user(spark, sf_dir, tmp_path):
         spark, read_events_stream(spark, sf_dir), str(tmp_path / "latest")
     )
     # batch twin: argmax (ts, event_id) per user
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    batch = read_table(spark, sf_dir, "events")
     expect = batch.groupBy("user_id").agg(
         F.expr("max_by(event_id, struct(ts, event_id))").alias("event_id")
     )

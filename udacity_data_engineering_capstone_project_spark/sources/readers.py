@@ -37,19 +37,23 @@ TPCH_TABLES = [
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: columnar parquet scan, schema from footer metadata.
 
-    The synthetic ``events`` table stores TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects; it is read with
-    ``nanosAsLong`` and truncated to microsecond timestamps
-    (``ts div 1000``) — the DuckDB oracles truncate identically via
-    ``make_timestamp(epoch_ns(ts) // 1000)``.
+    The synthetic ``events`` table has shipped ``ts`` as both
+    TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read via
+    ``nanosAsLong`` and truncated with ``ts div 1000``) and plain
+    TIMESTAMP_NTZ micros, so the reader branches on the decoded type
+    and normalizes both to session-tz (UTC) microsecond timestamps.
+    The DuckDB oracles truncate identically via
+    ``make_timestamp(epoch_ns(ts) // 1000)`` (a no-op for micros).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -28,13 +28,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema); ``pathGlobFilter`` selects only the events file from the
     shared fixture directory."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import LongType
+
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    # ts has shipped as both TIMESTAMP(NANOS) (decoded long under
+    # nanosAsLong) and plain micros; normalize either to session-tz ts.
+    if isinstance(schema["ts"].dataType, LongType):
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
