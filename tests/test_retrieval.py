@@ -1,0 +1,101 @@
+"""Sparse retrieval (BM25 / TF-IDF) semantics on a hand-built corpus."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+    bm25_topk,
+    postings,
+    tfidf_top_terms,
+)
+
+DOCS = [
+    (1, "cat sat on the mat"),
+    (2, "cat cat cat"),
+    (3, "dog sat"),
+    (4, "the mat"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_postings_tf_and_dl(spark):
+    rows = {
+        (r.token, r.doc): (r.tf, r.dl) for r in postings(_docs(spark)).collect()
+    }
+    assert rows[("cat", 2)] == (3, 3)
+    assert rows[("cat", 1)] == (1, 5)
+    assert rows[("the", 4)] == (1, 2)
+    assert ("dog", 1) not in rows
+
+
+def test_bm25_matches_closed_form(spark):
+    """Single-term query: compare against the BM25 formula computed in
+    plain Python (same float ops, same x1e6 rounding)."""
+    q = spark.createDataFrame([(1, "cat")], "query_id int, qtext string")
+    got = {
+        r.doc_id: r.score_x1e6
+        for r in bm25_topk(_docs(spark), q, k=10).collect()
+    }
+    n_docs, total_len = 4, 5 + 3 + 2 + 2
+    avgdl = total_len / n_docs
+    df = 2  # docs 1 and 2 contain 'cat'
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score(tf, dl):
+        tfnorm = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return math.floor(idf * tfnorm * 1e6 + 0.5)
+
+    assert got == {1: score(1, 5), 2: score(3, 3)}
+    # tf=3 in a shorter doc must outrank tf=1 in a longer one
+    ranks = {
+        r.doc_id: r.rank for r in bm25_topk(_docs(spark), q, k=10).collect()
+    }
+    assert ranks[2] == 1 and ranks[1] == 2
+
+
+def test_bm25_rare_term_dominates(spark):
+    """'dog' (df=1) must contribute more than 'sat' (df=2) — doc 3
+    (both terms) ranks first, and a doc matching only the rare term
+    beats one matching only the common term at equal tf and dl."""
+    q = spark.createDataFrame([(7, "dog sat")], "query_id int, qtext string")
+    out = sorted(
+        bm25_topk(_docs(spark), q, k=10).collect(), key=lambda r: r.rank
+    )
+    assert [r.doc_id for r in out] == [3, 1]  # doc 1 has 'sat' only
+
+
+def test_tfidf_rank_prefers_distinctive_terms(spark):
+    """Doc 1's top keyword must be a df=1 token, never 'the' (df=2) or
+    'cat'/'sat'/'mat' shared with other docs at equal tf."""
+    top = {
+        (r.doc_id, r.rank): r.token
+        for r in tfidf_top_terms(_docs(spark), k=2).collect()
+    }
+    assert top[(1, 1)] == "on"  # only df=1 token in doc 1
+    assert top[(2, 1)] == "cat"  # tf=3 overwhelms df=2
+    assert top[(3, 1)] == "dog"
+
+
+def test_bm25_plan_broadcasts_terms_and_stays_jvm(spark, sf_dir):
+    """The corpus explode must feed a BroadcastHashJoin on the term
+    list (never a SortMergeJoin of the full exploded corpus), and the
+    whole pipeline stays JVM-side."""
+    import re
+
+    from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+        bm25_search_topk,
+    )
+
+    plan = (
+        bm25_search_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)

@@ -1,0 +1,196 @@
+"""Sparse lexical retrieval: inverted-index postings, TF-IDF, BM25.
+
+A training-data pipeline needs keyword retrieval both as a serving
+primitive (find documents for a probe query) and as a curation tool
+(surface documents dominated by a term, score doc "aboutness" for
+mixture construction). The reference engine has no retrieval surface;
+this module adds one Spark-first (no reference twin to cite).
+
+Scale design
+------------
+``bm25_topk`` never shuffles the full corpus:
+
+- per-document length ``dl`` is computed from the token array *before*
+  the explode (a per-row ``size``), so no corpus-wide aggregate is
+  needed for lengths — only a 1-row global (N, total_len) stats
+  aggregate, which is a partial-agg reduce, not a shuffle of rows;
+- exploded tokens are inner-joined to a **broadcast** of the query
+  terms first, so only matching postings (a
+  ``|terms| / |vocab|`` sliver of the corpus) ever reach a shuffle;
+- document frequency ``df`` is computed *after* that filter — the
+  filtered postings for a surviving term still contain every document
+  holding it, so the count is exact;
+- the per-term df table is tiny (≤ |terms| rows) and re-broadcast onto
+  the postings for scoring.
+
+Float discipline (cross-engine oracles)
+---------------------------------------
+``ln``/``/`` may differ by an ulp between JVM and libm, and the sum
+over query terms is order-dependent in IEEE — so each per-term
+contribution is rounded to x1e6 fixed point FIRST (killing ulp noise)
+and summed as exact BIGINTs (killing order dependence). Ranking
+happens on the integer score with a doc-id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import tokens_col
+
+#: Okapi BM25 defaults, kept as exact decimal literals that parse to
+#: identical doubles in Spark and DuckDB (oracles cast to DOUBLE —
+#: DuckDB parses bare numerics as DECIMAL otherwise).
+K1 = 1.2
+B = 0.75
+
+
+def postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index postings list: (token, doc, tf, dl).
+
+    ``dl`` (document token length) rides along from a pre-explode
+    ``size()`` so downstream scoring never needs a second corpus scan.
+    One shuffle, keyed on (doc, token).
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != F.lit(""))
+    exploded = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+    return exploded.groupBy("token", "doc", "dl").agg(F.count("*").alias("tf"))
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row (n_docs, total_len) — the only corpus-global input BM25
+    needs. Partial-aggregated map-side; broadcast onto scoring."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != F.lit(""))
+    return docs.select(F.size(toks).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+
+
+def _idf(df_col, n_docs_col):
+    """Lucene's non-negative BM25 idf: ln(1 + (N - df + .5)/(df + .5))."""
+    return F.log(
+        F.lit(1.0)
+        + (n_docs_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25, deterministically ranked.
+
+    Output: (query_id, rank, doc_id, score_x1e6) — ``score_x1e6`` is
+    the BIGINT sum of per-term x1e6-rounded contributions (see module
+    docstring for why the rounding happens before the sum).
+    """
+    qtoks = F.filter(tokens_col(query_text_col), lambda t: t != F.lit(""))
+    terms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.explode(qtoks).alias("token")
+        )
+        .distinct()
+    )
+    # Filter the exploded corpus down to query terms BEFORE any
+    # aggregation — broadcast keeps the corpus side shuffle-free here.
+    toks = F.filter(tokens_col(text_col), lambda t: t != F.lit(""))
+    exploded = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+    hits = exploded.join(
+        F.broadcast(terms.select("token").distinct()), "token", "inner"
+    )
+    tf = hits.groupBy("token", "doc", "dl").agg(F.count("*").alias("tf"))
+    # Exact df per surviving term (every doc holding the term is here).
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc").alias("df"))
+    stats = corpus_stats(docs, text_col)
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("total_len") / F.col("n_docs"))
+        .withColumn("idf", _idf(F.col("df"), F.col("n_docs")))
+        .withColumn(
+            "tfnorm",
+            (F.col("tf") * F.lit(K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .withColumn(
+            "contrib_x1e6",
+            F.floor(F.col("idf") * F.col("tfnorm") * F.lit(1e6) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+    )
+    per_doc = (
+        scored.join(F.broadcast(terms), "token")
+        .groupBy("query_id", "doc")
+        .agg(F.sum("contrib_x1e6").alias("score_x1e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_x1e6").desc(), F.col("doc").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col("doc").alias(id_col), "score_x1e6"
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (tf * ln(1 + N/df)), the standard doc-keyword extraction pass used
+    for corpus topic audits and mixture labeling.
+
+    Output: (doc_id, rank, token, tfidf_x1e6). Two shuffles: the
+    (doc, token) tf aggregate and the per-token df aggregate (the df
+    table is vocabulary-sized and broadcast back).
+    """
+    post = postings(docs, id_col, text_col)
+    dfreq = post.groupBy("token").agg(F.countDistinct("doc").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        post.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_x1e6",
+            F.floor(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf_x1e6").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "rank", "token", "tfidf_x1e6")
+    )

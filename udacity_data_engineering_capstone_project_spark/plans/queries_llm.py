@@ -2304,7 +2304,140 @@ WHERE coalesce(sa.n_rows, 0) <> coalesce(sb.n_rows, 0)
 """
 
 
+# --------------------------------------------------------------------------
+# Sparse retrieval: BM25 search + TF-IDF doc keywords
+
+#: Probe queries over the documents vocabulary; 'dup' is the corpus's
+#: one rare token (df ~5% of docs), so query 3 exercises real idf
+#: spread, not just tf ordering.
+BM25_PROBE_QUERIES = [
+    (1, "spark table scan"),
+    (2, "window agg batch merge"),
+    (3, "dup hash row"),
+]
+
+
+def bm25_search_topk(spark, sf_dir):
+    """BM25 top-10 docs per probe query. Broadcast-filtered postings:
+    the corpus is exploded then inner-joined to a broadcast term list
+    BEFORE any aggregation, so only matching postings shuffle (see
+    operators/retrieval.py scale notes)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        BM25_PROBE_QUERIES, "query_id int, qtext string"
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in BM25_PROBE_QUERIES)
+    return f"""
+WITH probe(query_id, qtext) AS (VALUES {vals}),
+terms AS (
+  SELECT DISTINCT query_id, token FROM (
+    SELECT query_id, unnest({sql_tokens("qtext", "duckdb")}) AS token FROM probe
+  ) WHERE token <> ''
+),
+doctoks AS (
+  SELECT doc_id AS doc,
+         length(list_filter({_TOKS_DUCK}, t -> t <> '')) AS dl,
+         unnest({_TOKS_DUCK}) AS token
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(list_filter({_TOKS_DUCK}, t -> t <> ''))) AS BIGINT) AS total_len
+  FROM documents
+),
+tf AS (
+  SELECT token, doc, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM doctoks
+  WHERE token IN (SELECT DISTINCT token FROM terms)
+  GROUP BY token, doc, dl
+),
+dfreq AS (
+  SELECT token, CAST(count(DISTINCT doc) AS BIGINT) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT t.token, t.doc,
+         CAST(floor(
+           ln(CAST(1.0 AS DOUBLE)
+              + (s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+           * ((t.tf * CAST(2.2 AS DOUBLE))
+              / (t.tf + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * t.dl
+                      / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+           * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS contrib
+  FROM tf t JOIN dfreq d USING (token) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT q.query_id, sc.doc, CAST(sum(sc.contrib) AS BIGINT) AS score_x1e6
+  FROM scored sc JOIN terms q USING (token)
+  GROUP BY q.query_id, sc.doc
+),
+ranked AS (
+  SELECT query_id, doc, score_x1e6,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_x1e6 DESC, doc) AS INTEGER) AS rank
+  FROM per_doc
+)
+SELECT query_id, rank, doc AS doc_id, score_x1e6 FROM ranked WHERE rank <= 10
+"""
+
+
+ORACLE_BM25 = _bm25_oracle()
+
+
+def tfidf_doc_keywords(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF —
+    the corpus-audit keyword pass."""
+    from ..operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_TFIDF = f"""
+WITH doctoks AS (
+  SELECT doc_id AS doc, unnest({_TOKS_DUCK}) AS token FROM documents
+),
+tf AS (
+  SELECT token, doc, CAST(count(*) AS BIGINT) AS tf
+  FROM doctoks WHERE token <> '' GROUP BY token, doc
+),
+dfreq AS (
+  SELECT token, CAST(count(DISTINCT doc) AS BIGINT) AS df FROM tf GROUP BY token
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc, t.token,
+         CAST(floor(t.tf * ln(CAST(1.0 AS DOUBLE) + CAST(n.n_docs AS DOUBLE) / d.df)
+                    * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS tfidf_x1e6
+  FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc, token, tfidf_x1e6,
+         CAST(row_number() OVER (PARTITION BY doc
+                                 ORDER BY tfidf_x1e6 DESC, token) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc AS doc_id, rank, token, tfidf_x1e6 FROM ranked WHERE rank <= 3
+"""
+
+
 LLM_QUERIES = {
+    "bm25_search_topk": (
+        bm25_search_topk,
+        ORACLE_BM25,
+        "retrieval: BM25 top-k, broadcast-filtered inverted index",
+    ),
+    "tfidf_doc_keywords": (
+        tfidf_doc_keywords,
+        ORACLE_TFIDF,
+        "retrieval: TF-IDF doc keyword extraction",
+    ),
     "decontaminate_overlap": (
         decontaminate_overlap,
         ORACLE_DECONTAMINATE,

@@ -28,6 +28,8 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 #: Round-2 window, in priority order: (1) new/changed this round,
 #: (2) LLM tier, (3) demoted + SQL not in r1's file (rotate to r3).
 _NEW_R2 = [
+    "bm25_search_topk",
+    "tfidf_doc_keywords",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
