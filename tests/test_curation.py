@@ -98,3 +98,36 @@ def test_repetition_stats_hand_computed(spark):
     assert out[1] == {"doc_id": 1, "n_grams": 4, "n_distinct": 2, "rep_score": 500}
     assert out[2] == {"doc_id": 2, "n_grams": 2, "n_distinct": 2, "rep_score": 0}
     assert out[3] == {"doc_id": 3, "n_grams": 0, "n_distinct": 0, "rep_score": 0}
+
+
+def test_redact_pii_counts_and_output(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail a@b.io and c.d@e-f.org call 555 123 4567"),
+        (2, "from 10.0.0.1 to 192.168.1.255 ok"),
+        (3, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r for r in redact_pii(df, "text").collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ip) == (2, 1, 0)
+    assert got[1].redacted == "mail <EMAIL> and <EMAIL> call <PHONE>"
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ip) == (0, 0, 2)
+    assert got[2].redacted == "from <IP> to <IP> ok"
+    assert got[3].redacted == "clean text only"
+
+
+def test_redact_pii_is_map_only(spark):
+    """No shuffle, no Python eval — redaction must pipeline into the scan."""
+    import re
+
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython", plan)

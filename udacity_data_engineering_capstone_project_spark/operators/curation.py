@@ -220,3 +220,39 @@ def repetition_stats(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+
+#: Redaction patterns, shared verbatim by the Spark operator and the
+#: DuckDB oracle — restricted to the Java-regex ∩ RE2 common dialect
+#: (no backrefs, no lookaround), so both engines match identically.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4s from ``text_col``.
+
+    Adds ``n_<kind>`` match counts (via ``regexp_extract_all`` size,
+    computed on the ORIGINAL text) and ``out_col`` with each match
+    replaced by ``<KIND>``. Replacement order is fixed (email, phone,
+    ip) and the patterns are disjoint on realistic text, so the chain
+    is order-stable. Pure per-row JVM expressions — no shuffle, no
+    Python; at 100 TB this is a map-only pass that pipelines into
+    whatever scan feeds it.
+    """
+    out = df
+    red = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col, red)

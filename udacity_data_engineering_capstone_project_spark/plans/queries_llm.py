@@ -2427,6 +2427,182 @@ SELECT doc AS doc_id, rank, token, tfidf_x1e6 FROM ranked WHERE rank <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# PII redaction
+
+
+def pii_redaction_stats(spark, sf_dir):
+    """PII scrub audit: deterministic synthetic PII (emails for
+    doc_id%7, phones for %5, IPv4s for %11 — the fixture corpus has
+    none of its own) is appended in-query, then
+    operators.curation.redact_pii scrubs it and the per-source rollup
+    reports match counts plus an md5 checksum over the REDACTED text —
+    so the oracle verifies the actual replacement output, not just the
+    counts. Map-only until the final small aggregate."""
+    from ..operators.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555 123 4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    red = redact_pii(seeded, "text2")
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("emails_found"),
+        F.sum("n_phone").alias("phones_found"),
+        F.sum("n_ip").alias("ips_found"),
+        F.sum(F.expr(spark_hex_to_long("md5(redacted)", 14))).alias(
+            "redacted_checksum"
+        ),
+    )
+
+
+def _pii_oracle() -> str:
+    from ..operators.curation import PII_PATTERNS
+
+    em, ph, ip = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ip"]
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(text2, "
+        f"'{em}', '<EMAIL>', 'g'), '{ph}', '<PHONE>', 'g'), "
+        f"'{ip}', '<IP>', 'g')"
+    )
+    return f"""
+WITH seeded AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555 123 4567' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END AS text2
+  FROM documents
+),
+red AS (
+  SELECT source,
+         CAST(length(regexp_extract_all(text2, '{em}')) AS INTEGER) AS n_email,
+         CAST(length(regexp_extract_all(text2, '{ph}')) AS INTEGER) AS n_phone,
+         CAST(length(regexp_extract_all(text2, '{ip}')) AS INTEGER) AS n_ip,
+         {redacted} AS redacted
+  FROM seeded
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails_found,
+       CAST(sum(n_phone) AS BIGINT) AS phones_found,
+       CAST(sum(n_ip) AS BIGINT) AS ips_found,
+       CAST(sum({sql_hex_to_long("md5(redacted)", 14)}) AS BIGINT) AS redacted_checksum
+FROM red GROUP BY source
+"""
+
+
+ORACLE_PII = _pii_oracle()
+
+
+# --------------------------------------------------------------------------
+# Canonical selection: the keep-side of near-dup clustering
+
+
+def canonical_docs(spark, sf_dir):
+    """One keeper per near-dup cluster — the decision dedup exists to
+    make. Exact-Jaccard >= 0.6 pairs -> connected components, then the
+    keeper is the member with the most tokens (doc-id tie-break) via a
+    per-component window; reports members and tokens dropped. Only
+    docs in multi-member components shuffle past the pair stage — the
+    token-length join is on (doc, n_tokens) longs."""
+    from ..operators.dedup import connected_components, jaccard_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    sets = shingle_sets(docs, "doc_id", "text", n=3)
+    prs = jaccard_pairs(sets, threshold_num=3, threshold_den=5)
+    comp = connected_components(prs)
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(F.filter(tokens_col("text"), lambda t: t != F.lit(""))).cast(
+            "long"
+        ).alias("n_tokens"),
+    )
+    j = comp.join(toks, "doc")
+    w = Window.partitionBy("component")
+    ranked = (
+        j.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("n_tokens").desc(), F.col("doc").asc())
+            ),
+        )
+        .withColumn("n_members", F.count("*").over(w))
+        .withColumn("total_tokens", F.sum("n_tokens").over(w))
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_members") >= 2)).select(
+        F.col("component").cast("bigint").alias("component"),
+        F.col("doc").cast("bigint").alias("keeper_doc"),
+        F.col("n_tokens").alias("keeper_tokens"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        (F.col("total_tokens") - F.col("n_tokens")).alias("tokens_dropped"),
+    )
+
+
+ORACLE_CANONICAL = f"""
+WITH RECURSIVE p AS ({_jaccard_oracle(3, 5)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+toks AS (
+  SELECT doc_id AS doc,
+         CAST(length(list_filter({_TOKS_DUCK}, t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT c.component, c.doc, t.n_tokens,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY t.n_tokens DESC, c.doc) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS n_members,
+         sum(t.n_tokens) OVER (PARTITION BY c.component) AS total_tokens
+  FROM comp c JOIN toks t USING (doc)
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(doc AS BIGINT) AS keeper_doc,
+       CAST(n_tokens AS BIGINT) AS keeper_tokens,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(total_tokens - n_tokens AS BIGINT) AS tokens_dropped
+FROM ranked WHERE rn = 1 AND n_members >= 2
+"""
+
+
 LLM_QUERIES = {
     "bm25_search_topk": (
         bm25_search_topk,
@@ -2437,6 +2613,16 @@ LLM_QUERIES = {
         tfidf_doc_keywords,
         ORACLE_TFIDF,
         "retrieval: TF-IDF doc keyword extraction",
+    ),
+    "pii_redaction_stats": (
+        pii_redaction_stats,
+        ORACLE_PII,
+        "curation: PII redaction (email/phone/IP), checksum-verified output",
+    ),
+    "canonical_docs": (
+        canonical_docs,
+        ORACLE_CANONICAL,
+        "dedup keep-side: per-cluster canonical keeper + tokens dropped",
     ),
     "decontaminate_overlap": (
         decontaminate_overlap,

@@ -30,6 +30,8 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 _NEW_R2 = [
     "bm25_search_topk",
     "tfidf_doc_keywords",
+    "pii_redaction_stats",
+    "canonical_docs",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
