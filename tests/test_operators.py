@@ -570,3 +570,44 @@ def test_bpe_merges_match_reference_impl(spark):
             new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
         vocab = new_vocab
     assert got == expect and len(got) >= 8
+
+
+def test_weighted_sample_matches_bruteforce_and_biases_long(spark):
+    import hashlib
+    import math
+
+    from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
+        weighted_sample,
+    )
+
+    rows = [(i, (i % 10) + 1) for i in range(200)] + [(900, 0), (901, -3)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = [(r.id, r.sample_key_x1e9) for r in weighted_sample(df, "id", "w", k=20)
+           .orderBy("sample_key_x1e9", "id").collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws1{i}".encode()).hexdigest()[:7], 16)
+        u = (h + 1) / (2**28 + 1)
+        return math.floor(math.log(1.0 / u) / float(w) * 1e9 + 0.5)
+
+    want = sorted(((key(i, w), i) for i, w in rows if w > 0))[:20]
+    assert got == [(i, k) for k, i in want]
+    assert all(i not in (900, 901) for i, _ in got)  # w<=0 excluded
+    # length bias: mean weight of winners must exceed population mean
+    pop_mean = sum(w for _, w in rows if w > 0) / 200
+    win_mean = sum(dict(rows)[i] for i, _ in got) / len(got)
+    assert win_mean > pop_mean
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark, sf_dir):
+    from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+        weighted_doc_sample,
+    )
+
+    plan = (
+        weighted_doc_sample(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -84,3 +84,43 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k rows,
+    inclusion odds proportional to ``weight_col`` (Efraimidis-Spirakis
+    exponential keys — the one-pass, merge-friendly scheme).
+
+    Each row gets key = ln(1/u) / w with u derived from
+    md5(seed || id) (uniform in (0,1), content- and
+    partition-independent); the global k smallest keys win. At scale
+    this is a TakeOrderedAndProject top-k — per-partition heaps of k,
+    no global sort, no shuffle of non-winners. Reproducible across
+    runs and engines: the oracle computes the identical key, and
+    ranking happens on the x1e9-rounded key with an id tie-break so
+    float ulp noise cannot flip an ordering.
+
+    Rows with weight <= 0 are excluded (standard A-ES domain).
+    """
+    # u in (0,1): (h + 1) / (2^28 + 1) with h the 28-bit md5 prefix
+    h = F.expr(
+        f"CAST(conv(substr(md5(concat('{seed}', CAST({id_col} AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**28 + 1))
+    key = F.log(F.lit(1.0) / u) / F.col(weight_col).cast("double")
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "sample_key_x1e9",
+        F.floor(key * F.lit(1e9) + F.lit(0.5)).cast("bigint"),
+    )
+    # orderBy + limit, NOT a global-window row_number: this compiles to
+    # TakeOrderedAndProject (per-partition k-heaps + driver merge of
+    # k*#partitions rows) instead of a single-partition global sort.
+    return keyed.orderBy(
+        F.col("sample_key_x1e9").asc(), F.col(id_col).asc()
+    ).limit(k)

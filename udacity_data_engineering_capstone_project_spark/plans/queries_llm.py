@@ -2603,6 +2603,37 @@ FROM ranked WHERE rn = 1 AND n_members >= 2
 """
 
 
+# --------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis)
+
+
+def weighted_doc_sample(spark, sf_dir):
+    """50-doc weighted sample, inclusion odds ~ n_chars: deterministic
+    A-ES exponential keys on md5 uniforms, top-k via
+    TakeOrderedAndProject (never a global sort). The length-biased
+    draw a mixture builder uses to oversample long documents."""
+    from ..operators.cleaning import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(
+           ln(CAST(1.0 AS DOUBLE)
+              / ((({sql_hex_to_long("md5('ws1' || CAST(doc_id AS VARCHAR))", 7)}) + 1)
+                 / CAST({2**28 + 1} AS DOUBLE)))
+           / CAST(n_chars AS DOUBLE) * 1000000000 + CAST(0.5 AS DOUBLE)
+         ) AS BIGINT) AS sample_key_x1e9
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, sample_key_x1e9
+FROM keyed ORDER BY sample_key_x1e9, doc_id LIMIT 50
+"""
+
+
 LLM_QUERIES = {
     "bm25_search_topk": (
         bm25_search_topk,
@@ -2623,6 +2654,11 @@ LLM_QUERIES = {
         canonical_docs,
         ORACLE_CANONICAL,
         "dedup keep-side: per-cluster canonical keeper + tokens dropped",
+    ),
+    "weighted_doc_sample": (
+        weighted_doc_sample,
+        ORACLE_WEIGHTED_SAMPLE,
+        "sampling: deterministic A-ES weighted sample, top-k plan",
     ),
     "decontaminate_overlap": (
         decontaminate_overlap,

@@ -32,6 +32,7 @@ _NEW_R2 = [
     "tfidf_doc_keywords",
     "pii_redaction_stats",
     "canonical_docs",
+    "weighted_doc_sample",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
