@@ -317,11 +317,25 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = sets.alias("sa")
-    sb = sets.alias("sb")
+    # Verification without re-shuffling the digest-set table: the
+    # candidate docs are a sliver of the corpus post-LSH, so broadcast
+    # the candidate-id set as a semi-join FILTER on `sets` (the
+    # (doc, array) rows never hit an exchange) and broadcast the small
+    # filtered slice into both verification joins.
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sets_f = sets.join(F.broadcast(cand_ids), "doc", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sa = sets_f.alias("sa")
+    sb = sets_f.alias("sb")
     return (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        candidates.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc"))
         .select(
             "doc_a",
             "doc_b",

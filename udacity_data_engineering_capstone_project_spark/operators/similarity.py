@@ -143,11 +143,26 @@ def embedding_near_dup(
         .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
         .distinct()
     )
-    ca = c.alias("ca")
-    cb = c.alias("cb")
+    # Verification without shuffling the corpus: candidate ids are a
+    # sliver of the corpus in the regime LSH exists for, so (1) persist
+    # the candidate pairs (referenced three times below), (2) broadcast
+    # the candidate-id set as a semi-join FILTER on the corpus — the
+    # (id, vector) rows never hit an exchange — and (3) broadcast the
+    # small filtered-corpus slice into both verification joins.
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    ids = (
+        candidates.select(F.col("id_a").alias("vid"))
+        .unionByName(candidates.select(F.col("id_b").alias("vid")))
+        .distinct()
+    )
+    cf = c.join(F.broadcast(ids), "vid", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ca = cf.alias("ca")
+    cb = cf.alias("cb")
     return (
-        candidates.join(ca, F.col("id_a") == F.col("ca.vid"))
-        .join(cb, F.col("id_b") == F.col("cb.vid"))
+        candidates.join(F.broadcast(ca), F.col("id_a") == F.col("ca.vid"))
+        .join(F.broadcast(cb), F.col("id_b") == F.col("cb.vid"))
         .select(
             "id_a",
             "id_b",
