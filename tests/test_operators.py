@@ -611,3 +611,27 @@ def test_weighted_sample_plan_is_topk_not_global_sort(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_planted_collocation_tops_ranking(spark):
+    import math
+
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        cooccurrence_pmi,
+    )
+
+    # 'new york' always together in 6 docs; filler tokens spread evenly
+    rows = [(i, "new york alpha beta") for i in range(6)]
+    rows += [(10 + i, "alpha beta gamma delta") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cooccurrence_pmi(df, vocab_cap=10, min_pair_df=3, k=5).collect()
+    top = out[0]
+    assert (top.token_a, top.token_b) == ("new", "york")
+    n, df_ab, df_a, df_b = 18, 6, 6, 6
+    assert top.pmi_x1e6 == math.floor(
+        math.log(n * df_ab / (df_a * df_b)) * 1e6 + 0.5
+    )
+    assert top.df_ab == 6
+    # a chance-level pair must score ~0 or below the planted pair
+    scores = {(r.token_a, r.token_b): r.pmi_x1e6 for r in out}
+    assert scores[("new", "york")] == max(scores.values())

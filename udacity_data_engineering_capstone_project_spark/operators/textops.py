@@ -550,3 +550,83 @@ def bpe_merges_table(
         merges or [(-1, "", "", 0)],
         "merge_rank int, left_sym string, right_sym string, pair_count bigint",
     ).filter(F.col("merge_rank") >= 0)
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1000,
+    min_pair_df: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` token collocations by document-level PMI — the
+    phrase-induction / tokenizer-audit signal: which token pairs
+    co-occur far above chance.
+
+    Presence-based: ``df_ab`` counts documents containing BOTH tokens,
+    ``pmi = ln(N * df_ab / (df_a * df_b))``. The per-doc pair
+    generation is quadratic in distinct tokens per doc, so the
+    vocabulary is first capped to the ``vocab_cap`` highest-df tokens
+    (deterministic df-desc/token-asc cut, broadcast as a filter) —
+    the standard bound that keeps the pair stream
+    O(docs * cap^2) instead of O(docs * doclen^2) on open vocab.
+    Pairs below ``min_pair_df`` docs are noise and dropped before any
+    float math. Output ranks on x1e6-rounded PMI with (a, b)
+    tie-breaks; final top-k is a TakeOrderedAndProject.
+
+    Output: (token_a, token_b, df_ab, pmi_x1e6), token_a < token_b.
+    """
+    pres = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(tokens_col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    dfreq = pres.groupBy("token").agg(F.count("*").alias("df"))
+    # top-M cut as orderBy+limit (TakeOrderedAndProject: per-partition
+    # M-heaps), never a global-window row_number over the vocabulary
+    vocab = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(
+        vocab_cap
+    )
+    capped = pres.join(F.broadcast(vocab.select("token")), "token", "inner")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("token_a"), F.col("b.token").alias("token_b")
+        )
+        .agg(F.count("*").alias("df_ab"))
+        .filter(F.col("df_ab") >= min_pair_df)
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    da = vocab.select(F.col("token").alias("token_a"), F.col("df").alias("df_a"))
+    db = vocab.select(F.col("token").alias("token_b"), F.col("df").alias("df_b"))
+    scored = (
+        pairs.join(F.broadcast(da), "token_a")
+        .join(F.broadcast(db), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi_x1e6",
+            F.floor(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    * F.col("df_ab")
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    return scored.select(
+        "token_a", "token_b", "df_ab", "pmi_x1e6"
+    ).orderBy(
+        F.col("pmi_x1e6").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+    ).limit(k)

@@ -2634,6 +2634,56 @@ FROM keyed ORDER BY sample_key_x1e9, doc_id LIMIT 50
 """
 
 
+# --------------------------------------------------------------------------
+# Collocations: document-level PMI
+
+
+def pmi_collocations(spark, sf_dir):
+    """Top-20 token collocations by doc-level PMI, vocabulary capped to
+    the 20 highest-df tokens (the cap BINDS: the fixture vocabulary is
+    31) — proving the capped semantics, not just the formula."""
+    from ..operators.textops import cooccurrence_pmi
+
+    return cooccurrence_pmi(
+        _t(spark, sf_dir, "documents"), vocab_cap=20, min_pair_df=5, k=20
+    )
+
+
+ORACLE_PMI = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id AS doc, token FROM (
+    SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+  ) WHERE token <> ''
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pres GROUP BY token),
+vocab AS (
+  SELECT token, df FROM (
+    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rk FROM dfreq
+  ) WHERE rk <= 20
+),
+capped AS (SELECT p.doc, p.token FROM pres p JOIN vocab v USING (token)),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, CAST(count(*) AS BIGINT) AS df_ab
+  FROM capped a JOIN capped b ON a.doc = b.doc AND a.token < b.token
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT token_a, token_b, df_ab,
+         CAST(floor(
+           ln(CAST(n.n_docs AS DOUBLE) * df_ab
+              / (CAST(va.df AS DOUBLE) * vb.df)) * 1000000
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pmi_x1e6
+  FROM pairs
+  JOIN vocab va ON va.token = pairs.token_a
+  JOIN vocab vb ON vb.token = pairs.token_b
+  CROSS JOIN n
+)
+SELECT token_a, token_b, df_ab, pmi_x1e6
+FROM scored ORDER BY pmi_x1e6 DESC, token_a, token_b LIMIT 20
+"""
+
+
 LLM_QUERIES = {
     "bm25_search_topk": (
         bm25_search_topk,
@@ -2659,6 +2709,11 @@ LLM_QUERIES = {
         weighted_doc_sample,
         ORACLE_WEIGHTED_SAMPLE,
         "sampling: deterministic A-ES weighted sample, top-k plan",
+    ),
+    "pmi_collocations": (
+        pmi_collocations,
+        ORACLE_PMI,
+        "text: doc-level PMI collocations, binding vocab cap",
     ),
     "decontaminate_overlap": (
         decontaminate_overlap,

@@ -33,6 +33,7 @@ _NEW_R2 = [
     "pii_redaction_stats",
     "canonical_docs",
     "weighted_doc_sample",
+    "pmi_collocations",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
