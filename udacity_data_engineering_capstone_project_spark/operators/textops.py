@@ -335,10 +335,18 @@ def text_profile(
     low = F.lower(F.col(text_col))
     n_chars = F.length(low)
     n_punct = n_chars - F.length(F.regexp_replace(low, r"[^a-z0-9\s]", ""))
+    # n_distinct_tokens comes from a per-row native array_distinct
+    # BEFORE the explode: keeping countDistinct out of the aggregation
+    # below turns it into a single-phase partial-aggregating hash agg
+    # (a distinct aggregate plans as two phases with an Expand — the
+    # dominant cost of this operator at 10x scale).
     base = df.select(
         F.col(id_col).alias("doc"),
         n_chars.cast("long").alias("n_chars"),
         n_punct.cast("long").alias("n_punct"),
+        F.size(
+            F.array_remove(F.array_distinct(tokens_col(text_col)), "")
+        ).cast("long").alias("n_distinct_tokens"),
     )
 
     toks = df.select(
@@ -348,7 +356,6 @@ def text_profile(
     hit_cols = [f"hits_{lang}" for lang in langs]
     aggs = [
         F.count("*").alias("n_tokens"),
-        F.countDistinct("token").alias("n_distinct_tokens"),
         F.sum(F.length("token")).alias("n_token_chars"),
         F.sum(F.array_contains(stop_lit, F.col("token")).cast("long")).alias("n_stop"),
     ]
@@ -363,7 +370,7 @@ def text_profile(
 
     j = base.join(per_doc, "doc", "left").na.fill(
         0,
-        ["n_tokens", "n_distinct_tokens", "n_token_chars", "n_stop"] + hit_cols,
+        ["n_tokens", "n_token_chars", "n_stop"] + hit_cols,
     )
     mx = F.greatest(*[F.col(c) for c in hit_cols])
     pred = F.when(mx == 0, F.lit("und"))
