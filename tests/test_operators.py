@@ -635,3 +635,40 @@ def test_pmi_planted_collocation_tops_ranking(spark):
     # a chance-level pair must score ~0 or below the planted pair
     scores = {(r.token_a, r.token_b): r.pmi_x1e6 for r in out}
     assert scores[("new", "york")] == max(scores.values())
+
+
+def test_arrow_cosine_matches_hof_bit_for_bit(spark):
+    """The Arrow verification kernel in embedding_near_dup must equal
+    the zip_with/aggregate fold exactly (same rounded value on every
+    pair), since the DuckDB oracle replicates the fold."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.vectors import (
+        cosine_cols,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, rng.randn(64).tolist(), (rng.randn(64) * 1e3).tolist())
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    hof = {r.id: r.c for r in df.select("id", cosine_cols(F.col("a"), F.col("b")).alias("c")).collect()}
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_r_arrow(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.vstack(va.to_numpy())
+        b = np.vstack(vb.to_numpy())
+        dot = np.cumsum(a * b, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+        cos = dot / (na * nb)
+        return pd.Series(np.floor(cos * 1e4 + 0.5) / 1e4)
+
+    arrow = {r.id: r.c for r in df.select("id", cos_r_arrow("a", "b").alias("c")).collect()}
+    assert arrow == hof

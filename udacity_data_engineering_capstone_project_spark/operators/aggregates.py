@@ -231,3 +231,55 @@ def heavy_hitters(
         .agg(F.count("*").alias("n_occurrences"))
         .filter(F.col("n_occurrences") * frac_den >= F.lit(threshold))
     )
+
+
+def iqr_outliers(
+    df,
+    group_col: str,
+    value_col: str,
+    k_x10: int = 15,
+    decimals: int = 2,
+):
+    """Per-group Tukey-fence outlier counts: values above
+    ``q3 + (k_x10/10) * (q3 - q1)`` (k=1.5 default, the standard
+    whisker) — the distribution-audit pass that flags anomalous
+    groups without a fixed threshold.
+
+    Exact interpolated quantiles (ground-truth twin; swap in
+    ``percentile_approx`` at 100 TB, same trade as exact-vs-capped
+    Jaccard documented on group_quantiles). The group-level quantile
+    table is broadcast back onto the rows, so the second pass is
+    map-side; the fence is fixed-point-rounded BEFORE the comparison
+    so both engines classify identical rows.
+
+    Output: (group, n_rows, n_outliers, fence_r, max_val_r).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import round_fixed
+
+    k = k_x10 / 10.0
+    q = (
+        df.groupBy(group_col)
+        .agg(
+            F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
+            F.expr(f"percentile({value_col}, 0.75)").alias("__q3"),
+        )
+        .withColumn(
+            "fence_r",
+            round_fixed(
+                F.col("__q3") + F.lit(k) * (F.col("__q3") - F.col("__q1")),
+                decimals,
+            ),
+        )
+        .drop("__q1", "__q3")
+    )
+    j = df.join(F.broadcast(q), group_col)
+    return j.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col(value_col) > F.col("fence_r")).cast("long")).alias(
+            "n_outliers"
+        ),
+        F.min("fence_r").alias("fence_r"),
+        round_fixed(F.max(value_col), decimals).alias("max_val_r"),
+    )

@@ -331,6 +331,30 @@ def minhash_lsh_pairs(
     sets_f = sets.join(F.broadcast(cand_ids), "doc", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Intersection sizes via ONE vectorized Arrow kernel rather than
+    # array_intersect column expressions: a deterministic expression
+    # here is pushed into the verification join CONDITION and then
+    # recomputed by the output projection — two JVM set-intersects per
+    # candidate. A Python UDF cannot be inlined into a join condition,
+    # so the threshold filter stays above and the intersect runs once,
+    # as a flat lexsort + duplicate count over the whole Arrow batch.
+    # Pure int64 — no cross-engine float concern.
+    @pandas_udf("long")
+    def inter_size_arrow(ha_col: pd.Series, hb_col: pd.Series) -> pd.Series:
+        if len(ha_col) == 0:
+            return pd.Series([], dtype="int64")
+        la = np.fromiter((len(x) for x in ha_col), dtype=np.int64)
+        lb = np.fromiter((len(x) for x in hb_col), dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for pair in zip(ha_col, hb_col) for v in pair]
+        )
+        row_ids = np.repeat(np.arange(len(ha_col)), la + lb)
+        order = np.lexsort((flat, row_ids))
+        fs, rs = flat[order], row_ids[order]
+        dup = (rs[1:] == rs[:-1]) & (fs[1:] == fs[:-1])
+        inter = np.bincount(rs[1:][dup], minlength=len(ha_col))
+        return pd.Series(inter)
+
     sa = sets_f.alias("sa")
     sb = sets_f.alias("sb")
     return (
@@ -339,8 +363,8 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sa.hs", "sb.hs")).cast("long").alias("inter_size"),
-            (F.size("sa.hs") + F.size("sb.hs")).alias("sum_sizes"),
+            inter_size_arrow("sa.hs", "sb.hs").alias("inter_size"),
+            (F.size("sa.hs") + F.size("sb.hs")).cast("long").alias("sum_sizes"),
         )
         .select(
             "doc_a",

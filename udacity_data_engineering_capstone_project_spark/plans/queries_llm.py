@@ -1064,11 +1064,13 @@ def embedding_near_dup_pairs(spark, sf_dir):
     is the fixture embeddings UNIONed with +0.01-perturbed copies
     (vec_id + 100000, cosine vs the original ~0.9999 — planted
     near-dups, since the raw fixture vectors are mutually random with
-    max pairwise cosine ~0.6). SRP-LSH (8 bands x 10 sign bits) mines
-    at 0.95: every planted pair is detected (P[miss] ~ 3e-9, and
-    deterministically the same candidates in both engines — the
-    oracle uses the same planes), random pairs survive a band with
-    p = 2^-10, and verification keeps exact rounded cosine >= 0.95."""
+    max pairwise cosine ~0.6). SRP-LSH (16 bands x 14 sign bits) mines
+    at 0.95: every planted pair is detected (P[miss] ~ 1e-19 at
+    c=0.9999, and deterministically the same candidates in both
+    engines — the oracle uses the same planes), a random pair
+    survives a band with p = 2^-14, so candidates stay
+    ~bands/2^14 ~ 1e-3 of all pairs — the quadratic term that
+    dominated at 10x data under the old 8x10 config."""
     base = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1082,8 +1084,8 @@ def embedding_near_dup_pairs(spark, sf_dir):
         vec_col="embedding",
         dim=64,
         threshold=0.95,
-        bands=8,
-        rows=10,
+        bands=16,
+        rows=14,
     )
 
 
@@ -1117,7 +1119,7 @@ WHERE {cos} >= {threshold}
 """
 
 
-ORACLE_EMBEDDING_NEAR_DUP = _srp_oracle(0.95, 8, 10)
+ORACLE_EMBEDDING_NEAR_DUP = _srp_oracle(0.95, 16, 14)
 
 
 # --------------------------------------------------------------------------

@@ -800,6 +800,33 @@ GROUP BY o_orderpriority
 """
 
 
+def iqr_outlier_orders(spark, sf_dir):
+    """Tukey-fence outlier audit per order priority: count of orders
+    above q3 + 1.5*IQR, with the fence rounded before comparison so
+    both engines classify identical rows."""
+    from ..operators.aggregates import iqr_outliers
+
+    return iqr_outliers(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+ORACLE_IQR_OUTLIERS = f"""
+WITH q AS (
+  SELECT o_orderpriority,
+         {sql_round_fixed('quantile_cont(o_totalprice, 0.75) + CAST(1.5 AS DOUBLE) * (quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25))', 2)} AS fence_r
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o.o_totalprice > q.fence_r THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       min(q.fence_r) AS fence_r,
+       {sql_round_fixed('max(o.o_totalprice)', 2)} AS max_val_r
+FROM orders o JOIN q USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+
 def window_value_functions(spark, sf_dir):
     """Window value-function family: first_value / last_value /
     nth_value over the full per-customer frame (UNBOUNDED..UNBOUNDED —
@@ -1538,6 +1565,11 @@ PARITY_QUERIES = {
         group_quantiles,
         ORACLE_GROUP_QUANTILES,
         "exact interpolated percentiles per group (quantile_cont twin)",
+    ),
+    "iqr_outlier_orders": (
+        iqr_outlier_orders,
+        ORACLE_IQR_OUTLIERS,
+        "Tukey-fence outlier counts per group, broadcast quantile rejoin",
     ),
     "asof_join_events": (asof_join_events, ORACLE_ASOF_JOIN_EVENTS, "as-of join"),
     "asof_forward_tolerance": (

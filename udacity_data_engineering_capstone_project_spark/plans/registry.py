@@ -34,6 +34,7 @@ _NEW_R2 = [
     "canonical_docs",
     "weighted_doc_sample",
     "pmi_collocations",
+    "iqr_outlier_orders",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
