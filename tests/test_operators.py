@@ -672,3 +672,20 @@ def test_arrow_cosine_matches_hof_bit_for_bit(spark):
 
     arrow = {r.id: r.c for r in df.select("id", cos_r_arrow("a", "b").alias("c")).collect()}
     assert arrow == hof
+
+
+def test_ewma_matches_python_recurrence(spark):
+    import math
+
+    from udacity_data_engineering_capstone_project_spark.operators.windows import ewma
+
+    rows = [(1, i, float(10 * (i + 1))) for i in range(20)]
+    df = spark.createDataFrame(rows, "u int, i int, value double")
+    got = {r.i: r.ewma_x1e6 for r in ewma(df, "u", ["i"], "value", depth=16).collect()}
+
+    for t in range(20):
+        frame = [v for _, i, v in rows if t - 15 <= i <= t]
+        acc = 0.0
+        for x in frame:
+            acc = acc * 0.75 + 0.25 * x
+        assert got[t] == math.floor(acc * 1e6 + 0.5), t

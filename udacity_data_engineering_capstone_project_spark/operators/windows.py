@@ -71,3 +71,44 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def ewma(
+    df,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    depth: int = 16,
+):
+    """Truncated exponentially-weighted moving average per partition:
+    the classic smoothing recurrence ``y = (1-a)*y + a*x`` folded over
+    the trailing ``depth`` rows (exact truncation instead of an
+    unbounded recurrence keeps the value a pure function of a bounded
+    frame — deterministic, backfillable, and cross-engine oracle-able;
+    with a=1/4 and depth 16 the dropped tail weighs (3/4)^16 < 1%).
+
+    One window (single shuffle on the partition key) + a JVM fold over
+    the frame array. ``alpha_num/alpha_den`` must divide to an exact
+    binary double (1/4 default) so both engines fold identical IEEE
+    values; output is x1e6 fixed-point.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    a = alpha_num / alpha_den
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(depth - 1), Window.currentRow)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    folded = F.aggregate(
+        vals,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc * F.lit(1.0 - a) + F.lit(a) * x,
+    )
+    return df.withColumn(
+        "ewma_x1e6", F.floor(folded * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    )

@@ -2686,6 +2686,40 @@ FROM scored ORDER BY pmi_x1e6 DESC, token_a, token_b LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series smoothing: truncated EWMA
+
+
+def ewma_user_value(spark, sf_dir):
+    """Per-user EWMA (a=1/4, depth 16) over event values ordered by
+    (ts, event_id) — the smoothing pass a metrics/feature pipeline
+    runs per entity. One shuffle (user partition window); the fold is
+    a JVM higher-order aggregate over the bounded frame."""
+    from ..operators.windows import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma(ev, "user_id", ["ts", "event_id"], "value").select(
+        "user_id", "event_id", "ewma_x1e6"
+    )
+
+
+ORACLE_EWMA = f"""
+WITH framed AS (
+  SELECT user_id, event_id,
+         list(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst
+  FROM {EVENTS_US}
+)
+SELECT user_id, event_id,
+       CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lst),
+                              (acc, x) -> acc * CAST(0.75 AS DOUBLE)
+                                          + CAST(0.25 AS DOUBLE) * x)
+                  * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ewma_x1e6
+FROM framed
+"""
+
+
 LLM_QUERIES = {
     "bm25_search_topk": (
         bm25_search_topk,
@@ -2716,6 +2750,11 @@ LLM_QUERIES = {
         pmi_collocations,
         ORACLE_PMI,
         "text: doc-level PMI collocations, binding vocab cap",
+    ),
+    "ewma_user_value": (
+        ewma_user_value,
+        ORACLE_EWMA,
+        "time series: truncated EWMA fold per user (list_reduce twin)",
     ),
     "decontaminate_overlap": (
         decontaminate_overlap,

@@ -35,6 +35,7 @@ _NEW_R2 = [
     "weighted_doc_sample",
     "pmi_collocations",
     "iqr_outlier_orders",
+    "ewma_user_value",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
