@@ -370,3 +370,18 @@ def test_sequence_packing_has_no_global_sort(spark):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start() : plan.index("\n", m.start())]
         assert "__pid" in seg or "windowspecdefinition" not in seg
+
+
+def test_lsh_verification_not_inlined_into_join_condition(spark, sf_dir):
+    """Regression guard for the round-2 fix: the exact-verification
+    math (cosine fold / set intersect) must be an ArrowEvalPython
+    column, never a deterministic expression that Catalyst inlines
+    into the verification join CONDITION and then recomputes in the
+    output projection (double evaluation, measured 3-4x wall)."""
+    for name in ["minhash_pairs", "embedding_near_dup"]:
+        plan = _plan(spark, name)
+        for line in plan.split("\n"):
+            if "Join" in line and "BuildRight" in line:
+                assert "array_intersect" not in line, name
+                assert "zip_with" not in line, name
+        assert "ArrowEvalPython" in plan, name
