@@ -689,3 +689,38 @@ def test_ewma_matches_python_recurrence(spark):
         for x in frame:
             acc = acc * 0.75 + 0.25 * x
         assert got[t] == math.floor(acc * 1e6 + 0.5), t
+
+
+def test_incremental_probe_equals_cross_split_exact_pairs(spark, sf_dir):
+    """The asymmetric probe must find exactly the cross-split subset of
+    the full self-join's verified pairs (recall 1 on the fixture)."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_against,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    got = {
+        (r.new_doc, r.index_doc, r.inter_size, r.union_size)
+        for r in minhash_lsh_pairs_against(
+            docs.filter(b < 90), docs.filter(b >= 90), "doc_id", "text"
+        ).collect()
+    }
+    full = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    buckets = {
+        r.doc_id: r.b for r in docs.select("doc_id", b.alias("b")).collect()
+    }
+    want = set()
+    for r in full:
+        ba, bb = buckets[r.doc_a] >= 90, buckets[r.doc_b] >= 90
+        if ba != bb:
+            new, idx = (r.doc_a, r.doc_b) if ba else (r.doc_b, r.doc_a)
+            want.add((new, idx, r.inter_size, r.union_size))
+    assert got == want and len(got) > 0

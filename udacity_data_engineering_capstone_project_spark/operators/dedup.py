@@ -227,6 +227,62 @@ def minhash_signatures(
     return hashed.groupBy("doc").agg(*aggs)
 
 
+def _minhash_band_keys_udf(n_hashes: int, bands: int):
+    """Arrow kernel: digest-set column -> array of ``bands`` mixed
+    int64 band keys (the minhash signature never materializes as
+    columns — see minhash_lsh_pairs docstring for the math)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = n_hashes // bands
+    coeffs = minhash_coefficients(n_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+    mix = np.int64(0x9E3779B97F4A7C15 - (1 << 64))
+    band_ids = np.arange(bands, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def band_keys(hs_col: pd.Series) -> pd.Series:
+        if len(hs_col) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(h) for h in hs_col), dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs_col]) >> 32
+        expanded = (flat[:, None] * a_vec + b_vec) % MINHASH_PRIME
+        sig = np.minimum.reduceat(expanded, offsets, axis=0)
+        keys = np.broadcast_to(band_ids, (len(lens), bands)).copy()
+        sig = sig.reshape(len(lens), bands, rows)
+        for k in range(rows):
+            keys = (keys + sig[:, :, k]) * mix
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
+def _inter_size_udf():
+    """Arrow kernel: exact per-row intersect size of two distinct-int64
+    array columns, via flat lexsort + duplicate count (see
+    minhash_lsh_pairs for why this is a UDF, not array_intersect)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def inter_size_arrow(ha_col: pd.Series, hb_col: pd.Series) -> pd.Series:
+        if len(ha_col) == 0:
+            return pd.Series([], dtype="int64")
+        la = np.fromiter((len(x) for x in ha_col), dtype=np.int64)
+        lb = np.fromiter((len(x) for x in hb_col), dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for pair in zip(ha_col, hb_col) for v in pair]
+        )
+        row_ids = np.repeat(np.arange(len(ha_col)), la + lb)
+        order = np.lexsort((flat, row_ids))
+        fs, rs = flat[order], row_ids[order]
+        dup = (rs[1:] == rs[:-1]) & (fs[1:] == fs[:-1])
+        inter = np.bincount(rs[1:][dup], minlength=len(ha_col))
+        return pd.Series(inter)
+
+    return inter_size_arrow
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -254,10 +310,7 @@ def minhash_lsh_pairs(
     the (small, post-LSH) candidate list against the doc-set table —
     no re-shuffle of the full inverted index.
     """
-    from pyspark.sql.functions import pandas_udf
-
     assert n_hashes % bands == 0
-    rows = n_hashes // bands
     # (doc, digest-set) rows: reused by band keys and verification.
     # Persisted ONCE, one narrow (long, array<long>) row per doc.
     sets = shingle_sets(df, id_col, text_col, n).persist(
@@ -265,38 +318,13 @@ def minhash_lsh_pairs(
     )
 
     # Signatures + band keys in ONE Arrow-batched pandas_udf over the
-    # digest sets: pure int64 arithmetic (outer product + min + a
-    # wrapping mix), bit-identical on every platform — the numeric
+    # digest sets (shared kernel: _minhash_band_keys_udf) — the numeric
     # minhash values are exactly the JVM formula (a*h28 + b) mod P, so
-    # band membership (hence recall) is unchanged vs a column-expression
-    # implementation, while the 64-wide aggregate codegen unit (the
-    # single biggest JIT cost in this pipeline, ~10s first-run) and its
+    # band membership (hence recall) matches a column-expression
+    # implementation while the 64-wide aggregate codegen unit and its
     # shuffle disappear entirely. A mix collision can only ADD a
     # candidate, which verification rejects.
-    coeffs = minhash_coefficients(n_hashes)
-    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
-    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
-    # golden-ratio odd constant 0x9E3779B97F4A7C15 as signed int64
-    mix = np.int64(0x9E3779B97F4A7C15 - (1 << 64))
-    band_ids = np.arange(bands, dtype=np.int64)
-
-    @pandas_udf("array<long>")
-    def band_keys(hs_col: pd.Series) -> pd.Series:
-        # one flat vectorized pass over the whole Arrow batch:
-        # (total_shingles x n_hashes) affine expansion, then per-doc
-        # minimum via reduceat — no per-row Python loop
-        if len(hs_col) == 0:
-            return pd.Series([], dtype=object)
-        lens = np.fromiter((len(h) for h in hs_col), dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs_col]) >> 32
-        expanded = (flat[:, None] * a_vec + b_vec) % MINHASH_PRIME
-        sig = np.minimum.reduceat(expanded, offsets, axis=0)  # docs x n_hashes
-        keys = np.broadcast_to(band_ids, (len(lens), bands)).copy()
-        sig = sig.reshape(len(lens), bands, rows)
-        for k in range(rows):
-            keys = (keys + sig[:, :, k]) * mix  # wrapping int64 mix
-        return pd.Series(list(keys))
+    band_keys = _minhash_band_keys_udf(n_hashes, bands)
 
     # persisted: the candidate self-join references this subtree TWICE;
     # sets being cached makes a re-run cheap-ish, but the signature UDF
@@ -336,24 +364,10 @@ def minhash_lsh_pairs(
     # here is pushed into the verification join CONDITION and then
     # recomputed by the output projection — two JVM set-intersects per
     # candidate. A Python UDF cannot be inlined into a join condition,
-    # so the threshold filter stays above and the intersect runs once,
-    # as a flat lexsort + duplicate count over the whole Arrow batch.
-    # Pure int64 — no cross-engine float concern.
-    @pandas_udf("long")
-    def inter_size_arrow(ha_col: pd.Series, hb_col: pd.Series) -> pd.Series:
-        if len(ha_col) == 0:
-            return pd.Series([], dtype="int64")
-        la = np.fromiter((len(x) for x in ha_col), dtype=np.int64)
-        lb = np.fromiter((len(x) for x in hb_col), dtype=np.int64)
-        flat = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for pair in zip(ha_col, hb_col) for v in pair]
-        )
-        row_ids = np.repeat(np.arange(len(ha_col)), la + lb)
-        order = np.lexsort((flat, row_ids))
-        fs, rs = flat[order], row_ids[order]
-        dup = (rs[1:] == rs[:-1]) & (fs[1:] == fs[:-1])
-        inter = np.bincount(rs[1:][dup], minlength=len(ha_col))
-        return pd.Series(inter)
+    # so the threshold filter stays above and the intersect runs once
+    # (shared kernel: _inter_size_udf). Pure int64 — no cross-engine
+    # float concern.
+    inter_size_arrow = _inter_size_udf()
 
     sa = sets_f.alias("sa")
     sb = sets_f.alias("sb")
@@ -369,6 +383,85 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
+            "inter_size",
+            (F.col("sum_sizes") - F.col("inter_size")).cast("long").alias("union_size"),
+        )
+        .filter(
+            F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
+        )
+    )
+
+
+def minhash_lsh_pairs_against(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Incremental near-dup detection: new ``batch_df`` documents
+    against an existing ``index_df`` corpus — the continuous-ingestion
+    shape. Same signatures/banding/verification as
+    :func:`minhash_lsh_pairs`, but the candidate join is ASYMMETRIC:
+    the small batch's band keys are broadcast onto the index's band-key
+    stream, so the (huge) index is never SELF-joined and its band keys
+    reach the candidate join map-side. The index's only exchange here
+    is the shingle-set build (collect_set by doc) — the part a real
+    deployment amortizes by persisting (doc, hs, band_key) as an index
+    table maintained incrementally; this operator is the per-batch
+    probe against it.
+
+    Output: (new_doc, index_doc, inter_size, union_size), Jaccard >=
+    num/den. Ids must be disjoint across the two inputs (enforced by
+    the caller's split).
+    """
+    assert n_hashes % bands == 0
+    band_keys = _minhash_band_keys_udf(n_hashes, bands)
+
+    idx_sets = shingle_sets(index_df, id_col, text_col, n)
+    bat_sets = shingle_sets(batch_df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    idx_keys = idx_sets.select("doc", F.explode(band_keys("hs")).alias("band_key"))
+    bat_keys = bat_sets.select("doc", F.explode(band_keys("hs")).alias("band_key"))
+    candidates = (
+        idx_keys.alias("i")
+        .join(
+            F.broadcast(bat_keys.alias("b")),
+            F.col("i.band_key") == F.col("b.band_key"),
+        )
+        .select(
+            F.col("b.doc").alias("new_doc"), F.col("i.doc").alias("index_doc")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # verification: only candidate index docs leave the map side — the
+    # id set is broadcast as a semi-join filter, then both (small)
+    # digest-set slices broadcast into the verify joins.
+    idx_ids = candidates.select(F.col("index_doc").alias("doc")).distinct()
+    idx_f = idx_sets.join(F.broadcast(idx_ids), "doc", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    inter_size_arrow = _inter_size_udf()
+    sa = bat_sets.alias("sa")
+    sb = idx_f.alias("sb")
+    return (
+        candidates.join(F.broadcast(sa), F.col("new_doc") == F.col("sa.doc"))
+        .join(F.broadcast(sb), F.col("index_doc") == F.col("sb.doc"))
+        .select(
+            "new_doc",
+            "index_doc",
+            inter_size_arrow("sa.hs", "sb.hs").alias("inter_size"),
+            (F.size("sa.hs") + F.size("sb.hs")).cast("long").alias("sum_sizes"),
+        )
+        .select(
+            "new_doc",
+            "index_doc",
             "inter_size",
             (F.col("sum_sizes") - F.col("inter_size")).cast("long").alias("union_size"),
         )

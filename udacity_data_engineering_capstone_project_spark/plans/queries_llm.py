@@ -2720,6 +2720,43 @@ FROM framed
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch probed against the existing index
+
+
+def incremental_dedup_probe(spark, sf_dir):
+    """Continuous-ingestion dedup: the md5-bucket >= 90 slice of the
+    corpus plays the newly-arrived batch, the rest is the existing
+    index. minhash_lsh_pairs_against broadcasts the batch's band keys
+    onto the index's band-key stream (the index is NEVER self-joined
+    or shuffled), then verifies candidates exactly. The oracle is the
+    exact cross-split Jaccard — LSH recall at the mined threshold is
+    ~1, proven by the hash match."""
+    from ..operators.dedup import minhash_lsh_pairs_against
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    return minhash_lsh_pairs_against(
+        docs.filter(b < 90), docs.filter(b >= 90), "doc_id", "text"
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH p AS ({_jaccard_oracle(4, 5)}),
+bk AS (
+  SELECT doc_id, {sql_md5_long("CAST(doc_id AS VARCHAR)", 7)} % 100 AS b
+  FROM documents
+)
+SELECT CASE WHEN ba.b >= 90 THEN p.doc_a ELSE p.doc_b END AS new_doc,
+       CASE WHEN ba.b >= 90 THEN p.doc_b ELSE p.doc_a END AS index_doc,
+       p.inter_size, p.union_size
+FROM p
+JOIN bk ba ON ba.doc_id = p.doc_a
+JOIN bk bb ON bb.doc_id = p.doc_b
+WHERE (ba.b >= 90) <> (bb.b >= 90)
+"""
+
+
 LLM_QUERIES = {
     "bm25_search_topk": (
         bm25_search_topk,
@@ -2755,6 +2792,11 @@ LLM_QUERIES = {
         ewma_user_value,
         ORACLE_EWMA,
         "time series: truncated EWMA fold per user (list_reduce twin)",
+    ),
+    "incremental_dedup_probe": (
+        incremental_dedup_probe,
+        ORACLE_INCREMENTAL_DEDUP,
+        "dedup: new-batch-vs-index asymmetric LSH probe (index never shuffles)",
     ),
     "decontaminate_overlap": (
         decontaminate_overlap,

@@ -36,6 +36,7 @@ _NEW_R2 = [
     "pmi_collocations",
     "iqr_outlier_orders",
     "ewma_user_value",
+    "incremental_dedup_probe",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
