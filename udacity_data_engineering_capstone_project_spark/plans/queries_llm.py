@@ -2757,6 +2757,50 @@ WHERE (ba.b >= 90) <> (bb.b >= 90)
 """
 
 
+# --------------------------------------------------------------------------
+# Event-sequence modeling: first-order transition matrix
+
+
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts/probabilities between
+    consecutive event types per user (ordered by ts, event_id) — the
+    sequence-modeling summary behind session simulation and anomaly
+    scoring. One window (lag within user) + one small aggregate;
+    probabilities are integer x1e6 (n * 1e6 div n_from), exact in any
+    engine."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = nxt.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    wf = Window.partitionBy("event_type")
+    return counts.withColumn(
+        "n_from", F.sum("n").over(wf)
+    ).withColumn("p_x1e6", F.expr("n * 1000000 div n_from"))
+
+
+ORACLE_TRANSITIONS = f"""
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM {EVENTS_US}
+),
+c AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, n,
+       CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_from,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS p_x1e6
+FROM c
+"""
+
+
 LLM_QUERIES = {
     "bm25_search_topk": (
         bm25_search_topk,
@@ -2797,6 +2841,11 @@ LLM_QUERIES = {
         incremental_dedup_probe,
         ORACLE_INCREMENTAL_DEDUP,
         "dedup: new-batch-vs-index asymmetric LSH probe (index never shuffles)",
+    ),
+    "event_transitions": (
+        event_transition_matrix,
+        ORACLE_TRANSITIONS,
+        "sequence modeling: first-order event-type transition matrix",
     ),
     "decontaminate_overlap": (
         decontaminate_overlap,

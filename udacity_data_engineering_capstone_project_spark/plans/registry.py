@@ -37,6 +37,7 @@ _NEW_R2 = [
     "iqr_outlier_orders",
     "ewma_user_value",
     "incremental_dedup_probe",
+    "event_transitions",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
