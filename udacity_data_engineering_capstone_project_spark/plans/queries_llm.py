@@ -2475,7 +2475,10 @@ def pii_redaction_stats(spark, sf_dir):
         F.sum("n_email").alias("emails_found"),
         F.sum("n_phone").alias("phones_found"),
         F.sum("n_ip").alias("ips_found"),
-        F.sum(F.expr(spark_hex_to_long("md5(redacted)", 14))).alias(
+        # bit_xor, not sum: 56-bit hash values summed over a large
+        # source overflow int64 under ANSI; xor is order-independent
+        # and width-stable at any corpus size.
+        F.expr(f"bit_xor({spark_hex_to_long('md5(redacted)', 14)})").alias(
             "redacted_checksum"
         ),
     )
@@ -2516,7 +2519,7 @@ SELECT source,
        CAST(sum(n_email) AS BIGINT) AS emails_found,
        CAST(sum(n_phone) AS BIGINT) AS phones_found,
        CAST(sum(n_ip) AS BIGINT) AS ips_found,
-       CAST(sum({sql_hex_to_long("md5(redacted)", 14)}) AS BIGINT) AS redacted_checksum
+       CAST(bit_xor({sql_hex_to_long("md5(redacted)", 14)}) AS BIGINT) AS redacted_checksum
 FROM red GROUP BY source
 """
 
