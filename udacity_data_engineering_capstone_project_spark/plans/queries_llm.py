@@ -2804,6 +2804,64 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# Point-in-time (SCD2 interval) join
+
+
+def pit_interval_join(spark, sf_dir):
+    """Point-in-time lookup against the SCD2 dimension: for each event,
+    find the user's status run valid 30 minutes BEFORE the event and
+    cross-tabulate (event type now) x (status then) — the
+    as-of-validity join every warehouse needs for non-leaky feature
+    backfill. Equi key (user) + interval containment on exact epoch
+    micros; one sort-merge join keyed on user_id."""
+    from ..operators.cdc import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    iv = scd2_intervals(ev, "user_id", "ts", "event_type", "event_id").select(
+        F.col("user_id").alias("u"),
+        F.col("attr").alias("status_then"),
+        F.unix_micros("valid_from").alias("from_us"),
+        F.unix_micros("valid_to").alias("to_us"),
+    )
+    probe = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lit(1_800_000_000)).alias("pus"),
+        F.col("event_type").alias("event_now"),
+    )
+    j = probe.join(
+        iv,
+        (F.col("user_id") == F.col("u"))
+        & (F.col("pus") >= F.col("from_us"))
+        & (F.col("to_us").isNull() | (F.col("pus") < F.col("to_us"))),
+        "inner",
+    )
+    return j.groupBy("event_now", "status_then").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _pit_oracle() -> str:
+    return f"""
+WITH scd AS ({ORACLE_SCD2}),
+probe AS (
+  SELECT user_id, epoch_us(ts) - 1800000000 AS pus, event_type AS event_now
+  FROM {EVENTS_US} AS events
+)
+SELECT p.event_now, s.event_type AS status_then,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+FROM probe p
+JOIN scd s ON s.user_id = p.user_id
+          AND p.pus >= s.from_us
+          AND (s.to_us IS NULL OR p.pus < s.to_us)
+GROUP BY 1, 2
+"""
+
+
 LLM_QUERIES = {
     "bm25_search_topk": (
         bm25_search_topk,
@@ -2849,6 +2907,11 @@ LLM_QUERIES = {
         event_transition_matrix,
         ORACLE_TRANSITIONS,
         "sequence modeling: first-order event-type transition matrix",
+    ),
+    "pit_interval_join": (
+        pit_interval_join,
+        _pit_oracle(),
+        "warehouse: point-in-time join against SCD2 validity intervals",
     ),
     "decontaminate_overlap": (
         decontaminate_overlap,

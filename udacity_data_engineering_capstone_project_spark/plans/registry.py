@@ -38,6 +38,7 @@ _NEW_R2 = [
     "ewma_user_value",
     "incremental_dedup_probe",
     "event_transitions",
+    "pit_interval_join",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
