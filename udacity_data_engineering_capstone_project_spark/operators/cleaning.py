@@ -124,3 +124,39 @@ def weighted_sample(
     return keyed.orderBy(
         F.col("sample_key_x1e9").asc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    n_per_group: int,
+    seed: str = "wsg1",
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: ``n_per_group``
+    rows per group, inclusion odds proportional to ``weight_col``
+    within each group (A-ES exponential keys, same scheme as
+    :func:`weighted_sample` but ranked inside a group window) — the
+    per-domain quota draw a mixture builder uses when both the quota
+    AND the length bias matter. One shuffle on the group; rank on the
+    x1e9-rounded key with an id tie-break."""
+    from pyspark.sql import Window
+
+    h = F.expr(
+        f"CAST(conv(substr(md5(concat('{seed}', CAST({id_col} AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**28 + 1))
+    key = F.log(F.lit(1.0) / u) / F.col(weight_col).cast("double")
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "sample_key_x1e9",
+        F.floor(key * F.lit(1e9) + F.lit(0.5)).cast("bigint"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("sample_key_x1e9").asc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )

@@ -2862,6 +2862,36 @@ GROUP BY 1, 2
 """
 
 
+def weighted_group_sample(spark, sf_dir):
+    """Per-source weighted quota draw: 5 docs per source, inclusion
+    odds ~ n_chars within each source (A-ES keys ranked inside the
+    group window) — the mixture builder's per-domain draw."""
+    from ..operators.cleaning import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_per_group(docs, "source", "doc_id", "n_chars", 5)
+
+
+ORACLE_WEIGHTED_GROUP_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(floor(
+           ln(CAST(1.0 AS DOUBLE)
+              / ((({sql_hex_to_long("md5('wsg1' || CAST(doc_id AS VARCHAR))", 7)}) + 1)
+                 / CAST({2**28 + 1} AS DOUBLE)))
+           / CAST(n_chars AS DOUBLE) * 1000000000 + CAST(0.5 AS DOUBLE)
+         ) AS BIGINT) AS sample_key_x1e9
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY sample_key_x1e9, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, sample_key_x1e9 FROM ranked WHERE rk <= 5
+"""
+
+
 LLM_QUERIES = {
     "bm25_search_topk": (
         bm25_search_topk,
@@ -2912,6 +2942,11 @@ LLM_QUERIES = {
         pit_interval_join,
         _pit_oracle(),
         "warehouse: point-in-time join against SCD2 validity intervals",
+    ),
+    "weighted_group_sample": (
+        weighted_group_sample,
+        ORACLE_WEIGHTED_GROUP_SAMPLE,
+        "sampling: per-group A-ES weighted quota draw",
     ),
     "decontaminate_overlap": (
         decontaminate_overlap,

@@ -39,6 +39,7 @@ _NEW_R2 = [
     "incremental_dedup_probe",
     "event_transitions",
     "pit_interval_join",
+    "weighted_group_sample",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
