@@ -657,19 +657,11 @@ def test_arrow_cosine_matches_hof_bit_for_bit(spark):
     df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
     hof = {r.id: r.c for r in df.select("id", cosine_cols(F.col("a"), F.col("b")).alias("c")).collect()}
 
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        cosine_arrow_udf,
+    )
 
-    @pandas_udf("double")
-    def cos_r_arrow(va: pd.Series, vb: pd.Series) -> pd.Series:
-        a = np.vstack(va.to_numpy())
-        b = np.vstack(vb.to_numpy())
-        dot = np.cumsum(a * b, axis=1)[:, -1]
-        na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
-        nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
-        cos = dot / (na * nb)
-        return pd.Series(np.floor(cos * 1e4 + 0.5) / 1e4)
-
+    cos_r_arrow = cosine_arrow_udf()
     arrow = {r.id: r.c for r in df.select("id", cos_r_arrow("a", "b").alias("c")).collect()}
     assert arrow == hof
 

@@ -86,6 +86,24 @@ def stratified_sample(
     )
 
 
+def _aes_keyed(
+    df: DataFrame, id_col: str, weight_col: str, seed: str
+) -> DataFrame:
+    """Shared A-ES keying: rows with weight > 0 get
+    ``sample_key_x1e9 = floor(ln(1/u)/w * 1e9 + .5)`` with u the
+    md5(seed||id)-derived uniform. ONE implementation — both samplers
+    and both DuckDB oracles depend on these exact IEEE ops."""
+    h = F.expr(
+        f"CAST(conv(substr(md5(concat('{seed}', CAST({id_col} AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**28 + 1))
+    key = F.log(F.lit(1.0) / u) / F.col(weight_col).cast("double")
+    return df.filter(F.col(weight_col) > 0).withColumn(
+        "sample_key_x1e9",
+        F.floor(key * F.lit(1e9) + F.lit(0.5)).cast("bigint"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,
@@ -108,16 +126,7 @@ def weighted_sample(
 
     Rows with weight <= 0 are excluded (standard A-ES domain).
     """
-    # u in (0,1): (h + 1) / (2^28 + 1) with h the 28-bit md5 prefix
-    h = F.expr(
-        f"CAST(conv(substr(md5(concat('{seed}', CAST({id_col} AS STRING))), 1, 7), 16, 10) AS BIGINT)"
-    )
-    u = (h + F.lit(1)).cast("double") / F.lit(float(2**28 + 1))
-    key = F.log(F.lit(1.0) / u) / F.col(weight_col).cast("double")
-    keyed = df.filter(F.col(weight_col) > 0).withColumn(
-        "sample_key_x1e9",
-        F.floor(key * F.lit(1e9) + F.lit(0.5)).cast("bigint"),
-    )
+    keyed = _aes_keyed(df, id_col, weight_col, seed)
     # orderBy + limit, NOT a global-window row_number: this compiles to
     # TakeOrderedAndProject (per-partition k-heaps + driver merge of
     # k*#partitions rows) instead of a single-partition global sort.
@@ -143,15 +152,7 @@ def weighted_sample_per_group(
     x1e9-rounded key with an id tie-break."""
     from pyspark.sql import Window
 
-    h = F.expr(
-        f"CAST(conv(substr(md5(concat('{seed}', CAST({id_col} AS STRING))), 1, 7), 16, 10) AS BIGINT)"
-    )
-    u = (h + F.lit(1)).cast("double") / F.lit(float(2**28 + 1))
-    key = F.log(F.lit(1.0) / u) / F.col(weight_col).cast("double")
-    keyed = df.filter(F.col(weight_col) > 0).withColumn(
-        "sample_key_x1e9",
-        F.floor(key * F.lit(1e9) + F.lit(0.5)).cast("bigint"),
-    )
+    keyed = _aes_keyed(df, id_col, weight_col, seed)
     w = Window.partitionBy(group_col).orderBy(
         F.col("sample_key_x1e9").asc(), F.col(id_col).asc()
     )

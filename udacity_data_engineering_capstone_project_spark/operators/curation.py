@@ -240,19 +240,22 @@ def redact_pii(
 ) -> DataFrame:
     """Scrub emails / phone numbers / IPv4s from ``text_col``.
 
-    Adds ``n_<kind>`` match counts (via ``regexp_extract_all`` size,
-    computed on the ORIGINAL text) and ``out_col`` with each match
+    Adds ``n_<kind>`` match counts and ``out_col`` with each match
     replaced by ``<KIND>``. Replacement order is fixed (email, phone,
-    ip) and the patterns are disjoint on realistic text, so the chain
-    is order-stable. Pure per-row JVM expressions — no shuffle, no
-    Python; at 100 TB this is a map-only pass that pipelines into
-    whatever scan feeds it.
+    ip) and each kind's count is taken on the text AFTER the previous
+    kinds' replacements — so ``n_<kind>`` equals the number of
+    ``<KIND>`` tokens that stage actually emitted, even when patterns
+    overlap (e.g. a phone-looking local part inside an email is
+    consumed by the email stage and NOT double-counted as a phone).
+    Pure per-row JVM expressions — no shuffle, no Python; at 100 TB
+    this is a map-only pass that pipelines into whatever scan feeds
+    it.
     """
     out = df
     red = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():
         out = out.withColumn(
-            f"n_{kind}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            f"n_{kind}", F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
         )
         red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return out.withColumn(out_col, red)

@@ -422,7 +422,12 @@ def minhash_lsh_pairs_against(
     assert n_hashes % bands == 0
     band_keys = _minhash_band_keys_udf(n_hashes, bands)
 
-    idx_sets = shingle_sets(index_df, id_col, text_col, n)
+    # BOTH set tables persist: idx_sets feeds two subtrees (band keys
+    # and the verification semi-join) — without the persist the index
+    # corpus would be tokenized and collect_set-shuffled twice.
+    idx_sets = shingle_sets(index_df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bat_sets = shingle_sets(batch_df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -447,8 +452,12 @@ def minhash_lsh_pairs_against(
     idx_f = idx_sets.join(F.broadcast(idx_ids), "doc", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # the batch side is filtered to candidate docs too — a batch where
+    # most docs have no LSH match should not broadcast dead arrays
+    bat_ids = candidates.select(F.col("new_doc").alias("doc")).distinct()
+    bat_f = bat_sets.join(F.broadcast(bat_ids), "doc", "left_semi")
     inter_size_arrow = _inter_size_udf()
-    sa = bat_sets.alias("sa")
+    sa = bat_f.alias("sa")
     sb = idx_f.alias("sb")
     return (
         candidates.join(F.broadcast(sa), F.col("new_doc") == F.col("sa.doc"))

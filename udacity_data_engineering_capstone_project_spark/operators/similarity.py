@@ -72,6 +72,30 @@ def brute_force_topk(
     )
 
 
+def cosine_arrow_udf():
+    """Arrow kernel: rounded cosine of two double-array columns,
+    bit-identical to functions.vectors.cosine_cols (and hence the
+    DuckDB oracle): np.cumsum is a sequential running sum, the same
+    add order as the left fold's (((0+p0)+p1)+...); np.sqrt/floor are
+    the same IEEE ops. Pinned by
+    test_arrow_cosine_matches_hof_bit_for_bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_r_arrow(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.vstack(va.to_numpy())
+        b = np.vstack(vb.to_numpy())
+        dot = np.cumsum(a * b, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+        cos = dot / (na * nb)
+        return pd.Series(np.floor(cos * 1e4 + 0.5) / 1e4)
+
+    return cos_r_arrow
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -168,22 +192,9 @@ def embedding_near_dup(
     # recomputed by the output projection — evaluating the fold twice
     # per candidate (measured 4x wall on this operator at 10x data).
     # A Python UDF cannot be inlined into a join condition, so the
-    # threshold filter stays above and the cosine runs once.
-    # Bit-parity with the HOF/DuckDB formula: cumsum is a sequential
-    # running sum, identical to the left fold's (((0+p0)+p1)+...)
-    # order; np.sqrt/floor are the same IEEE ops — verified by
-    # test_arrow_cosine_matches_hof.
-    @pandas_udf("double")
-    def cos_r_arrow(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        a = np.vstack(va.to_numpy())
-        b = np.vstack(vb.to_numpy())
-        dot = np.cumsum(a * b, axis=1)[:, -1]
-        na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
-        nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
-        cos = dot / (na * nb)
-        return pd.Series(np.floor(cos * 1e4 + 0.5) / 1e4)
+    # threshold filter stays above and the cosine runs once (shared
+    # bit-parity kernel: cosine_arrow_udf).
+    cos_r_arrow = cosine_arrow_udf()
 
     ca = cf.alias("ca")
     cb = cf.alias("cb")

@@ -21,8 +21,11 @@ from ..functions.textnorm import tokens_col
 #: token-join against a broadcast dim, and the word lists are the
 #: pluggable part.
 #: chars deleted by the translate()-based punctuation counter: ASCII
-#: alphanumerics + the whitespace set Java/RE2 regex \s matches.
-_ALNUM_WS = "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\r\f\x0b"
+#: alphanumerics + RE2's \s set ([ \t\n\f\r] — NO vertical tab,
+#: unlike Java's \s), because the DuckDB oracle's [^a-z0-9\s] runs
+#: on RE2; matching its set exactly keeps n_punct identical even on
+#: \x0b-bearing text.
+_ALNUM_WS = "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\f\r"
 
 LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist"],
@@ -601,13 +604,18 @@ def cooccurrence_pmi(
 
     Output: (token_a, token_b, df_ab, pmi_x1e6), token_a < token_b.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: feeds BOTH the df aggregate and the capped pair join —
+    # without it the corpus tokenize/explode (the dominant cost) runs
+    # twice.
     pres = (
         df.select(
             F.col(id_col).alias("doc"),
             F.explode(F.array_distinct(tokens_col(text_col))).alias("token"),
         )
         .filter(F.col("token") != "")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = pres.groupBy("token").agg(F.count("*").alias("df"))
     # top-M cut as orderBy+limit (TakeOrderedAndProject: per-partition
     # M-heaps), never a global-window row_number over the vocabulary

@@ -2509,8 +2509,11 @@ WITH seeded AS (
 red AS (
   SELECT source,
          CAST(length(regexp_extract_all(text2, '{em}')) AS INTEGER) AS n_email,
-         CAST(length(regexp_extract_all(text2, '{ph}')) AS INTEGER) AS n_phone,
-         CAST(length(regexp_extract_all(text2, '{ip}')) AS INTEGER) AS n_ip,
+         CAST(length(regexp_extract_all(
+           regexp_replace(text2, '{em}', '<EMAIL>', 'g'), '{ph}')) AS INTEGER) AS n_phone,
+         CAST(length(regexp_extract_all(
+           regexp_replace(regexp_replace(text2, '{em}', '<EMAIL>', 'g'),
+                          '{ph}', '<PHONE>', 'g'), '{ip}')) AS INTEGER) AS n_ip,
          {redacted} AS redacted
   FROM seeded
 )
