@@ -2895,6 +2895,63 @@ SELECT doc_id, source, n_chars, sample_key_x1e9 FROM ranked WHERE rk <= 5
 """
 
 
+# --------------------------------------------------------------------------
+# Document surprisal vs corpus unigram model
+
+
+def doc_surprisal(spark, sf_dir):
+    """Mean per-token surprisal of each document under the corpus
+    unigram model (-ln p(token), p = corpus_count/total) — the
+    novelty/quality signal that flags boilerplate (low surprisal) and
+    noise (high). Per-token contributions are x1e6-rounded BEFORE the
+    integer mean, so the sum is order-free and engine-exact; the
+    unigram table is vocabulary-sized and broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(tokens_col("text")).alias("token"),
+    ).filter(F.col("token") != "")
+    uni = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = toks.select(F.count("*").alias("total"))
+    scored = (
+        toks.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "s_x1e6",
+            F.floor(
+                -F.log(F.col("c").cast("double") / F.col("total"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("sum(s_x1e6) div count(*)").alias("mean_surprisal_x1e6"),
+    ).withColumnRenamed("doc", "doc_id")
+
+
+ORACLE_SURPRISAL = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, token FROM (
+    SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+  ) WHERE token <> ''
+),
+uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+scored AS (
+  SELECT t.doc,
+         CAST(floor(-ln(CAST(u.c AS DOUBLE) / tot.total) * 1000000
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS s
+  FROM toks t JOIN uni u USING (token) CROSS JOIN tot
+)
+SELECT doc AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(s) // count(*) AS BIGINT) AS mean_surprisal_x1e6
+FROM scored GROUP BY doc
+"""
+
+
 LLM_QUERIES = {
     "bm25_search_topk": (
         bm25_search_topk,
@@ -2950,6 +3007,11 @@ LLM_QUERIES = {
         weighted_group_sample,
         ORACLE_WEIGHTED_GROUP_SAMPLE,
         "sampling: per-group A-ES weighted quota draw",
+    ),
+    "doc_surprisal": (
+        doc_surprisal,
+        ORACLE_SURPRISAL,
+        "text: per-doc mean surprisal vs corpus unigram model",
     ),
     "decontaminate_overlap": (
         decontaminate_overlap,

@@ -40,6 +40,7 @@ _NEW_R2 = [
     "event_transitions",
     "pit_interval_join",
     "weighted_group_sample",
+    "doc_surprisal",
     "fuzzy_name_pairs",
     "scd2_user_status",
     "orders_drift_diff",
