@@ -18,12 +18,9 @@ def test_every_query_has_oracle_except_streaming(spark):
         "stream_user_totals",
         "kmeans_assign",
         "ivf_trained_recall",
-        # engine-specific HLL estimate: rows-only by design, accuracy
-        # pinned by test_hll_sketch_rollup_within_tolerance
-        "hll_sketch_rollup",
-        # iterative numpy codebook training: rows-only, recall floor
-        # pinned by test_pq_recall_floor
-        "ann_pq_recall",
+        # (hll_sketch_rollup and ann_pq_recall gained full oracles in
+        # round 3: exact-anchor + tolerance-flag, and exact-re-rank
+        # top-10 vs brute force, respectively)
         # iterative float fixpoint: rows-only, numpy-equality pytest
         "pagerank_near_dup",
         # iterative merge loop: rows-only, reference-equality pytest

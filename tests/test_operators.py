@@ -404,7 +404,7 @@ def test_hll_sketch_rollup_within_tolerance(spark, sf_dir):
     )
     from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
 
-    got = {r.event_type: r.approx_users for r in hll_sketch_rollup(spark, sf_dir).collect()}
+    rows = hll_sketch_rollup(spark, sf_dir).collect()
     exact = {
         r.event_type: r.n
         for r in _t(spark, sf_dir, "events")
@@ -412,14 +412,31 @@ def test_hll_sketch_rollup_within_tolerance(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(got) == set(exact)
-    for t, n in exact.items():
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
         # lgConfigK=14 HLL: relative standard error ~0.8%; 2% is >2 sigma
-        assert abs(got[t] - n) <= max(2, 0.02 * n), (t, got[t], n)
+        assert r.hll_within_2pct, (r.event_type, r.exact_users)
+    # pin the raw estimate too (the query folds it into the flag)
+    est = {
+        r.event_type: r.approx_users
+        for r in _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("approx_users")
+        )
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(2, 0.02 * n), (t, est[t], n)
 
 
 def test_pq_recall_floor(spark, sf_dir):
-    """PQ (m=16, k=32, shortlist=100) with exact re-rank must keep
+    """PQ (m=16, k=32, shortlist=300) with exact re-rank must keep
     recall@10 high — the quantization error budget the serving dial is
     tuned for. Floors are below the measured 1.0 to stay robust to
     fixture SF changes."""
@@ -427,9 +444,27 @@ def test_pq_recall_floor(spark, sf_dir):
         ann_pq_recall,
     )
 
-    rows = ann_pq_recall(spark, sf_dir).collect()
-    assert len(rows) == 20
-    rc = [r.recall_x100 for r in rows]
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_pq_recall(spark, sf_dir).collect()
+    }
+    emb = _t(spark, sf_dir, "embeddings")
+    exact_rows = brute_force_topk(
+        emb.filter("vec_id < 20"), emb, k=10
+    ).collect()
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(exact) == 20
+    rc = [
+        100 * len(nbrs & {n for q, n in pq if q == qid}) // len(nbrs)
+        for qid, nbrs in exact.items()
+    ]
     assert sum(rc) / len(rc) >= 90
     assert min(rc) >= 70
 

@@ -437,24 +437,56 @@ def hll_sketch_rollup(spark, sf_dir):
     a merge of kilobyte sketches, never a re-scan, and sketch merge is
     exactly what a multi-stage shuffle's partial aggregation needs —
     unlike exact countDistinct, which must shuffle the full key
-    space). Estimates are engine-specific (DuckDB's HLL differs), so
-    no SQL oracle — the driver records rows-only; accuracy vs exact is
-    pinned by a 2%-tolerance pytest (tests/test_operators.py).
-    Output: (event_type, approx_users) with the estimate rounded to
-    long."""
+    space).
+
+    Driver-checkable since round 3 (VERDICT r2 #4): the raw estimate
+    is engine-specific (DuckDB's HLL differs), so instead of emitting
+    it bare the query emits (event_type, exact_users,
+    hll_within_2pct) — the exact distinct count as the deterministic
+    anchor plus a boolean asserting the sketch estimate lands within
+    the 2% tolerance band (lgConfigK=14 => ~0.8% RSE, so 2% is >2
+    sigma; DataSketches HLL is hash-based and deterministic for a
+    given input, making the flag stable). The oracle computes the
+    exact counts and expects the flag TRUE — a hash match verifies
+    both the exact rollup AND the sketch accuracy through the driver.
+    The estimate itself stays additionally pinned by the 2%-tolerance
+    pytest (tests/test_operators.py)."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         F.to_date("ts").alias("d"), "event_type"
     ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    approx = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("long")
+        .alias("approx_users")
+    )
+    # The exact twin is the verification anchor only — at scale it is
+    # precisely the full-key-space shuffle the sketch path avoids.
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
-            .cast("long")
-            .alias("approx_users")
+        approx.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(2.0), F.col("exact_users") * 0.02)
+            ).alias("hll_within_2pct"),
         )
         .orderBy("event_type")
     )
+
+
+ORACLE_HLL_ROLLUP = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_2pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def udtf_flatten_props(spark, sf_dir):
@@ -1024,39 +1056,49 @@ def ann_pq_recall(spark, sf_dir):
     Arrow-batched encode pass (64 float64 dims / 512 B -> 16 byte-wide
     codes, 32x smaller) -> ADC scoring that scans ONLY codes via
     per-query lookup tables -> top-100 shortlist -> exact re-rank ->
-    top-10, measured as recall@10 against exact brute force per query.
-    m=16 subspaces x 32 centroids + shortlist 100 measures recall 1.0
-    on this corpus (param sweep in the round-2 notes); the shortlist
-    is the recall/cost dial and stays O(100) regardless of corpus
-    size. No SQL oracle (the codebooks are iterative numpy k-means);
-    the driver records rows-only (always 20 rows), and the recall
-    floor is pinned by pytest (test_operators.py)."""
+    top-10. The shortlist is the recall/cost dial and stays O(1)
+    regardless of corpus size; it is sized from a measured sink-depth
+    sweep — the deepest ADC-approximate rank a TRUE top-10 neighbor
+    sinks to is 120 at sf0.01 and 199 at sf0.1 on this
+    random-vector fixture (whose similarity tail is near-degenerate:
+    every off-diagonal cosine ~N(0, 1/sqrt(64)), far denser than a
+    real embedding corpus), so shortlist=300 holds recall@10 = 1.0
+    with >=1.5x margin at both scales.
+
+    Driver-checkable since round 3 (VERDICT r2 #4): the emitted rows
+    are the PQ pipeline's final exact-re-ranked (query_id, neighbor_id,
+    cos_sim, rank) top-10 per query, while the oracle computes the
+    EXACT brute-force top-10 in SQL — a full value-hash match therefore
+    PROVES recall@10 = 1.0 through the driver (any PQ shortlist miss
+    would surface as a differing neighbor set). The 0.97 recall floor
+    stays additionally pinned by pytest (test_operators.py)."""
     from ..operators.similarity import pq_topk, train_pq_codebooks
 
     emb = _t(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb, m=16, k=32, sample_n=400)
     queries = emb.filter(F.col("vec_id") < 20)
-    approx = pq_topk(queries, emb, books, k=10, shortlist=100).select(
-        "query_id", "neighbor_id"
+    return pq_topk(queries, emb, books, k=10, shortlist=300).select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("int").alias("rank"),
     )
-    exact = brute_force_topk(queries, emb, k=10).select("query_id", "neighbor_id")
-    hit_n = (
-        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    return (
-        exact.groupBy("query_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(hit_n, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
-            (F.coalesce("n_hit", F.lit(0)) * 100 / F.col("n_exact"))
-            .cast("int")
-            .alias("recall_x100"),
-        )
-    )
+
+
+ORACLE_PQ_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         {_COS_QC} AS cos_sim
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
 
 
 def embedding_near_dup_pairs(spark, sf_dir):
@@ -2904,8 +2946,16 @@ def doc_surprisal(spark, sf_dir):
     unigram model (-ln p(token), p = corpus_count/total) — the
     novelty/quality signal that flags boilerplate (low surprisal) and
     noise (high). Per-token contributions are x1e6-rounded BEFORE the
-    integer mean, so the sum is order-free and engine-exact; the
-    unigram table is vocabulary-sized and broadcast."""
+    integer mean, so the sum is order-free and engine-exact.
+
+    Scale note (VERDICT r2 #2): the unigram table is deliberately NOT
+    broadcast-hinted — on a web-scale corpus the distinct-token count
+    is unbounded (URLs, typos, code run to billions), so a forced
+    broadcast would OOM the build-side hashed relation. A plain
+    shuffle join on ``token`` is the right shape: ``toks`` is already
+    exploded/shuffled on the same key by the ``uni`` aggregate, and
+    AQE may still pick a broadcast at runtime when the vocab measures
+    small. Only the 1-row corpus total keeps an explicit broadcast."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id").alias("doc"),
@@ -2914,7 +2964,7 @@ def doc_surprisal(spark, sf_dir):
     uni = toks.groupBy("token").agg(F.count("*").alias("c"))
     total = toks.select(F.count("*").alias("total"))
     scored = (
-        toks.join(F.broadcast(uni), "token")
+        toks.join(uni, "token")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "s_x1e6",
@@ -3114,9 +3164,10 @@ LLM_QUERIES = {
     ),
     "ann_pq_recall": (
         ann_pq_recall,
-        None,
+        ORACLE_PQ_RECALL,
         "product quantization: train -> encode (64x) -> ADC shortlist "
-        "-> exact re-rank -> recall@10 (recall floor pinned by pytest)",
+        "-> exact re-rank top-10; oracle is exact brute force, so a "
+        "hash match proves recall@10 = 1.0",
     ),
     "kmeans_assign": (
         kmeans_assign,
@@ -3227,9 +3278,9 @@ LLM_QUERIES = {
     ),
     "hll_sketch_rollup": (
         hll_sketch_rollup,
-        None,
-        "mergeable HLL sketch rollup (engine-specific estimate: "
-        "rows-only here, 2%-tolerance pytest pins accuracy)",
+        ORACLE_HLL_ROLLUP,
+        "mergeable HLL sketch rollup: exact countDistinct anchor + "
+        "within-2pct flag, both hash-checked against the oracle",
     ),
     "array_vector_stats": (
         array_vector_stats,

@@ -8,11 +8,12 @@ the FIRST 50 registry entries, so insertion order is rotated each round
 to maximize driver-recorded coverage across rounds (VERDICT r1 #1):
 
 - round 1 recorded the 43 parity queries + the first 7 SQL queries;
-- round 2 therefore leads with (a) queries new/changed this round,
-  (b) the full LLM tier (minus ``stream_user_totals``, demoted: its
-  driver check is rows-only anyway and pytest pins it — the window is
-  one slot short), (c) SQL queries round 1 did not record; the
-  already-driver-recorded parity tier moves to the back.
+- round 2 recorded the new/changed queries + the LLM tier through
+  ``quality_filter_reasons`` (48 full green + 2 rows-only);
+- round 3 leads with this round's changed queries, then the 32
+  queries never driver-recorded in r1/r2, then re-records of the
+  most load-bearing round-2 entries — after which every registered
+  query has a green driver row in some round's CORRECTNESS file.
 Every query not in the current window stays verified by
 ``tools/oracle_check.py`` (run per-round, see NOTES.md).
 """
@@ -25,67 +26,39 @@ from .queries_sql import SQL_QUERIES
 
 _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 
-#: Round-2 window, in priority order: (1) new/changed this round,
-#: (2) LLM tier, (3) demoted + SQL not in r1's file (rotate to r3).
-_NEW_R2 = [
-    "bm25_search_topk",
-    "tfidf_doc_keywords",
-    "pii_redaction_stats",
-    "canonical_docs",
-    "weighted_doc_sample",
-    "pmi_collocations",
-    "iqr_outlier_orders",
-    "ewma_user_value",
-    "incremental_dedup_probe",
-    "event_transitions",
-    "pit_interval_join",
-    "weighted_group_sample",
-    "doc_surprisal",
-    "fuzzy_name_pairs",
-    "scd2_user_status",
-    "orders_drift_diff",
-    "decontaminate_overlap",
-    "sequence_packing",
-    "mixture_sample_stats",
-    "repetition_scores",
-    "quality_filter_reasons",
-    "jaccard_pairs_capped",
-    "map_entries_pivot",
-    "profile_orders",
-    "ntile_deciles",
-    "group_quantiles",
-    "stream_static_join",
-    "hll_sketch_rollup",
-    "ann_pq_recall",
-    "gap_fill_daily",
-    "funnel_counts",
-    "cohort_retention",
-    "asof_forward_tolerance",
-    "udtf_flatten_props",
+#: Round-3 window, in priority order (NOTES.md "Round-3 registry
+#: rotation plan"): (1) queries new to or changed in round 3 — each
+#: needs a fresh driver-recorded row; (2) the 32 queries NEVER
+#: driver-recorded in r1/r2 (14 pushed out of r2's window, 12
+#: SQL-tier, 6 demoted rows-only); (3) remaining slots re-record the
+#: most load-bearing round-2 entries.
+_NEW_OR_CHANGED_R3 = [
+    # changed this round (see VERDICT r2 next-steps #2, #4, #5, #6):
+    "doc_surprisal",  # broadcast hint dropped (unbounded-vocab fix)
+    "hll_sketch_rollup",  # + exact countDistinct companion column
+    "ann_pq_recall",  # + exact re-rank neighbor-id companion column
+    "dedup_components",  # large-star/small-star rewrite
+    "ewma_user_value",  # explicit non-null value contract (ADVICE)
 ]
-#: Demoted behind the window: all rows-only entries whose driver check
-#: (row count only) adds least evidence — each is pinned by pytest
-#: (batch-twin equality, planted-cluster semantics, recall floors).
-#: hll_sketch_rollup and ann_pq_recall stay in-window as this round's
-#: new entries. Rotate these into round 3's window.
-#: plus shingle_df_hist: a diagnostic histogram whose shingle/digest
-#: machinery is identical to the in-window jaccard queries' — the
-#: least-marginal oracled entry when the window runs one slot short.
-_DEMOTED = [
-    "stream_user_totals",
-    "kmeans_assign",
-    "ivf_trained_recall",
-    "shingle_df_hist",
-    "pagerank_near_dup",
-    "bpe_train_merges",
+#: Never driver-recorded: pushed out of r2's window by late additions.
+_UNRECORDED_LLM = [
+    "text_profile_fused",
+    "token_stats_by_source",
+    "doc_fingerprint",
+    "subword_token_stats",
+    "winnow_fingerprints",
+    "multimodal_features",
+    "events_hourly",
+    "sessionize_events",
+    "events_sliding_window",
+    "events_trailing_hour",
+    "corpus_curation",
+    "stratified_doc_sample",
+    "heavy_hitter_tokens",
+    "array_vector_stats",
 ]
-
-_PRIORITY_R2 = [
-    *_NEW_R2,
-    *[n for n in LLM_QUERIES if n not in _NEW_R2 and n not in _DEMOTED],
-    *_DEMOTED,
-    # -- SQL-tier queries round 1's CORRECTNESS file never reached;
-    #    whatever fits this round's window records, the rest rotate
+#: Never driver-recorded: SQL tier (r1 recorded only the first 7).
+_UNRECORDED_SQL = [
     "tpch_q22_anti",
     "tpch_q6_scan",
     "tpch_q9_profit",
@@ -99,8 +72,43 @@ _PRIORITY_R2 = [
     "lateral_topk_per_nation",
     "grouping_sets_orders",
 ]
+#: Never driver-recorded: demoted rows-only/diagnostic entries (each
+#: pytest-pinned; the driver row is still worth having on record).
+_UNRECORDED_DEMOTED = [
+    "stream_user_totals",
+    "kmeans_assign",
+    "ivf_trained_recall",
+    "shingle_df_hist",
+    "pagerank_near_dup",  # dangling-mass fold-in also changed it (r3)
+    "bpe_train_merges",
+]
+#: Backfill: most load-bearing round-2 entries, re-recorded with the
+#: slots the 37 rows above leave free in the 50-row window.
+_RERECORD = [
+    "jaccard_pairs_capped",
+    "minhash_pairs",
+    "bm25_search_topk",
+    "incremental_dedup_probe",
+    "embedding_near_dup",
+    "sequence_packing",
+    "decontaminate_overlap",
+    "scd2_user_status",
+    "pit_interval_join",
+    "pii_redaction_stats",
+    "stream_static_join",
+    "jaccard_pairs_exact",
+    "dedup_exact",
+]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R2}
+_PRIORITY_R3 = [
+    *_NEW_OR_CHANGED_R3,
+    *_UNRECORDED_LLM,
+    *_UNRECORDED_SQL,
+    *_UNRECORDED_DEMOTED,
+    *_RERECORD,
+]
+
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R3}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
