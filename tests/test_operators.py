@@ -386,14 +386,63 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components,
     )
 
-    # a 6-node path graph has diameter 5: max_iter=2 cannot converge
+    # a 1000-node path graph needs ~log2(n) alternating rounds;
+    # max_iter=2 cannot converge and must raise, not silently split
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
-    ok = connected_components(chain, max_iter=10)
-    assert {r.component for r in ok.collect()} == {0}
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """The worst case for min-label propagation (diameter ~ n): the
+    large-star/small-star scheme must converge a 1000-node chain
+    within the default 25-round budget (~O(log n) rounds) and label
+    every node with the chain minimum."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    got = {r.doc: r.component for r in connected_components(chain).collect()}
+    assert got == {i: 0 for i in range(1000)}
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Property check vs a driver-side union-find on a random sparse
+    graph (seeded): every node must get the min id of its component."""
+    import random
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expected = {x: find(x) for x in touched}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc: r.component for r in connected_components(df).collect()}
+    assert got == expected
 
 
 def test_hll_sketch_rollup_within_tolerance(spark, sf_dir):
