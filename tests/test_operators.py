@@ -767,6 +767,21 @@ def test_ewma_matches_python_recurrence(spark):
         assert got[t] == math.floor(acc * 1e6 + 0.5), t
 
 
+def test_ewma_raises_on_null_value(spark):
+    """collect_list silently drops NULLs (shifting every EWMA weight)
+    while the DuckDB oracle's list() keeps them — nullable input must
+    fail loudly instead of diverging silently (round-2 advice)."""
+    import pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None), (1, 2, 30.0)], "u int, i int, value double"
+    )
+    with pytest.raises(Exception, match="ewma: NULL in value column"):
+        ewma(df, "u", ["i"], "value").collect()
+
+
 def test_incremental_probe_equals_cross_split_exact_pairs(spark, sf_dir):
     """The asymmetric probe must find exactly the cross-split subset of
     the full self-join's verified pairs (recall 1 on the fixture)."""
@@ -800,3 +815,49 @@ def test_incremental_probe_equals_cross_split_exact_pairs(spark, sf_dir):
             new, idx = (r.doc_a, r.doc_b) if ba else (r.doc_b, r.doc_a)
             want.add((new, idx, r.inter_size, r.union_size))
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_lsh_fully_recovers_exact_pairs(spark, sf_dir):
+    """FIXTURE-REGEN GUARD (round-2 advice): the incremental_dedup_probe
+    oracle is the EXACT cross-split Jaccard while the probe itself is
+    probabilistic LSH (16 bands x 4 rows => ~2e-4 miss chance per pair
+    at J=0.8). This test asserts the banding config fully recovers the
+    exact pair set on the current fixture. If a regenerated fixture
+    plants a near-threshold pair the bands miss, THIS test fails with
+    this message — re-tune bands/rows (or regenerate) before trusting
+    the driver gate; the oracle mismatch would otherwise look like a
+    code bug."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs_against,
+        shingle_sets,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    got = {
+        frozenset((r.new_doc, r.index_doc))
+        for r in minhash_lsh_pairs_against(
+            docs.filter(b < 90), docs.filter(b >= 90), "doc_id", "text"
+        ).collect()
+    }
+    exact = jaccard_pairs(shingle_sets(docs, "doc_id", "text", 3), max_shingle_freq=None)
+    buckets = {
+        r.doc_id: r.b for r in docs.select("doc_id", b.alias("b")).collect()
+    }
+    want = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in exact.collect()
+        if (buckets[r.doc_a] >= 90) != (buckets[r.doc_b] >= 90)
+    }
+    assert got == want, (
+        "LSH banding no longer recovers the exact cross-split Jaccard "
+        "pair set — fixture regen planted a near-threshold pair? "
+        f"missed={want - got}, spurious={got - want}"
+    )

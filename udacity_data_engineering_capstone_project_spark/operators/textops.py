@@ -345,8 +345,11 @@ def text_profile(
     # regexp_replace char class: same answer (chars outside
     # [a-z0-9 + ASCII whitespace]), ~18x cheaper — the regex was the
     # single biggest CPU in this operator at 10x data. The char set
-    # mirrors Java/RE2 \s (space \t \n \r \f \x0b) so the DuckDB
-    # oracle's [^a-z0-9\s] stays equivalent.
+    # mirrors RE2's \s ([ \t\n\f\r] — deliberately NO \x0b, unlike
+    # Java's \s; vertical tabs count as punct) so the DuckDB oracle's
+    # [^a-z0-9\s] stays equivalent even on \x0b-bearing text. This is
+    # an intentional behavior change vs the old Java-regex path, which
+    # treated \x0b as whitespace.
     n_punct = F.length(F.translate(low, _ALNUM_WS, ""))
     # n_distinct_tokens comes from a per-row native array_distinct
     # BEFORE the explode: keeping countDistinct out of the aggregation
@@ -450,8 +453,11 @@ def punct_stopword_ratios(
     # regexp_replace char class: same answer (chars outside
     # [a-z0-9 + ASCII whitespace]), ~18x cheaper — the regex was the
     # single biggest CPU in this operator at 10x data. The char set
-    # mirrors Java/RE2 \s (space \t \n \r \f \x0b) so the DuckDB
-    # oracle's [^a-z0-9\s] stays equivalent.
+    # mirrors RE2's \s ([ \t\n\f\r] — deliberately NO \x0b, unlike
+    # Java's \s; vertical tabs count as punct) so the DuckDB oracle's
+    # [^a-z0-9\s] stays equivalent even on \x0b-bearing text. This is
+    # an intentional behavior change vs the old Java-regex path, which
+    # treated \x0b as whitespace.
     n_punct = F.length(F.translate(low, _ALNUM_WS, ""))
     base = df.select(
         F.col(id_col).alias("doc"),

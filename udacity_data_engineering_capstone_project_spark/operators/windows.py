@@ -93,6 +93,15 @@ def ewma(
     the frame array. ``alpha_num/alpha_den`` must divide to an exact
     binary double (1/4 default) so both engines fold identical IEEE
     values; output is x1e6 fixed-point.
+
+    NULL contract (round-2 advice): ``value_col`` must be non-null and
+    this is ENFORCED — Spark's ``collect_list`` silently drops NULLs
+    (shrinking the frame and shifting every weight) while DuckDB's
+    ``list()`` keeps them and would propagate NULL through the fold,
+    so a nullable value column would make the engines diverge
+    silently. Instead a null raises immediately on both sides of the
+    oracle (the check is a plain JVM-side conditional, stays in
+    codegen).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -103,7 +112,14 @@ def ewma(
         .orderBy(*order_cols)
         .rowsBetween(-(depth - 1), Window.currentRow)
     )
-    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    checked = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.lit(f"ewma: NULL in value column {value_col!r} — the frame "
+                  "fold requires non-null values (see docstring)")
+        ).cast("double"),
+    ).otherwise(F.col(value_col).cast("double"))
+    vals = F.collect_list(checked).over(w)
     folded = F.aggregate(
         vals,
         F.lit(0.0).cast("double"),

@@ -2779,7 +2779,18 @@ def incremental_dedup_probe(spark, sf_dir):
     onto the index's band-key stream (the index is NEVER self-joined
     or shuffled), then verifies candidates exactly. The oracle is the
     exact cross-split Jaccard — LSH recall at the mined threshold is
-    ~1, proven by the hash match."""
+    ~1, proven by the hash match.
+
+    FIXTURE-REGEN CAVEAT (round-2 advice): the oracle is exact while
+    LSH is probabilistic (16 bands x 4 rows => ~2e-4 miss probability
+    for a pair at J=0.8). Parity holds because the current fixture's
+    cross-split pairs are all comfortably above the banding's recall
+    knee — a regenerated fixture could plant a near-threshold pair the
+    bands miss, failing this oracle with NO code bug.
+    tests/test_operators.py::test_incremental_dedup_lsh_fully_recovers
+    _exact_pairs asserts full recovery and names this contract, so a
+    regen surfaces as that test's failure message, not a silent
+    driver-gate mismatch."""
     from ..operators.dedup import minhash_lsh_pairs_against
 
     docs = _t(spark, sf_dir, "documents")
