@@ -52,6 +52,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # optional subset (comma-separated query names) for targeted
+    # scaling probes, e.g. the dedup family at sf10
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    headline = subset.split(",") if subset else HEADLINE
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -71,7 +75,7 @@ def main() -> None:
     # between iterations, so the timed region below is steady-state
     # EXECUTION at the target SF (scans, shuffles, aggregations all
     # re-run; only compiled code is reused).
-    for name in HEADLINE:
+    for name in headline:
         fns[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
 
@@ -79,7 +83,7 @@ def main() -> None:
     # shared host is one-sided (GC pause, CPU steal), so the minimum
     # is the standard estimator of true steady-state cost
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

@@ -861,3 +861,86 @@ def test_incremental_dedup_lsh_fully_recovers_exact_pairs(spark, sf_dir):
         "pair set — fixture regen planted a near-threshold pair? "
         f"missed={want - got}, spurious={got - want}"
     )
+
+
+def test_repeated_ngram_coverage_planted_span(spark):
+    """A 10-token span pasted into two docs must be flagged in both,
+    with window counts matching the exact sliding-window definition."""
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        repeated_ngram_coverage,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "unique one two three " + span + " tail a b c"),
+        (2, span + " other words here entirely different four five six"),
+        (3, "no overlap at all just its own content seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc: r for r in repeated_ngram_coverage(df, k=8).collect()}
+    # the 10-token span contains 3 distinct 8-token windows; both docs
+    # must count exactly those as repeated
+    assert got[1].n_repeated == 3 and got[2].n_repeated == 3
+    assert got[3].n_repeated == 0
+    for doc_id, text in rows:
+        n_tokens = len(text.split())
+        assert got[doc_id].n_windows == n_tokens - 7
+        assert got[doc_id].repeated_x1e4 == got[doc_id].n_repeated * 10000 // got[doc_id].n_windows
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """With a PLANTED domain difference (medical vs legal vocabulary),
+    an unlabeled doc written in the target vocabulary must outscore an
+    unlabeled doc written in the source vocabulary — the resampling
+    signal the method exists for. (The parquet fixture's `source`
+    labels are i.i.d. splits of one distribution, so this must be
+    tested on planted data.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        dsir_log_importance,
+    )
+
+    med = "patient dose trial symptom clinic therapy chronic acute".split()
+    law = "court clause plaintiff statute tort verdict appeal brief".split()
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):  # labeled target docs: medical
+        rows.append((i, " ".join(rng.choices(med, k=40)), True))
+    for i in range(30, 90):  # background: legal
+        rows.append((i, " ".join(rng.choices(law, k=40)), False))
+    # two probe docs, both OUTSIDE the target label
+    rows.append((1000, " ".join(rng.choices(med, k=40)), False))
+    rows.append((1001, " ".join(rng.choices(law, k=40)), False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    got = {
+        r.doc: r.dsir_x1e6
+        for r in dsir_log_importance(df, F.col("is_tgt")).collect()
+    }
+    assert got[1000] > got[1001]
+
+
+def test_hashed_linear_score_matches_python(spark):
+    """The hashed-feature logit must equal a direct python computation
+    (same md5 bucketing, same pseudo-weight formula)."""
+    import hashlib
+
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        hashed_linear_score,
+    )
+
+    texts = ["spark scales out", "bad noisy text text text", "data table join"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc: (r.n_tokens, r.logit, r.keep) for r in
+           hashed_linear_score(df).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        logit = 0
+        for w in toks:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:7], 16) % 1024
+            logit += (b * 2_654_435_761) % 5 - 2
+        assert got[i] == (len(toks), logit, logit > 0), (i, got[i], logit)

@@ -44,7 +44,10 @@ def _offset(maxval: int) -> int:
     return 10 ** (int(math.log10(max(maxval, 1))) + 1)
 
 
-def replicate(spark, src: str, dest: str, k: int = 10) -> None:
+def replicate(spark, src: str, dest: str, k: int = 10, tables=None) -> None:
+    """``tables``: optional iterable restricting which fact tables are
+    replicated (e.g. {"documents", "embeddings"} for a dedup-family
+    scaling probe) — region/nation dims are always copied."""
     read = lambda t: spark.read.parquet(f"{src}/{t}.parquet")  # noqa: E731
 
     for t in ("region", "nation"):
@@ -69,6 +72,8 @@ def replicate(spark, src: str, dest: str, k: int = 10) -> None:
         "event_id": "event", "user_id": "user",
         "vec_id": "vec", "doc_id": "doc",
     }
+    if tables is not None:
+        key_cols = {t: c for t, c in key_cols.items() if t in set(tables)}
     dmax: dict[str, int] = {}
     for t, cols in key_cols.items():
         df = read(t)
@@ -99,12 +104,19 @@ def replicate(spark, src: str, dest: str, k: int = 10) -> None:
                     ),
                 )
             if t == "embeddings" and r > 0:
-                # rotate dimensions by r: ~orthogonal to the source
+                # rotate dimensions by r AND sign-flip per (dim, r):
+                # rotation alone yields only `dim` distinct transforms,
+                # so k > dim replicas would plant exact-duplicate
+                # vectors; the deterministic hash-based sign flips make
+                # every replica's transform distinct and keep replicas
+                # ~orthogonal to their source (random high-dim cosine)
                 rep = rep.withColumn(
                     "embedding",
                     F.expr(
                         "transform(sequence(0, size(embedding) - 1),"
-                        f" i -> embedding[(i + {r}) % size(embedding)])"
+                        f" i -> CASE WHEN pmod(hash(i, {r}), 2) = 0 "
+                        "THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END"
+                        f" * embedding[(i + {r}) % size(embedding)])"
                     ),
                 )
             parts.append(rep)
@@ -121,9 +133,10 @@ def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dest = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else None
     spark = get_spark("scale-data")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    replicate(spark, src, dest, k)
+    replicate(spark, src, dest, k, tables=tables)
     return 0
 
 

@@ -259,3 +259,217 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return out.withColumn(out_col, red)
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated-substring signal (ExactSubstr-style)
+
+
+def repeated_ngram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document fraction of ``k``-token windows that also occur in
+    at least one OTHER document — the distributed approximation of the
+    "deduplicate exact substrings" signal (Lee et al. 2022, "Dedup-
+    licating Training Data Makes Language Models Better"): memorized
+    boilerplate shows up as long verbatim spans shared across
+    documents, which plain doc-level near-dup scoring misses.
+
+    Output: (doc, n_windows, n_repeated, repeated_x1e4) where
+    ``repeated_x1e4 = n_repeated * 10000 DIV n_windows`` (integer —
+    engine-exact). Documents with fewer than ``k`` tokens emit no row
+    (they have no window).
+
+    Scale shape: windows are reduced to 60-bit md5 digests before
+    anything shuffles — text never leaves the map side. One shuffle
+    builds the cross-doc window frequency (distinct (doc, digest)
+    pairs grouped by digest), one shuffle joins the repeated-digest
+    set back (plain shuffle join: the repeated set is corpus-sized in
+    the worst case, deliberately NOT broadcast), one groupBy on doc
+    aggregates the flags. Everything is linear in total token count.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens_col(text_col).alias("t")
+    ).filter(F.size("t") >= k)
+    wins = toks.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}),"
+                f" i -> {spark_hex_to_long(f'md5(array_join(slice(t, i + 1, {k}), chr(32)))', 15)})"
+            )
+        ).alias("h"),
+    )
+    repeated = (
+        wins.distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("rep"))
+    )
+    return (
+        wins.join(repeated, "h", "left")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce("rep", F.lit(0))).cast("long").alias("n_repeated"),
+        )
+        .select(
+            "doc",
+            "n_windows",
+            "n_repeated",
+            F.expr("n_repeated * 10000 DIV n_windows").alias("repeated_x1e4"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style hashed importance weights
+
+
+def dsir_log_importance(
+    df: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) with
+    the hashing trick: every token hashes into one of ``n_buckets``
+    buckets; a document's importance toward the target domain is
+    ``sum_tokens log(p_target(bucket) / p_corpus(bucket))`` with add-1
+    smoothing. High scores = documents that look like the target
+    domain; used to resample a general crawl toward a target mix.
+
+    ``target_filter`` is a boolean Column selecting the target-domain
+    rows of ``df`` (e.g. ``F.col("source") == "src0"``).
+
+    Cross-engine float discipline: each bucket's log-ratio is rounded
+    to ``scale`` fixed-point BEFORE the per-document sum, so the sum
+    is an order-free integer (the doc_surprisal recipe). Output:
+    (doc, n_tokens, dsir_x1e6).
+
+    Scale shape: the two bucket histograms are ``n_buckets``-row
+    aggregates (tiny, broadcast); the per-doc score is one shuffle
+    join of exploded (doc, bucket) tokens against the broadcast
+    ratio table — genuinely bounded, unlike an unbounded vocabulary
+    (the bucket count is the model's fixed dimension).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            target_filter.alias("is_target"),
+            F.explode(tokens_col(text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc",
+            "is_target",
+            F.expr(spark_hex_to_long("md5(token)", 7) + f" % {n_buckets}").alias("b"),
+        )
+    )
+    hist = toks.groupBy("b").agg(
+        F.count("*").alias("c_all"),
+        F.sum(F.col("is_target").cast("long")).alias("c_tgt"),
+    )
+    totals = hist.agg(
+        F.sum("c_all").alias("t_all"), F.sum("c_tgt").alias("t_tgt")
+    )
+    # add-1 smoothing over the fixed bucket space; per-bucket integer
+    # fixed-point log-ratio (order-free when summed)
+    ratio = (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("c_tgt") + 1).cast("double")
+                        / (F.col("t_tgt") + n_buckets).cast("double")
+                    )
+                    - F.log(
+                        (F.col("c_all") + 1).cast("double")
+                        / (F.col("t_all") + n_buckets).cast("double")
+                    )
+                )
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr").cast("bigint").alias("dsir_x1e6"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hashed-feature linear quality scorer (fasttext-style serving shape)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    seed_mult: int = 2_654_435_761,
+) -> DataFrame:
+    """Score every document with a linear model over hashed
+    bag-of-words features — the serving shape of a fasttext-style
+    quality classifier: token -> feature bucket (hashing trick),
+    per-doc bucket counts, dot product with a model weight vector
+    that ships as a small BROADCAST table (here the weights are a
+    deterministic pseudo-model ``w(b) = (b * seed_mult) % 5 - 2``,
+    shared formula with the oracle; a real pipeline would load
+    trained weights — the plan is identical).
+
+    Integer end-to-end: the logit is ``sum_tokens w(bucket)``, exact
+    in any engine. Output: (doc, n_tokens, logit, keep) with ``keep =
+    logit > 0`` (the filter decision a curation pipeline acts on).
+
+    Scale shape: the weight table is ``n_buckets`` rows (the model's
+    fixed dimension — genuinely broadcastable at any corpus size);
+    the corpus side is one explode + map-side broadcast-hash probe +
+    one groupBy on doc. No unbounded state anywhere.
+    """
+    weights = (
+        df.sparkSession.range(n_buckets)
+        .select(
+            F.col("id").alias("b"),
+            (F.pmod(F.col("id") * F.lit(seed_mult), F.lit(5)) - 2)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens_col(text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc",
+            F.expr(spark_hex_to_long("md5(token)", 7) + f" % {n_buckets}").alias("b"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("logit"),
+        )
+        .select(
+            "doc", "n_tokens", "logit", (F.col("logit") > 0).alias("keep")
+        )
+    )

@@ -3013,7 +3013,147 @@ FROM scored GROUP BY doc
 """
 
 
+# --------------------------------------------------------------------------
+# Round-3 curation additions: repeated-substring signal, DSIR
+# importance weights, hashed linear quality scoring
+
+
+def repeated_ngram_spans(spark, sf_dir):
+    """Cross-document repeated 8-token-window fraction per document —
+    the ExactSubstr-style boilerplate signal (Lee et al. 2022); see
+    operators.curation.repeated_ngram_coverage for the scale shape
+    (60-bit window digests, no text shuffles, no broadcasts of
+    corpus-sized sets)."""
+    from ..operators.curation import repeated_ngram_coverage
+
+    return repeated_ngram_coverage(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8
+    ).withColumnRenamed("doc", "doc_id")
+
+
+_WIN_DIGEST_DUCK = sql_hex_to_long(
+    "md5(array_to_string(t[i+1:i+8], ' '))", 15
+)
+
+ORACLE_REPEATED_NGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_TOKS_DUCK} AS t FROM documents
+),
+wins AS (
+  SELECT doc, {_WIN_DIGEST_DUCK} AS h
+  FROM (SELECT doc, t, unnest(range(len(t) - 7)) AS i FROM toks WHERE len(t) >= 8)
+),
+rep AS (
+  SELECT h FROM (SELECT DISTINCT doc, h FROM wins) GROUP BY h HAVING count(*) >= 2
+)
+SELECT w.doc AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(r.h) AS BIGINT) AS n_repeated,
+       CAST(count(r.h) * 10000 // count(*) AS BIGINT) AS repeated_x1e4
+FROM wins w LEFT JOIN rep r USING (h)
+GROUP BY w.doc
+"""
+
+
+def dsir_src0_importance(spark, sf_dir):
+    """DSIR hashed importance weights toward the ``src0`` domain
+    (Xie et al. 2023): per-doc sum of fixed-point log-ratios of
+    target vs corpus hashed-unigram distributions (1024 buckets,
+    add-1 smoothing). The bucket histograms are the model's FIXED
+    dimension — genuinely broadcastable at any corpus size, unlike a
+    raw vocabulary."""
+    from ..operators.curation import dsir_log_importance
+
+    return dsir_log_importance(
+        _t(spark, sf_dir, "documents"),
+        F.col("source") == "src0",
+        "doc_id",
+        "text",
+        n_buckets=1024,
+    ).withColumnRenamed("doc", "doc_id")
+
+
+_BUCKET_DUCK = f"{sql_md5_long('token', 7)} % 1024"
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc, is_target, {_BUCKET_DUCK} AS b FROM (
+    SELECT doc_id AS doc, source = 'src0' AS is_target,
+           unnest({_TOKS_DUCK}) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+hist AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_all,
+         CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS c_tgt
+  FROM toks GROUP BY b
+),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+               CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM hist),
+ratio AS (
+  SELECT b,
+         CAST(floor((ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + 1024 AS DOUBLE))
+                     - ln(CAST(c_all + 1 AS DOUBLE) / CAST(t_all + 1024 AS DOUBLE)))
+                    * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lr
+  FROM hist CROSS JOIN tot
+)
+SELECT t.doc AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(r.lr) AS BIGINT) AS dsir_x1e6
+FROM toks t JOIN ratio r USING (b)
+GROUP BY t.doc
+"""
+
+
+def quality_linear_score(spark, sf_dir):
+    """Fasttext-style linear quality scoring: hashed bag-of-words
+    features (1024 buckets) dot a broadcast weight table; integer
+    logit, keep = logit > 0. The weight table is a deterministic
+    pseudo-model shared formula-for-formula with the oracle — a real
+    pipeline loads trained weights into the identical plan."""
+    from ..operators.curation import hashed_linear_score
+
+    return hashed_linear_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=1024
+    ).withColumnRenamed("doc", "doc_id")
+
+
+ORACLE_LINEAR_SCORE = f"""
+WITH toks AS (
+  SELECT doc, {_BUCKET_DUCK} AS b FROM (
+    SELECT doc_id AS doc, unnest({_TOKS_DUCK}) AS token FROM documents
+  ) WHERE token <> ''
+),
+w AS (
+  SELECT CAST(r.range AS BIGINT) AS b,
+         CAST((r.range * 2654435761) % 5 - 2 AS BIGINT) AS w
+  FROM range(1024) r
+)
+SELECT t.doc AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w.w) AS BIGINT) AS logit,
+       sum(w.w) > 0 AS keep
+FROM toks t JOIN w USING (b)
+GROUP BY t.doc
+"""
+
+
 LLM_QUERIES = {
+    "repeated_ngram_spans": (
+        repeated_ngram_spans,
+        ORACLE_REPEATED_NGRAMS,
+        "curation: cross-doc repeated 8-token spans (ExactSubstr signal)",
+    ),
+    "dsir_src0_importance": (
+        dsir_src0_importance,
+        ORACLE_DSIR,
+        "curation: DSIR hashed importance weights toward a target domain",
+    ),
+    "quality_linear_score": (
+        quality_linear_score,
+        ORACLE_LINEAR_SCORE,
+        "curation: hashed-feature linear quality scorer (broadcast model)",
+    ),
     "bm25_search_topk": (
         bm25_search_topk,
         ORACLE_BM25,

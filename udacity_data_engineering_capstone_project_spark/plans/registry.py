@@ -33,6 +33,10 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 #: SQL-tier, 6 demoted rows-only); (3) remaining slots re-record the
 #: most load-bearing round-2 entries.
 _NEW_OR_CHANGED_R3 = [
+    # new in round 3 (curation-tier additions):
+    "repeated_ngram_spans",
+    "dsir_src0_importance",
+    "quality_linear_score",
     # changed this round (see VERDICT r2 next-steps #2, #4, #5, #6):
     "doc_surprisal",  # broadcast hint dropped (unbounded-vocab fix)
     "hll_sketch_rollup",  # + exact countDistinct companion column
