@@ -944,3 +944,42 @@ def test_hashed_linear_score_matches_python(spark):
             b = int(hashlib.md5(w.encode()).hexdigest()[:7], 16) % 1024
             logit += (b * 2_654_435_761) % 5 - 2
         assert got[i] == (len(toks), logit, logit > 0), (i, got[i], logit)
+
+
+def test_bigram_interp_nll_matches_python(spark):
+    """Exact python replication of the interpolated bigram NLL (same
+    token pipeline, same fixed-point rounding) + the ordering signal:
+    a boilerplate doc (repeating the corpus-dominant phrase) must
+    score lower mean NLL than a doc of rare transitions."""
+    import math
+    from collections import Counter
+
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        bigram_interp_nll,
+    )
+
+    texts = {
+        0: "the quick brown fox " * 10,
+        1: "the quick brown fox " * 10,
+        2: "zebra umbrella quick the fox brown vortex glyph",
+    }
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r.doc: (r.n_bigrams, r.mean_nll_x1e6)
+           for r in bigram_interp_nll(df).collect()}
+
+    toks = {i: t.strip().split() for i, t in texts.items()}
+    uni = Counter(w for t in toks.values() for w in t)
+    tot = sum(uni.values())
+    bi = Counter((a, b) for t in toks.values() for a, b in zip(t, t[1:]))
+    ctx = Counter()
+    for (a, _b), c in bi.items():
+        ctx[a] += c
+    for i, t in toks.items():
+        ss = []
+        for a, b in zip(t, t[1:]):
+            p = 0.75 * (bi[(a, b)] / ctx[a]) + 0.25 * (uni[b] / tot)
+            ss.append(math.floor(-math.log(p) * 1_000_000 + 0.5))
+        assert got[i] == (len(ss), sum(ss) // len(ss)), i
+    assert got[0][1] < got[2][1]  # boilerplate scores lower NLL

@@ -668,3 +668,88 @@ def cooccurrence_pmi(
     ).orderBy(
         F.col("pmi_x1e6").desc(), F.col("token_a").asc(), F.col("token_b").asc()
     ).limit(k)
+
+
+# --------------------------------------------------------------------------
+# CCNet-style interpolated bigram LM perplexity
+
+
+def bigram_interp_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambda_num: int = 3,
+    lambda_den: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a corpus-trained
+    interpolated bigram language model — the perplexity-filtering
+    signal of CCNet (Wenzek et al. 2020): docs whose text is unlikely
+    under an in-domain LM are noise, docs that are TOO likely are
+    boilerplate; pipelines keep the middle.
+
+    Model: ``p(w2|w1) = L * c(w1 w2)/c(w1*) + (1-L) * c(w2)/T`` with
+    ``L = lambda_num/lambda_den`` (default 3/4 — an exact binary
+    double, so both engines interpolate identical IEEE values);
+    ``c(w1*)`` is the bigram-context count, ``T`` the corpus token
+    count. Only bigram positions are scored (the first token of a doc
+    has no context). Per-position contributions are ``scale``
+    fixed-point rounded BEFORE the integer mean — order-free,
+    engine-exact (the doc_surprisal recipe).
+
+    Output: (doc, n_bigrams, mean_nll_x1e6). Higher = less likely
+    (mean_nll = ln(perplexity)).
+
+    Scale shape: the bigram and unigram tables are corpus-derived and
+    potentially huge, so they are joined with PLAIN shuffle joins on
+    the token (pair) keys — never broadcast-hinted (the doc_surprisal
+    unbounded-vocab lesson); the pair stream is already exploded on
+    those keys. At 100 TB add a min-count prune on the bigram table —
+    a threshold filter that composes here without changing the plan
+    shape.
+    """
+    lam = lambda_num / lambda_den
+    toks = (
+        df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("t"))
+        .filter((F.size("t") >= 2) & (F.element_at("t", 1) != ""))
+    )
+    uni = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("tot"))
+    pairs = toks.select(
+        "doc",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("p"),
+    ).select("doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni.select(F.col("w").alias("w2"), "cu"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc",
+            F.floor(
+                -F.log(
+                    F.lit(lam)
+                    * (F.col("c12").cast("double") / F.col("c1").cast("double"))
+                    + F.lit(1.0 - lam)
+                    * (F.col("cu").cast("double") / F.col("tot").cast("double"))
+                )
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(s) div count(*)").alias("mean_nll_x1e6"),
+    )

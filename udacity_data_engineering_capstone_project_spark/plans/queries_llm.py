@@ -3138,7 +3138,55 @@ GROUP BY t.doc
 """
 
 
+def doc_bigram_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filtering signal: mean NLL per document
+    under a corpus-trained interpolated bigram LM (L=3/4 bigram MLE +
+    1/4 unigram). See operators.textops.bigram_interp_nll for the
+    scale shape (plain shuffle joins on token keys — no unbounded
+    broadcasts)."""
+    from ..operators.textops import bigram_interp_nll
+
+    return bigram_interp_nll(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("doc", "doc_id")
+
+
+ORACLE_BIGRAM_PPL = f"""
+WITH docs_t AS (SELECT doc_id AS doc, {_TOKS_DUCK} AS t FROM documents),
+toks AS (SELECT doc, t FROM docs_t WHERE len(t) >= 2 AND t[1] <> ''),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+    SELECT unnest({_TOKS_DUCK}) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS tot FROM uni),
+pairs AS (
+  SELECT doc, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+scored AS (
+  SELECT p.doc,
+         CAST(floor(-ln(CAST(0.75 AS DOUBLE) * (CAST(b.c12 AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+                        + CAST(0.25 AS DOUBLE) * (CAST(u.cu AS DOUBLE) / CAST(tot.tot AS DOUBLE)))
+                    * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS s
+  FROM pairs p JOIN bi b USING (w1, w2) JOIN ctx x USING (w1)
+  JOIN uni u ON u.w = p.w2 CROSS JOIN tot
+)
+SELECT doc AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s) // count(*) AS BIGINT) AS mean_nll_x1e6
+FROM scored GROUP BY doc
+"""
+
+
 LLM_QUERIES = {
+    "doc_bigram_perplexity": (
+        doc_bigram_perplexity,
+        ORACLE_BIGRAM_PPL,
+        "text: CCNet-style interpolated bigram LM mean NLL per doc",
+    ),
     "repeated_ngram_spans": (
         repeated_ngram_spans,
         ORACLE_REPEATED_NGRAMS,
