@@ -208,6 +208,85 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    sets: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """DIRECTED near-containment pairs: (src, dst) where
+    ``|src ∩ dst| / |src| >= num/den`` over the shingle-digest sets
+    (columns ``doc``, ``hs`` — see :func:`shingle_sets`).
+
+    Containment (Broder 1997's asymmetric resemblance) catches what
+    symmetric Jaccard misses in a training corpus: a short document
+    quoted verbatim inside a much longer one has high containment but
+    near-zero Jaccard (the union is dominated by the long side). This
+    is the "is A substantially quoted in B" primitive behind
+    quote/subset dedup and license-text detection.
+
+    Output: (src, dst, inter_size, src_size, cont_x1e4) — one row per
+    direction that clears the threshold (both may). The ratio column is
+    fixed-point ``inter * 10000 DIV |src|``; the threshold itself is
+    the integer test ``inter * den >= |src| * num``.
+
+    Scale shape is exactly :func:`jaccard_pairs`'s: one inverted-index
+    self-join on 60-bit digests (cost sum(freq^2) per shingle, bounded
+    by the same df cap / broadcast anti-join), one size join; emitting
+    both directions of each undirected candidate is a projection-level
+    union, not a second join.
+    """
+    if max_shingle_freq is not None:
+        exploded = sets.select("doc", F.explode("hs").alias("h"))
+        bad = (
+            exploded.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("h")
+        )
+        sets = (
+            exploded.join(F.broadcast(bad), "h", "left_anti")
+            .groupBy("doc")
+            .agg(F.collect_list("h").alias("hs"))  # already distinct per doc
+        )
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = sets.select("doc", F.explode("hs").alias("h"))
+    sizes = sets.select("doc", F.size("hs").cast("long").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    joined = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a", "doc_b", "inter_size",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+        )
+    )
+    directed = joined.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        "inter_size", F.col("n_a").alias("src_size"),
+    ).unionByName(
+        joined.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"),
+            "inter_size", F.col("n_b").alias("src_size"),
+        )
+    )
+    return directed.filter(
+        F.col("inter_size") * threshold_den >= F.col("src_size") * threshold_num
+    ).select(
+        "src", "dst", "inter_size", "src_size",
+        F.expr("inter_size * 10000 DIV src_size").alias("cont_x1e4"),
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 64
 ) -> DataFrame:

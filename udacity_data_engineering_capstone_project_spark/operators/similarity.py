@@ -210,6 +210,64 @@ def embedding_near_dup(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    pairwise cosine WITHIN pre-assigned clusters only; a vector is a
+    semantic duplicate iff some lower-id vector in its cluster has
+    rounded cosine >= ``threshold``, and its keeper anchor is the MIN
+    such id (deterministic scan order — the paper's keep-one-per-
+    epsilon-ball approximation without an iterative pass).
+
+    Output: (vec_id, cluster, is_dup, dup_of) — ``dup_of`` NULL for
+    keepers.
+
+    Scale shape: the cluster assignment (from :func:`kmeans_cosine` /
+    :func:`centroid_table` in a real pipeline — any partition works,
+    here it is a column the caller provides) bounds the quadratic: the
+    self-join shuffles on the cluster key and costs sum(n_c^2), not
+    corpus^2 — k is the dial that keeps n_c ~ corpus/k executor-sized.
+    The exact cosine runs ONCE per candidate in the shared Arrow
+    kernel (``cosine_arrow_udf``); a built-in expression here would be
+    inlined into the join condition and recomputed by the projection
+    (see :func:`embedding_near_dup`). A mega-cluster (skewed
+    assignment) is the known failure mode — at 100 TB, cap cluster
+    size upstream by splitting on a secondary SRP band key.
+    """
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("vid"), F.col(cluster_col).alias("cl"), "cv"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cos_r_arrow = cosine_arrow_udf()
+    a = c.alias("a")
+    b = c.alias("b")
+    dups = (
+        a.join(b, (F.col("a.cl") == F.col("b.cl")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("b.vid").alias("vid"),
+            F.col("a.vid").alias("prior"),
+            cos_r_arrow(F.col("a.cv"), F.col("b.cv")).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= F.lit(threshold))
+        .groupBy("vid")
+        .agg(F.min("prior").alias("dup_of"))
+    )
+    return (
+        c.select("vid", "cl")
+        .join(dups, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cl").alias(cluster_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
 def build_ivf_assignments(
     corpus: DataFrame,
     centroids: DataFrame,

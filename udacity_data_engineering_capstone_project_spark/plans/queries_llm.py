@@ -165,6 +165,51 @@ WHERE inter_size * 5 >= (sa.n_sh + sb.n_sh - inter_size) * 3
 """
 
 
+def containment_pairs_directed(spark, sf_dir):
+    """Directed shingle containment |src∩dst|/|src| >= 0.6 — Broder's
+    asymmetric resemblance. Catches short-doc-quoted-in-long-doc
+    relations that symmetric Jaccard's union denominator washes out.
+    Same inverted-index + df-cap scale shape as ``jaccard_pairs``; the
+    cap (5) BINDS on the fixture like ``jaccard_pairs_capped``, so the
+    oracle checks the capped semantics end to end."""
+    from ..operators.dedup import containment_pairs
+
+    sh = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    return containment_pairs(
+        sh, threshold_num=3, threshold_den=5, max_shingle_freq=5
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_SHINGLES_CTE},
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+fsh AS (SELECT sh.doc, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc, count(*) AS n_sh FROM fsh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter_size
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+joined AS (
+  SELECT doc_a, doc_b, inter_size, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+),
+directed AS (
+  SELECT doc_a AS src, doc_b AS dst, inter_size, n_a AS src_size FROM joined
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst, inter_size, n_b AS src_size FROM joined
+)
+SELECT src, dst,
+       CAST(inter_size AS BIGINT) AS inter_size,
+       CAST(src_size AS BIGINT) AS src_size,
+       CAST(inter_size * 10000 // src_size AS BIGINT) AS cont_x1e4
+FROM directed
+WHERE inter_size * 5 >= src_size * 3
+"""
+
+
 def minhash_pairs(spark, sf_dir):
     """MinHash(64) + LSH(16 bands x 4 rows) + exact verification at
     Jaccard >= 0.8 — the scale path for near-dup mining. Verified
@@ -1162,6 +1207,57 @@ WHERE {cos} >= {threshold}
 
 
 ORACLE_EMBEDDING_NEAR_DUP = _srp_oracle(0.95, 16, 14)
+
+
+def semantic_dedup_clusters(spark, sf_dir):
+    """SemDeDup over the fixture's label clusters, with planted
+    +0.01-perturbed near-dups (vec_id + 100000, same label — cosine vs
+    source ~0.9999 while raw fixture vectors are mutually < 0.5): each
+    perturbed vector must resolve dup_of = its source, every base
+    vector must be a keeper. The label column stands in for the
+    k-means assignment a real pipeline feeds in
+    (operators.similarity.kmeans_cosine)."""
+    from ..operators.similarity import semantic_dedup
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x + 0.01D)").alias("embedding"),
+        "label",
+    )
+    return semantic_dedup(
+        base.unionByName(perturbed),
+        id_col="vec_id",
+        vec_col="embedding",
+        cluster_col="label",
+        threshold=0.95,
+    )
+
+
+_COS_SEMDEDUP = sql_round_fixed("list_cosine_similarity(a.v, b.v)", 4)
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+c AS (
+  SELECT vec_id, v, label FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x + 0.01), label FROM base
+),
+dups AS (
+  SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+  FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_COS_SEMDEDUP} >= 0.95
+  GROUP BY b.vec_id
+)
+SELECT cc.vec_id, cc.label,
+       d.dup_of IS NOT NULL AS is_dup,
+       d.dup_of
+FROM c cc LEFT JOIN dups d ON d.vid = cc.vec_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3182,6 +3278,16 @@ FROM scored GROUP BY doc
 
 
 LLM_QUERIES = {
+    "containment_pairs_directed": (
+        containment_pairs_directed,
+        ORACLE_CONTAINMENT,
+        "dedup: directed shingle containment (quote/subset detection)",
+    ),
+    "semantic_dedup_clusters": (
+        semantic_dedup_clusters,
+        ORACLE_SEMANTIC_DEDUP,
+        "dedup: SemDeDup within-cluster cosine keep-one (planted dups)",
+    ),
     "doc_bigram_perplexity": (
         doc_bigram_perplexity,
         ORACLE_BIGRAM_PPL,

@@ -34,6 +34,8 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 #: most load-bearing round-2 entries.
 _NEW_OR_CHANGED_R3 = [
     # new in round 3 (curation-tier additions):
+    "containment_pairs_directed",
+    "semantic_dedup_clusters",
     "doc_bigram_perplexity",
     "repeated_ngram_spans",
     "dsir_src0_importance",
