@@ -983,3 +983,94 @@ def test_bigram_interp_nll_matches_python(spark):
             ss.append(math.floor(-math.log(p) * 1_000_000 + 0.5))
         assert got[i] == (len(ss), sum(ss) // len(ss)), i
     assert got[0][1] < got[2][1]  # boilerplate scores lower NLL
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    short = "alpha bravo charlie delta echo foxtrot"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    sets = shingle_sets(df, "doc_id", "text", 3)
+    # the short doc is fully contained in the long one...
+    cont = containment_pairs(sets, threshold_num=4, threshold_den=5).collect()
+    assert [(r.src, r.dst) for r in cont] == [(1, 2)]
+    assert cont[0].cont_x1e4 == 10000  # every short-doc shingle matched
+    # ...while symmetric Jaccard at the same threshold sees nothing
+    jac = jaccard_pairs(sets, threshold_num=4, threshold_den=5).collect()
+    assert jac == []
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.001, 0.0], 0),   # near-dup of 1, same cluster
+        (3, [1.0, 0.0, 0.0], 1),       # identical to 1 but other cluster
+        (4, [0.0, 1.0, 0.0], 0),       # same cluster, dissimilar
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    )
+    got = {r.vec_id: (r.is_dup, r.dup_of)
+           for r in semantic_dedup(df, threshold=0.95).collect()}
+    assert got == {1: (False, None), 2: (True, 1),
+                   3: (False, None), 4: (False, None)}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.999, 0.01], 0),   # most similar overall but SAME label
+        (3, [0.9, 0.1], 1),      # hardest valid negative
+        (4, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = hard_negatives(
+        df.filter("vec_id = 1"), df, "vec_id", "embedding", "label", k=2
+    ).orderBy("rank").collect()
+    assert [r.neighbor_id for r in got] == [3, 4]
+    assert all(r.neighbor_label != 0 for r in got)
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        vocab_coverage,
+    )
+
+    # counts: a=4, b=2, c=1, d=1 -> total 8
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c d")], "doc_id long, text string"
+    )
+    got = {r.pct: (r.target_mass, r.vocab_needed)
+           for r in vocab_coverage(df, "text", (50, 75, 99)).collect()}
+    # 50%: target 4 -> the single 'a' class covers it
+    # 75%: target 6 -> a (4) + b (2) = 2 types
+    # 99%: target ceil(7.92)=8 -> a+b+both singletons = 4 types
+    assert got == {50: (4, 1), 75: (6, 2), 99: (8, 4)}
+
+
+def test_temperature_mixture_sqrt_quotas(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        temperature_mixture_plan,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.source: r for r in temperature_mixture_plan(df, "source", 100).collect()}
+    assert got["big"].weight_x1e6 == 30_000_000
+    assert got["small"].weight_x1e6 == 10_000_000
+    # raw proportions would be 90/10; sqrt tempering gives 75/25
+    assert got["big"].planned_docs == 75
+    assert got["small"].planned_docs == 25

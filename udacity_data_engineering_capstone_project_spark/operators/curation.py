@@ -265,6 +265,53 @@ def redact_pii(
 # Cross-document repeated-substring signal (ExactSubstr-style)
 
 
+def temperature_mixture_plan(
+    df: DataFrame,
+    group_col: str = "source",
+    target_total: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled domain mixture plan (the T5/PaLM data-mixing
+    rule at temperature 2): per-domain sampling shares proportional to
+    ``sqrt(n_domain)`` instead of ``n_domain``, so giant domains stop
+    drowning small ones without inverting the order.
+
+    Output: (group, n_docs, weight_x1e6, share_x1e6, planned_docs)
+    where ``weight_x1e6 = floor(sqrt(n) * 1e6 + 0.5)`` (sqrt is a
+    correctly-rounded IEEE op — bit-identical across engines, which is
+    why the exponent is fixed at 1/2 rather than a general pow),
+    ``share_x1e6`` the integer-normalized share, and ``planned_docs =
+    share * target_total DIV 1e6`` the per-domain quota to feed
+    :func:`mixture_sample`.
+
+    Scale: one groupBy on the domain key; the domain table is
+    dims-sized, the 1-row weight total is broadcast back. Nothing else
+    shuffles.
+    """
+    groups = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    weighted = groups.select(
+        "grp",
+        "n_docs",
+        F.expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)")
+        .alias("weight_x1e6"),
+    )
+    total = weighted.agg(F.sum("weight_x1e6").alias("w_total"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "weight_x1e6",
+            F.expr("weight_x1e6 * 1000000 DIV w_total").alias("share_x1e6"),
+            F.expr(
+                f"weight_x1e6 * 1000000 DIV w_total * CAST({target_total} AS BIGINT)"
+                " DIV 1000000"
+            ).alias("planned_docs"),
+        )
+    )
+
+
 def repeated_ngram_coverage(
     df: DataFrame,
     id_col: str = "doc_id",

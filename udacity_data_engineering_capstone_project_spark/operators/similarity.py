@@ -210,6 +210,58 @@ def embedding_near_dup(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-``k`` most-similar corpus vectors with a DIFFERENT label — the
+    highest-value negatives for embedding-model training (in-batch
+    randoms are too easy; same-label neighbors are positives, not
+    negatives).
+
+    Output: (query_id, neighbor_id, neighbor_label, cos_sim, rank),
+    rank 1 = hardest. Ranking is on the rounded cosine with an id
+    tie-break (engine-independent order).
+
+    Scale shape = :func:`brute_force_topk`'s: the query set (a
+    training-batch-sized sample) is broadcast against the corpus, so
+    the corpus scans map-side only; per-query top-k is a
+    TakeOrderedAndProject-style window, not a global sort. Swap in
+    :func:`ivf_topk`'s cell-probing for the sublinear variant — the
+    label-mismatch predicate composes as the same post-filter.
+    """
+    q = _with_double_vec(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label"), "qv"
+    )
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        "cv",
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine_cols(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -674,6 +674,73 @@ def cooccurrence_pmi(
 # CCNet-style interpolated bigram LM perplexity
 
 
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds_pct: tuple[int, ...] = (50, 90, 95, 99),
+) -> DataFrame:
+    """Vocabulary size needed to cover X% of corpus token mass — the
+    Zipf-curve statistic behind tokenizer vocab sizing and OOV-rate
+    budgeting (how many types must a vocab hold before <1% of running
+    text is unknown?).
+
+    Output: (pct, target_mass, vocab_needed) — ``vocab_needed`` is the
+    number of most-frequent token types whose cumulative count first
+    reaches ``target_mass = ceil(total * pct / 100)``. Within a
+    frequency class (types tied at count c) types are interchangeable,
+    so the partial class contributes ``ceil(remaining / c)`` types —
+    all integer arithmetic, engine-exact.
+
+    Scale shape — the reason this is NOT a global sort over the vocab:
+    pass 1 builds token counts (one shuffle, vocab-sized); pass 2
+    groups types BY THEIR COUNT into a frequency histogram. Distinct
+    count values are O(sqrt(total tokens)) (k distinct positive values
+    sum to >= k(k+1)/2), so the histogram is ~1e4 rows even at 100 TB
+    and the cumulative window over it runs in one tiny task — the
+    billion-type global rank a naive cumsum-over-vocab would need
+    never happens. Thresholds join in as a literal dim.
+    """
+    counts = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    hist = counts.groupBy("c").agg(F.count("*").alias("n_types"))
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classes = hist.select(
+        "c",
+        "n_types",
+        F.sum(F.col("c") * F.col("n_types")).over(w).alias("cum_mass"),
+        F.sum("n_types").over(w).alias("cum_types"),
+    )
+    pcts = df.sparkSession.createDataFrame(
+        [(int(p),) for p in thresholds_pct], "pct int"
+    )
+    qualified = (
+        classes.crossJoin(F.broadcast(pcts))
+        .crossJoin(
+            F.broadcast(counts.agg(F.sum("c").cast("long").alias("total")))
+        )
+        .withColumn("target_mass", F.expr("(total * pct + 99) DIV 100"))
+        .filter(F.col("cum_mass") >= F.col("target_mass"))
+        .withColumn(
+            "needed",
+            F.expr(
+                "cum_types - n_types"
+                " + (target_mass - (cum_mass - c * n_types) + c - 1) DIV c"
+            ),
+        )
+    )
+    return (
+        qualified.groupBy("pct", "target_mass")
+        .agg(F.min_by("needed", "cum_mass").alias("vocab_needed"))
+        .select("pct", "target_mass", "vocab_needed")
+    )
+
+
 def bigram_interp_nll(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1260,6 +1260,105 @@ FROM c cc LEFT JOIN dups d ON d.vid = cc.vec_id
 """
 
 
+def ann_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per query (vec_id < 5) the
+    top-10 most-similar corpus vectors with a DIFFERENT label —
+    broadcast queries, map-side corpus scan, windowed top-k on the
+    rounded cosine with id tie-break."""
+    from ..operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return hard_negatives(queries, emb, "vec_id", "embedding", "label", k=10)
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         {_COS_QC} AS cos_sim
+  FROM q, c WHERE neighbor_label <> q_label
+)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+       CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def vocab_coverage_curve(spark, sf_dir):
+    """Zipf coverage curve: token types needed to cover 50/90/95/99%
+    of corpus token mass. Two-pass frequency-class plan — the
+    cumulative window runs over the O(sqrt(tokens))-row count
+    histogram, never over the vocab itself (see
+    operators.textops.vocab_coverage)."""
+    from ..operators.textops import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), "text")
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH counts AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_TOKS_DUCK}) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS n_types FROM counts GROUP BY c),
+classes AS (
+  SELECT c, n_types,
+         CAST(sum(c * n_types) OVER (ORDER BY c DESC) AS BIGINT) AS cum_mass,
+         CAST(sum(n_types) OVER (ORDER BY c DESC) AS BIGINT) AS cum_types
+  FROM hist
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+pcts AS (SELECT unnest([50, 90, 95, 99]) AS pct),
+q AS (
+  SELECT pct, (total * pct + 99) // 100 AS target_mass,
+         c, n_types, cum_mass, cum_types
+  FROM classes CROSS JOIN tot CROSS JOIN pcts
+  WHERE cum_mass >= (total * pct + 99) // 100
+)
+SELECT pct, CAST(target_mass AS BIGINT) AS target_mass,
+       CAST(min_by(cum_types - n_types
+                   + (target_mass - (cum_mass - c * n_types) + c - 1) // c,
+                   cum_mass) AS BIGINT) AS vocab_needed
+FROM q GROUP BY pct, target_mass
+"""
+
+
+def domain_mixture_plan(spark, sf_dir):
+    """Temperature-2 domain mixture plan over documents.source:
+    per-domain quotas proportional to sqrt(n) for a 1000-doc sample —
+    one groupBy on the domain key plus a broadcast 1-row total."""
+    from ..operators.curation import temperature_mixture_plan
+
+    return temperature_mixture_plan(
+        _t(spark, sf_dir, "documents"), "source", target_total=1000
+    )
+
+
+ORACLE_MIXTURE_PLAN = """
+WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS weight_x1e6
+      FROM g),
+t AS (SELECT CAST(sum(weight_x1e6) AS BIGINT) AS w_total FROM w)
+SELECT source, n_docs, weight_x1e6,
+       CAST(weight_x1e6 * 1000000 // w_total AS BIGINT) AS share_x1e6,
+       CAST(weight_x1e6 * 1000000 // w_total * 1000 // 1000000 AS BIGINT)
+         AS planned_docs
+FROM w CROSS JOIN t
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 
@@ -3287,6 +3386,21 @@ LLM_QUERIES = {
         semantic_dedup_clusters,
         ORACLE_SEMANTIC_DEDUP,
         "dedup: SemDeDup within-cluster cosine keep-one (planted dups)",
+    ),
+    "ann_hard_negatives": (
+        ann_hard_negatives,
+        ORACLE_HARD_NEGATIVES,
+        "similarity: contrastive hard-negative mining (cross-label top-k)",
+    ),
+    "vocab_coverage_curve": (
+        vocab_coverage_curve,
+        ORACLE_VOCAB_COVERAGE,
+        "text: Zipf vocab-coverage curve via frequency-class histogram",
+    ),
+    "domain_mixture_plan": (
+        domain_mixture_plan,
+        ORACLE_MIXTURE_PLAN,
+        "curation: temperature-2 sqrt(n) domain mixture quotas",
     ),
     "doc_bigram_perplexity": (
         doc_bigram_perplexity,

@@ -36,6 +36,9 @@ _NEW_OR_CHANGED_R3 = [
     # new in round 3 (curation-tier additions):
     "containment_pairs_directed",
     "semantic_dedup_clusters",
+    "ann_hard_negatives",
+    "vocab_coverage_curve",
+    "domain_mixture_plan",
     "doc_bigram_perplexity",
     "repeated_ngram_spans",
     "dsir_src0_importance",
