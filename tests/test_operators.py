@@ -1074,3 +1074,23 @@ def test_temperature_mixture_sqrt_quotas(spark):
     # raw proportions would be 90/10; sqrt tempering gives 75/25
     assert got["big"].planned_docs == 75
     assert got["small"].planned_docs == 25
+
+
+def test_srp_auto_config_linear_collision_budget():
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        srp_auto_config,
+    )
+    import math
+
+    for n in (1_000, 100_000, 1_000_000, 100_000_000):
+        bands, rows = srp_auto_config(n, target_cos=0.99, miss=1e-6)
+        # expected RANDOM candidates n^2/2 * b/2^r must stay ~linear:
+        # <= n * bands (r >= log2(n) + 1 guarantees it; we set +4)
+        if rows < 28:  # below the cap the bound is exact
+            assert n * n / 2 * bands / 2**rows <= n * bands / 2
+        # recall pinned: miss probability at target_cos under 1e-6
+        p_bit = 1 - math.acos(0.99) / math.pi
+        assert (1 - p_bit**rows) ** bands <= 1e-6
+    # monotone: bigger corpora never get narrower bands
+    rs = [srp_auto_config(n)[1] for n in (1_000, 10**6, 10**9)]
+    assert rs == sorted(rs)

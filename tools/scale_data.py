@@ -15,11 +15,19 @@ Replication rules (semantics-preserving at k-times scale):
   change, only the number of keys, which is precisely what a bigger SF
   means.
 - documents.text: a per-(doc, replica) tag token is interleaved every
-  4th word. Verbatim replication would make every doc a 10-way exact
+  2nd word. Verbatim replication would make every doc a k-way exact
   dup and blow the near-dup pair count up quadratically (k^2 per
-  group) — a different WORKLOAD, not a bigger one. The tag rewrites
-  ~all 3-gram shingles per replica, so cross-replica Jaccard drops to
-  ~0 and dedup/LSH cost scales with corpus size, as at a real 10x.
+  group) — a different WORKLOAD, not a bigger one. With a tag every
+  2 words, EVERY 3-word window contains a tag (a window of 3
+  consecutive positions always crosses a period-3 tag slot), so every
+  3-gram shingle is replica-specific: cross-replica Jaccard is
+  exactly 0, shingle document frequencies keep the BASE corpus's
+  distribution instead of inflating k-fold, and dedup/LSH cost scales
+  with corpus size, as at a real kx. (The previous every-4th-word
+  interleave left 2 of every 5 shingles tag-free — cross-replica df
+  ~k x base, which quadratically inflated the inverted-index join at
+  large k: an artifact of the replication, not a property of bigger
+  corpora.)
 - embeddings.embedding: per-replica dimension ROTATION. A rotated
   vector is ~orthogonal to its source (random high-dim cosine), so
   ANN/SRP workloads see k-times more points, not k-times copies of
@@ -91,16 +99,17 @@ def replicate(spark, src: str, dest: str, k: int = 10, tables=None) -> None:
             for c in cols:
                 rep = rep.withColumn(c, F.col(c) + F.lit(r * off[domain_of[c]]))
             if t == "documents":
-                # interleave a per-(doc, replica) tag every 4th word:
-                # rewrites ~all 3-gram shingles, so replicas are NOT
-                # near-dups of their source (see module docstring)
+                # interleave a per-(doc, replica) tag every 2nd word:
+                # every 3-gram shingle then contains a tag, so replicas
+                # share ZERO shingles with their source (see module
+                # docstring)
                 rep = rep.withColumn(
                     "text",
                     F.expr(
                         "array_join(flatten(transform("
-                        "  sequence(0, cast(size(split(text, ' ')) / 4 as int)),"
+                        "  sequence(0, cast(size(split(text, ' ')) / 2 as int)),"
                         f"  i -> concat(array(concat('x', doc_id, 'q{r}')),"
-                        "              slice(split(text, ' '), i * 4 + 1, 4)))), ' ')"
+                        "              slice(split(text, ' '), i * 2 + 1, 2)))), ' ')"
                     ),
                 )
             if t == "embeddings" and r > 0:

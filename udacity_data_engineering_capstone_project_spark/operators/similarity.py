@@ -210,6 +210,39 @@ def embedding_near_dup(
     )
 
 
+def srp_auto_config(
+    n: int,
+    target_cos: float = 0.99,
+    miss: float = 1e-6,
+    min_rows: int = 14,
+    max_rows: int = 28,
+) -> tuple[int, int]:
+    """Pick an SRP-LSH (bands, rows) configuration for a corpus of
+    ``n`` vectors: band width grows with log2(n) so the RANDOM
+    band-collision count stays ~linear in n, and the band count is
+    then sized to hold the miss probability at ``target_cos`` below
+    ``miss``.
+
+    The math: a random (cosine ~0) pair matches one ``r``-bit band
+    with p = 2^-r, so expected random candidates are
+    ``n^2/2 * bands / 2^r`` — fixing r = ceil(log2 n) + 4 makes that
+    ``n * bands / 32``: linear, by construction, at ANY n. A true pair
+    at cosine c matches a band with ``p_band = (1 - arccos(c)/pi)^r``;
+    ``bands = ceil(ln(miss) / ln(1 - p_band))`` pins recall. This is
+    the dial the fixed 16x14 config (tuned for the fixture's ~1e3-1e4
+    vectors) needs turned at 100 TB — at n = 1e6 it returns r = 24,
+    at n = 1e9 r = 28 (capped: beyond ~28 bits, plane count and
+    signature width dominate; shard the corpus instead).
+    """
+    import math
+
+    rows = min(max(min_rows, math.ceil(math.log2(max(n, 2))) + 4), max_rows)
+    p_bit = 1.0 - math.acos(target_cos) / math.pi
+    p_band = p_bit**rows
+    bands = max(1, math.ceil(math.log(miss) / math.log(1.0 - p_band)))
+    return bands, rows
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,
