@@ -1094,3 +1094,50 @@ def test_srp_auto_config_linear_collision_budget():
     # monotone: bigger corpora never get narrower bands
     rs = [srp_auto_config(n)[1] for n in (1_000, 10**6, 10**9)]
     assert rs == sorted(rs)
+
+
+def test_bpe_encode_matches_reference_impl(spark):
+    """Applying a learned merge table must reproduce a sequential
+    reference encoder's subword counts exactly."""
+    import re
+
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        bpe_encode,
+        train_bpe_merges,
+    )
+
+    texts = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest new new",
+        "the newest low rider is the widest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe_merges(df, "text", n_merges=8)
+    got = {r.doc: (r.n_words, r.n_subwords, r.fertility_x100)
+           for r in bpe_encode(df, merges, "doc_id", "text").collect()}
+
+    ordered = [(a, b) for (_r, a, b, _n) in sorted(merges)]
+
+    def encode(word: str) -> int:
+        lst = list(word)
+        for a, b in ordered:
+            res, i = [], 0
+            while i < len(lst):
+                if i < len(lst) - 1 and lst[i] == a and lst[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(lst[i])
+                    i += 1
+            lst = res
+        return len(lst)
+
+    for doc_id, t in enumerate(texts):
+        ws = re.sub(r"[^a-z0-9 ]", " ", t.lower()).split()
+        n_sub = sum(encode(w) for w in ws)
+        assert got[doc_id] == (len(ws), n_sub, n_sub * 100 // len(ws)), doc_id
+    # merged symbols compress: fertility strictly below chars-per-word x100
+    assert got[0][1] < sum(len(w) for w in re.sub(r"[^a-z0-9 ]", " ",
+                           texts[0].lower()).split())

@@ -421,3 +421,89 @@ def test_linear_score_broadcasts_fixed_weight_table(spark):
     must reach the probe side as a broadcast hash join."""
     plan = _plan(spark, "quality_linear_score")
     assert "BroadcastHashJoin" in plan
+
+
+def test_containment_both_directions_from_one_join(spark):
+    """containment_pairs emits both directions of each candidate as a
+    projection-level union over ONE inverted-index self-join — a
+    second digest self-join would double the dominant sum(freq^2)
+    cost. The two Union children must reference the same join, so the
+    plan carries exactly the joins of the single-join shape (1 digest
+    self-join + 2 size joins, reused per direction)."""
+    plan = _plan(spark, "containment_pairs_directed")
+    assert "Union" in plan
+    # the digest self-join is a SortMergeJoin/ShuffledHashJoin on h;
+    # a doubled plan would carry twice the joins of the jaccard twin
+    jac = _plan(spark, "jaccard_pairs_capped")
+    n_joins = lambda p: len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p))
+    assert n_joins(plan) <= 2 * n_joins(jac)
+
+
+def test_semantic_dedup_cosine_not_inlined_and_join_on_cluster(spark):
+    """semantic_dedup's exact cosine must stay an ArrowEvalPython
+    column above the within-cluster join (never inlined into the join
+    condition and recomputed — the round-2 double-evaluation trap),
+    and the self-join key must be the cluster column (bounding the
+    quadratic by cluster size)."""
+    plan = _plan(spark, "semantic_dedup_clusters")
+    assert "ArrowEvalPython" in plan
+    for line in plan.split("\n"):
+        if "Join" in line:
+            assert "zip_with" not in line
+            assert "aggregate(" not in line
+
+
+def test_hard_negatives_broadcasts_queries_no_global_sort(spark):
+    """The query side is broadcast (corpus scans map-side only) and
+    per-query top-k happens in a partitioned window, never a global
+    sort of all similarities."""
+    plan = _plan(spark, "ann_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_vocab_coverage_window_runs_on_histogram_not_vocab(spark):
+    """The cumulative window must consume the (count -> n_types)
+    frequency histogram — i.e. sit ABOVE two HashAggregates (token
+    counts, then count histogram) — never the raw vocab-sized count
+    table directly: the histogram is O(sqrt(tokens)) rows, the vocab
+    is not."""
+    plan = _plan(spark, "vocab_coverage_curve")
+    win = plan.find("Window")
+    assert win != -1
+    below = plan[win:]
+    # both aggregate phases appear below the window in the plan tree
+    assert below.count("HashAggregate") >= 4  # 2 logical x partial/final
+
+
+def test_mixture_plan_single_shuffle(spark):
+    """temperature_mixture_plan: one groupBy on the domain key; the
+    1-row weight total joins back via broadcast — no second
+    aggregation shuffle of the domain table."""
+    plan = _plan(spark, "domain_mixture_plan")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _shuffles(plan) <= 2  # domain groupBy (+ AQE artifacts)
+
+
+def test_soft_dedup_weights_joins_on_component_key(spark):
+    """soft_dedup_weights: cluster sizes come from ONE groupBy on the
+    component key joined straight back — no text columns below any
+    exchange in the weights subtree (digests only)."""
+    plan = _plan(spark, "soft_dedup_doc_weights")
+    for line in plan.split("\n"):
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_bpe_encode_joins_vocab_without_broadcast_hint(spark):
+    """bpe_encode: the per-word subword counts join docs on the word
+    key as a plain shuffle join — the vocab is unbounded, so no
+    broadcast hint may appear (the doc_surprisal lesson). The merge
+    table itself ships in the UDF closure, not as a join."""
+    from udacity_data_engineering_capstone_project_spark.plans.registry import (
+        ALL_QUERIES,
+    )
+
+    df = ALL_QUERIES["bpe_fertility"][0](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized

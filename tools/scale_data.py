@@ -14,20 +14,23 @@ Replication rules (semantics-preserving at k-times scale):
   exactly the original fan-out — a join's matches per key do not
   change, only the number of keys, which is precisely what a bigger SF
   means.
-- documents.text: a per-(doc, replica) tag token is interleaved every
-  2nd word. Verbatim replication would make every doc a k-way exact
-  dup and blow the near-dup pair count up quadratically (k^2 per
-  group) — a different WORKLOAD, not a bigger one. With a tag every
-  2 words, EVERY 3-word window contains a tag (a window of 3
-  consecutive positions always crosses a period-3 tag slot), so every
-  3-gram shingle is replica-specific: cross-replica Jaccard is
-  exactly 0, shingle document frequencies keep the BASE corpus's
-  distribution instead of inflating k-fold, and dedup/LSH cost scales
-  with corpus size, as at a real kx. (The previous every-4th-word
-  interleave left 2 of every 5 shingles tag-free — cross-replica df
-  ~k x base, which quadratically inflated the inverted-index join at
-  large k: an artifact of the replication, not a property of bigger
-  corpora.)
+- documents.text: a PER-REPLICA tag token (same token for every doc
+  in replica r) is interleaved every 2nd word. Verbatim replication
+  would make every doc a k-way exact dup and blow the near-dup pair
+  count up quadratically (k^2 per group) — a different WORKLOAD, not
+  a bigger one. With a tag every 2 words, EVERY 3-word window
+  contains the tag, so all shingles are replica-qualified:
+  cross-replica Jaccard is exactly 0 (different replicas carry
+  different tags) while WITHIN a replica the tag is shared, so two
+  docs match a tagged shingle iff they share the underlying word
+  pair — base near-dup pairs SURVIVE inside each replica and the
+  true-pair count scales exactly k-fold (linear), the honest "k
+  times more of the same workload". Two earlier designs failed
+  opposite ways: every-4th-word tagging left 2/5 of shingles
+  untagged (cross-replica df inflated k-fold -> quadratic
+  inverted-index artifact), and per-(doc, replica) tags qualified
+  every shingle by doc id (ALL near-dup pairs destroyed -> the dedup
+  family had zero verification work to scale).
 - embeddings.embedding: per-replica dimension ROTATION. A rotated
   vector is ~orthogonal to its source (random high-dim cosine), so
   ANN/SRP workloads see k-times more points, not k-times copies of
@@ -99,16 +102,16 @@ def replicate(spark, src: str, dest: str, k: int = 10, tables=None) -> None:
             for c in cols:
                 rep = rep.withColumn(c, F.col(c) + F.lit(r * off[domain_of[c]]))
             if t == "documents":
-                # interleave a per-(doc, replica) tag every 2nd word:
-                # every 3-gram shingle then contains a tag, so replicas
-                # share ZERO shingles with their source (see module
-                # docstring)
+                # interleave the PER-REPLICA tag every 2nd word: every
+                # 3-gram contains the tag (cross-replica Jaccard 0)
+                # but the tag is shared within the replica, so base
+                # near-dup pairs survive k-fold (see module docstring)
                 rep = rep.withColumn(
                     "text",
                     F.expr(
                         "array_join(flatten(transform("
                         "  sequence(0, cast(size(split(text, ' ')) / 2 as int)),"
-                        f"  i -> concat(array(concat('x', doc_id, 'q{r}')),"
+                        f"  i -> concat(array('xrep{r}q'),"
                         "              slice(split(text, ' '), i * 2 + 1, 2)))), ' ')"
                     ),
                 )

@@ -102,30 +102,56 @@ REGISTERED = [
 ]
 
 
-def main() -> int:
+def _run_one(name: str, sf_dir: str) -> float:
+    """Child-process entry: warm-up + min-of-2 timed runs of ONE query
+    in its own fresh JVM."""
     from udacity_data_engineering_capstone_project_spark.plans.registry import (
         query_fns,
     )
     from udacity_data_engineering_capstone_project_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
-    only = set(sys.argv[2:])
-    fns = {**{k: query_fns()[k] for k in REGISTERED}, **LOCAL}
-    if only:
-        fns = {k: v for k, v in fns.items() if k in only}
-
+    fn = LOCAL.get(name) or query_fns()[name]
     spark = get_spark("scale-probe-dedup")
-    timings: dict[str, float] = {}
-    for name, fn in fns.items():
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
         spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    return best
+
+
+def main() -> int:
+    import subprocess
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    only = [a for a in sys.argv[2:]]
+
+    if os.environ.get("SPARK_PROBE_CHILD"):
+        best = _run_one(os.environ["SPARK_PROBE_CHILD"], sf_dir)
+        print(f"PROBE_RESULT {best:.3f}")
+        return 0
+
+    # FRESH JVM (subprocess) per query: at 100x-replica scale, a
+    # session that has already run several heavy queries carries a
+    # bloated heap whose GC later queries pay — measured 10x inflation
+    # on simhash at sf10 when run 3rd in a shared session vs fresh.
+    # Per-query processes measure each operator's OWN scaling, which
+    # is what the probe is for. (spark.stop() is not enough: the py4j
+    # JVM survives it.)
+    names = only or (REGISTERED + list(LOCAL))
+    timings: dict[str, float] = {}
+    for name in names:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir],
+            env={**os.environ, "SPARK_PROBE_CHILD": name},
+            capture_output=True, text=True, check=True,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("PROBE_RESULT "):
+                timings[name] = round(float(line.split()[1]), 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
     print(json.dumps({
         "metric": "dedup_family_wall",

@@ -702,6 +702,43 @@ def pagerank(
     return ranks
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, give
+    every document the inverse of its duplicate-cluster size as a
+    training sample weight — the repetition-aware loss-weighting
+    alternative to hard removal (each semantic item contributes total
+    weight 1 regardless of how many near-copies exist).
+
+    ``components`` is :func:`connected_components` output
+    (doc, component); documents absent from it are singletons and
+    become their own component. Output: (doc, component, cluster_size,
+    weight_x1e4) with ``weight_x1e4 = 10000 DIV cluster_size``.
+
+    Scale: one left join on doc id, one groupBy + join on the
+    component key. A pathological mega-cluster skews the component
+    key — AQE skew-join handles it, and its weight rounds to 0,
+    which is the intended semantics (unbounded boilerplate
+    contributes nothing).
+    """
+    docs = df.select(F.col(id_col).alias("doc"))
+    labeled = docs.join(components, "doc", "left").select(
+        "doc", F.coalesce("component", F.col("doc")).alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labeled.join(sizes, "component").select(
+        "doc",
+        "component",
+        "cluster_size",
+        F.expr("10000 DIV cluster_size").alias("weight_x1e4"),
+    )
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: every node connects its STRICTLY LARGER
     neighbors to the minimum of its closed neighborhood. Input/output:

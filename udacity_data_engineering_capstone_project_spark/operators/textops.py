@@ -585,6 +585,77 @@ def bpe_merges_table(
     ).filter(F.col("merge_rank") >= 0)
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge table (from :func:`train_bpe_merges`)
+    to a corpus — the tokenizer-application half of the BPE story,
+    reporting per-document subword fertility (subwords per 100 words),
+    the standard tokenizer-fit metric for corpus/tokenizer pairing.
+
+    Output: (doc, n_words, n_subwords, fertility_x100) where
+    ``fertility_x100 = n_subwords * 100 DIV n_words``.
+
+    Scale shape — encode the VOCABULARY, not the corpus: the corpus
+    collapses to its distinct-word table (one shuffle, orders of
+    magnitude smaller than the token stream), each distinct word is
+    encoded ONCE in an Arrow kernel that applies the merge list in
+    rank order (the merge table is O(n_merges) driver state shipped in
+    the closure — the genuinely-bounded broadcast case), and documents
+    then pick up per-word subword counts through a plain shuffle join
+    on the word key (vocab is unbounded — never broadcast-hinted; the
+    doc_surprisal lesson).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = [(a, b) for (_rank, a, b, _n) in sorted(merges)]
+
+    @pandas_udf("int")
+    def n_subwords_of(col: pd.Series) -> pd.Series:
+        out = []
+        for w in col:
+            lst = list(w)
+            for a, b in ordered:
+                if a not in lst:
+                    continue
+                res, i, L = [], 0, len(lst)
+                while i < L:
+                    if i < L - 1 and lst[i] == a and lst[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(lst[i])
+                        i += 1
+                lst = res
+            out.append(len(lst))
+        return pd.Series(out, dtype="int32")
+
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = toks.select("w").distinct().select(
+        "w", n_subwords_of("w").alias("n_sub")
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "doc",
+            "n_words",
+            "n_subwords",
+            F.expr("n_subwords * 100 DIV n_words").alias("fertility_x100"),
+        )
+    )
+
+
 def cooccurrence_pmi(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -825,6 +825,51 @@ FROM reach GROUP BY a
 """
 
 
+def soft_dedup_doc_weights(spark, sf_dir):
+    """Soft dedup: every document weighted by the inverse of its
+    near-dup cluster size (Jaccard >= 0.6 components; singletons get
+    weight 1) — the loss-reweighting alternative to dropping
+    duplicates."""
+    from ..operators.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    sets = shingle_sets(docs, "doc_id", "text", n=3)
+    comp = connected_components(jaccard_pairs(sets, threshold_num=3, threshold_den=5))
+    return soft_dedup_weights(docs, comp, "doc_id").withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
+ORACLE_SOFT_DEDUP = f"""
+WITH RECURSIVE p AS ({_jaccard_oracle(3, 5)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc, CAST(least(a, min(b)) AS BIGINT) AS component
+  FROM reach GROUP BY a
+),
+labeled AS (
+  SELECT d.doc_id AS doc, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labeled GROUP BY component
+)
+SELECT l.doc AS doc_id, l.component, s.cluster_size,
+       CAST(10000 // s.cluster_size AS BIGINT) AS weight_x1e4
+FROM labeled l JOIN sizes s USING (component)
+"""
+
+
 def simhash_fingerprints(spark, sf_dir):
     """60-bit SimHash per document — token-hash bit voting in a single
     groupBy pass (60 conditional sums; no row explosion)."""
@@ -1776,6 +1821,23 @@ def bpe_train_merges(spark, sf_dir):
 
     return bpe_merges_table(
         spark, _t(spark, sf_dir, "documents"), "text", n_merges=20
+    )
+
+
+def bpe_fertility(spark, sf_dir):
+    """Tokenizer application: train 20 BPE merges on the corpus, then
+    encode every document through them and report per-doc subword
+    fertility (subwords per 100 words) — encode happens once per
+    DISTINCT word, docs pick counts up via a shuffle join on the word
+    key (operators/textops.bpe_encode). Deterministic but iterative
+    training upstream, so rows-only + pure-Python-equality pytest like
+    ``bpe_train_merges``."""
+    from ..operators.textops import bpe_encode, train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, "text", n_merges=20)
+    return bpe_encode(docs, merges, "doc_id", "text").withColumnRenamed(
+        "doc", "doc_id"
     )
 
 
@@ -3392,6 +3454,11 @@ LLM_QUERIES = {
         ORACLE_HARD_NEGATIVES,
         "similarity: contrastive hard-negative mining (cross-label top-k)",
     ),
+    "soft_dedup_doc_weights": (
+        soft_dedup_doc_weights,
+        ORACLE_SOFT_DEDUP,
+        "dedup: inverse-cluster-size soft dedup sample weights",
+    ),
     "vocab_coverage_curve": (
         vocab_coverage_curve,
         ORACLE_VOCAB_COVERAGE,
@@ -3648,6 +3715,12 @@ LLM_QUERIES = {
         None,
         "distributed BPE tokenizer training (20 merges; "
         "reference-equality pytest)",
+    ),
+    "bpe_fertility": (
+        bpe_fertility,
+        None,
+        "BPE tokenizer application: per-doc subword fertility via "
+        "distinct-word encode (reference-equality pytest)",
     ),
     "pagerank_near_dup": (
         pagerank_near_dup,

@@ -39,6 +39,8 @@ _NEW_OR_CHANGED_R3 = [
     "ann_hard_negatives",
     "vocab_coverage_curve",
     "domain_mixture_plan",
+    "bpe_fertility",
+    "soft_dedup_doc_weights",
     "doc_bigram_perplexity",
     "repeated_ngram_spans",
     "dsir_src0_importance",
