@@ -17,6 +17,8 @@ import pandas as pd  # module-level: pandas_udf resolves postponed type hints vi
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import spark_hex_to_long
+
 
 def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     """A1/A2/A4: groupBy + aliased aggregates."""
@@ -161,6 +163,69 @@ def profile_table(
             )
         )
     return g.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def count_min_estimates(
+    values: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    k_probe: int = 20,
+) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) with an exact companion column — the MERGEABLE-sketch shape
+    for 100 TB frequency queries: the sketch is a fixed depth x width
+    counter table (4096 rows here), built with ONE map-side-combined
+    groupBy and mergeable across partitions/days/datasets by plain
+    addition, independent of key cardinality.
+
+    Output, for the ``k_probe`` most frequent values (deterministic
+    probe set: count desc, value asc): (value, exact_c, cms_est,
+    overcount). CMS guarantees ``cms_est >= exact_c`` always — the
+    estimate is ``min`` over ``depth`` md5-derived bucket rows, so
+    both engines reproduce it bit-for-bit (no randomness at query
+    time; the "randomness" is the fixed hash family).
+
+    The exact-count pass exists for the oracle/companion — a pure
+    sketch deployment drops it and keeps only the 4096-row groupBy,
+    which is the whole point at scale.
+    """
+    vals = values.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    rows = vals.select(
+        "v",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).select(
+        "v",
+        "d",
+        F.expr(
+            spark_hex_to_long("md5(concat(v, ':', CAST(d AS STRING)))", 7)
+            + f" % {width}"
+        ).alias("bucket"),
+    )
+    sketch = rows.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    exact = vals.groupBy("v").agg(F.count("*").alias("exact_c"))
+    probes = exact.orderBy(F.col("exact_c").desc(), "v").limit(k_probe)
+    probe_rows = probes.select(
+        "v", "exact_c",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).select(
+        "v", "exact_c", "d",
+        F.expr(
+            spark_hex_to_long("md5(concat(v, ':', CAST(d AS STRING)))", 7)
+            + f" % {width}"
+        ).alias("bucket"),
+    )
+    est = (
+        probe_rows.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("v", "exact_c")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("v").alias("value"),
+        "exact_c",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_c")).alias("overcount"),
+    )
 
 
 def heavy_hitters(

@@ -825,6 +825,52 @@ FROM reach GROUP BY a
 """
 
 
+def cms_token_estimates(spark, sf_dir):
+    """Count-min sketch (4x1024) frequency estimates for the top-20
+    corpus tokens, with the exact count as companion column — the
+    mergeable-sketch shape for 100 TB frequency queries
+    (operators/aggregates.count_min_estimates). Deterministic: the
+    hash family is md5-derived, the probe set is (count desc, token
+    asc) top-20, and the oracle replicates the identical sketch."""
+    from ..operators.aggregates import count_min_estimates
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return count_min_estimates(toks, "token", depth=4, width=1024, k_probe=20)
+
+
+_CMS_BUCKET = sql_hex_to_long("md5(v || ':' || CAST(d AS VARCHAR))", 7)
+
+ORACLE_CMS = f"""
+WITH vals AS (
+  SELECT unnest({_TOKS_DUCK}) AS v FROM documents
+),
+vv AS (SELECT v FROM vals WHERE v <> ''),
+rows_d AS (
+  SELECT v, d, {_CMS_BUCKET} % 1024 AS bucket
+  FROM vv CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+),
+sketch AS (
+  SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM rows_d GROUP BY d, bucket
+),
+exact AS (SELECT v, CAST(count(*) AS BIGINT) AS exact_c FROM vv GROUP BY v),
+probes AS (SELECT v, exact_c FROM exact ORDER BY exact_c DESC, v LIMIT 20),
+probe_rows AS (
+  SELECT p.v, p.exact_c, d.d, {sql_hex_to_long("md5(p.v || ':' || CAST(d.d AS VARCHAR))", 7)} % 1024 AS bucket
+  FROM probes p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+)
+SELECT pr.v AS value, pr.exact_c,
+       CAST(min(s.c) AS BIGINT) AS cms_est,
+       CAST(min(s.c) - pr.exact_c AS BIGINT) AS overcount
+FROM probe_rows pr JOIN sketch s ON s.d = pr.d AND s.bucket = pr.bucket
+GROUP BY pr.v, pr.exact_c
+"""
+
+
 def soft_dedup_doc_weights(spark, sf_dir):
     """Soft dedup: every document weighted by the inverse of its
     near-dup cluster size (Jaccard >= 0.6 components; singletons get
@@ -3458,6 +3504,11 @@ LLM_QUERIES = {
         soft_dedup_doc_weights,
         ORACLE_SOFT_DEDUP,
         "dedup: inverse-cluster-size soft dedup sample weights",
+    ),
+    "cms_token_estimates": (
+        cms_token_estimates,
+        ORACLE_CMS,
+        "sketch: count-min token frequency estimates + exact companion",
     ),
     "vocab_coverage_curve": (
         vocab_coverage_curve,

@@ -41,6 +41,7 @@ _NEW_OR_CHANGED_R3 = [
     "domain_mixture_plan",
     "bpe_fertility",
     "soft_dedup_doc_weights",
+    "cms_token_estimates",
     "doc_bigram_perplexity",
     "repeated_ngram_spans",
     "dsir_src0_importance",
