@@ -131,3 +131,48 @@ def test_redact_pii_is_map_only(spark):
     plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert not re.search(r"BatchEvalPython|ArrowEvalPython", plan)
+
+
+def test_bloom_decontaminate_is_lossless(spark):
+    """Bloom prefilter result == exact path on shared columns, FPs
+    visible but never lost matches; a deliberately saturated (tiny)
+    filter still confirms exactly."""
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        benchmark_decontaminate,
+        bloom_decontaminate,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    train, bench = docs.filter(b < 80), docs.filter(b >= 90)
+    exact = {
+        r["doc"]: (r["n_shingles"], r["n_matched"], r["contaminated"])
+        for r in benchmark_decontaminate(train, bench).collect()
+    }
+    for m_bits in (1 << 14, 1 << 8):  # default and a saturated filter
+        got = bloom_decontaminate(train, bench, m_bits=m_bits).collect()
+        assert len(got) == len(exact)
+        for r in got:
+            n_sh, n_m, cont = exact[r["doc"]]
+            assert (r["n_shingles"], r["n_matched"], r["contaminated"]) == (
+                n_sh, n_m, cont,
+            )
+            # Bloom admits supersets only: candidates >= true matches
+            assert n_m <= r["n_candidates"] <= r["n_shingles"]
+
+
+def test_bloom_bitset_is_fixed_size(spark):
+    """The broadcast filter is m_bits/32 words max, independent of the
+    key count — the whole point vs broadcasting the digest set."""
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        bloom_bitset,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.range(5000).select(F.col("id").alias("h"))
+    bs = bloom_bitset(keys, m_bits=1 << 10)
+    assert bs.count() <= (1 << 10) // 32

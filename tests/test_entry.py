@@ -25,6 +25,8 @@ def test_every_query_has_oracle_except_streaming(spark):
         "pagerank_near_dup",
         # iterative merge loop: rows-only, reference-equality pytest
         "bpe_train_merges",
+        # greedy longest-match encode: rows-only, reference-equality pytest
+        "bpe_fertility",
     }
     assert len(qs) >= 39
 

@@ -1141,3 +1141,43 @@ def test_bpe_encode_matches_reference_impl(spark):
     # merged symbols compress: fertility strictly below chars-per-word x100
     assert got[0][1] < sum(len(w) for w in re.sub(r"[^a-z0-9 ]", " ",
                            texts[0].lower()).split())
+
+
+def test_bitmap_rolling_distinct_exact(spark, sf_dir):
+    """Bitmap OR + popcount == naive exact rolling distinct, per day."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import (
+        bitmap_rolling_distinct,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["day"]: (r["users_1d"], r["users_7d"])
+        for r in bitmap_rolling_distinct(events, "ts", "user_id", 7).collect()
+    }
+    ep = events.select(F.col("ts").cast("date").alias("day"), "user_id").toPandas()
+    days = sorted(ep["day"].unique())
+    assert len(got) == len(days)
+    for d in days:
+        lo = d - pd.Timedelta(days=6)
+        exact7 = ep[(ep["day"] >= lo) & (ep["day"] <= d)]["user_id"].nunique()
+        exact1 = ep[ep["day"] == d]["user_id"].nunique()
+        assert got[d] == (exact1, exact7)
+
+
+def test_bitmap_rolling_distinct_window_bounds(spark, sf_dir):
+    """Rolling distinct dominates daily distinct and is monotone in
+    the window width (2-day superset of 1-day, subset of 7-day)."""
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import (
+        bitmap_rolling_distinct,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    two = {
+        r["day"]: r["users_2d"]
+        for r in bitmap_rolling_distinct(events, "ts", "user_id", 2).collect()
+    }
+    for r in bitmap_rolling_distinct(events, "ts", "user_id", 7).collect():
+        assert r["users_1d"] <= two[r["day"]] <= r["users_7d"]

@@ -348,3 +348,72 @@ def iqr_outliers(
         F.min("fence_r").alias("fence_r"),
         round_fixed(F.max(value_col), decimals).alias("max_val_r"),
     )
+
+
+def bitmap_rolling_distinct(
+    df: DataFrame,
+    day_col: str,
+    id_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT rolling distinct-count via integer bitmap indexes — the
+    Druid/Kylin pattern for "distinct users over any date range" at
+    100 TB. ``count(distinct)`` over a sliding frame cannot use
+    partial aggregation (re-counts every frame from raw rows); a
+    bitmap per (day, word) CAN: raw events reduce map-side to
+    ``bit_or`` words (id-space/32 rows per day, independent of event
+    count), windows merge daily bitmaps with another ``bit_or``, and
+    ``bit_count`` reads the answer. Bitmaps for different days /
+    shards / realms merge by OR — the same mergeable-summaries shape
+    as the HLL rollup, but exact while the id space stays indexable
+    (roaring-style compression extends it; 32-bit words keep every
+    mask positive and bit-identical in the DuckDB oracle).
+
+    Returns one row per active day: (day, users_1d, users_{W}d) with
+    the trailing-``window_days`` CALENDAR window (RANGE frame on the
+    epoch-day index, so data gaps don't stretch the window).
+
+    One shuffle builds the daily bitmaps; the rolling merge
+    repartitions by word (a fixed, tiny key space) and the final
+    popcount-sum shuffles |days| x |words| rows — all post-reduction
+    sizes.
+    """
+    from pyspark.sql import Window
+
+    day = F.col(day_col).cast("date")
+    daily = (
+        df.select(
+            day.alias("day"),
+            (F.col(id_col) / 32).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(({id_col}) % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # day x word spine so a word idle on some day still carries its
+    # in-window history into that day's rolling merge
+    spine = daily.select("day").distinct().crossJoin(
+        daily.select("word").distinct()
+    )
+    grid = spine.join(daily, ["day", "word"], "left").select(
+        "day",
+        "word",
+        F.coalesce("bits", F.lit(0).cast("long")).alias("bits"),
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("day_idx"),
+    )
+    w = (
+        Window.partitionBy("word")
+        .orderBy("day_idx")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    rolled = grid.select(
+        "day",
+        F.bit_count("bits").alias("pc1"),
+        F.bit_count(F.bit_or("bits").over(w)).alias("pcw"),
+    )
+    return rolled.groupBy("day").agg(
+        F.sum("pc1").alias("users_1d"),
+        F.sum("pcw").alias(f"users_{window_days}d"),
+    )

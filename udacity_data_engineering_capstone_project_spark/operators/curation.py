@@ -520,3 +520,165 @@ def hashed_linear_score(
             "doc", "n_tokens", "logit", (F.col("logit") > 0).alias("keep")
         )
     )
+
+
+def bloom_bitset(
+    keys: DataFrame,
+    key_col: str = "h",
+    m_bits: int = 1 << 14,
+    k: int = 2,
+) -> DataFrame:
+    """Build a deterministic Bloom filter over ``keys[key_col]`` as a
+    (word, bits) table: ``m_bits`` bits packed 32 per BIGINT word, so
+    the whole filter is ``m_bits / 32`` rows INDEPENDENT of key
+    cardinality — the point at 100 TB, where broadcasting the raw
+    benchmark digest set grows with the benchmark but the Bloom table
+    stays fixed-size (Bloom 1970). Bitsets from different shards /
+    days / benchmark versions merge by plain ``bit_or`` on word.
+
+    The ``k`` probe positions per key are carved from ONE md5 digest
+    (independent 15-hex-char slices), so build and probe cost one hash
+    per key per probe and the DuckDB oracle reproduces every bit.
+    """
+    pos = keys.select(F.col(key_col).alias("key")).select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        spark_hex_to_long(
+                            "md5(concat(CAST(key AS STRING), ':', "
+                            f"'{s}'))",
+                            15,
+                        )
+                        + f" % {m_bits}"
+                    )
+                    for s in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_member_keys(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "h",
+    m_bits: int = 1 << 14,
+    k: int = 2,
+) -> DataFrame:
+    """Keys from ``probe`` (deduplicated) that PASS the Bloom filter —
+    a superset of the true members (false positives possible, false
+    negatives impossible). The filter table is broadcast (fixed
+    ``m_bits/32`` rows); each key passes iff all ``k`` probed bits are
+    set, checked as ``count(bit hits) == k`` after a broadcast join on
+    word. Downstream exact confirmation (a join against the true key
+    set, now candidate-sized instead of corpus-sized) removes FPs.
+    """
+    probes = (
+        probe.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(
+            "key",
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(
+                            spark_hex_to_long(
+                                "md5(concat(CAST(key AS STRING), ':', "
+                                f"'{s}'))",
+                                15,
+                            )
+                            + f" % {m_bits}"
+                        )
+                        for s in range(k)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "key",
+            (F.col("pos") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+    )
+    hits = probes.join(F.broadcast(bloom), "word").filter(
+        F.col("bits").bitwiseAND(F.col("mask")) != 0
+    )
+    return (
+        hits.groupBy("key")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == k)
+        .select(F.col("key").alias(key_col))
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    m_bits: int = 1 << 14,
+    k: int = 2,
+) -> DataFrame:
+    """:func:`benchmark_decontaminate` with a Bloom prefilter: the
+    benchmark shingle digests build a fixed-size bitset
+    (:func:`bloom_bitset`); only train digests that pass it reach the
+    exact-confirmation join. Result columns (doc, n_shingles,
+    n_matched, contaminated) are IDENTICAL to the exact path — the
+    filter only prunes — plus ``n_candidates`` (Bloom survivors per
+    doc) making the FP overhead observable.
+
+    Scale: the broadcast is ``m_bits/32`` longs instead of the O(|
+    benchmark|) digest set, and the exact-confirm join's probe side
+    shrinks from every train shingle to the Bloom survivors (true
+    matches + ~FP-rate of the rest).
+    """
+    train_sh = hashed_shingle_table(train, id_col, text_col, n)
+    bench_h = hashed_shingle_table(benchmark, id_col, text_col, n).select("h").distinct()
+    bloom = bloom_bitset(bench_h, "h", m_bits, k)
+    cand = bloom_member_keys(train_sh, bloom, "h", m_bits, k)
+    cand_sh = train_sh.join(F.broadcast(cand), "h")
+    sizes = train_sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    n_cand = cand_sh.groupBy("doc").agg(F.count("*").alias("n_candidates"))
+    # exact confirmation: resolve FPs against the true digest set, but
+    # broadcasting only CANDIDATE-sized sets — the benchmark side is
+    # filtered down to true members by the (small) candidate set first,
+    # so no benchmark-sized relation is ever broadcast.
+    true_h = bench_h.join(F.broadcast(cand), "h")
+    matched = (
+        cand_sh.join(F.broadcast(true_h), "h")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    joined = (
+        sizes.join(n_cand, "doc", "left")
+        .join(matched, "doc", "left")
+        .select(
+            "doc",
+            "n_shingles",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        )
+    )
+    return joined.withColumn(
+        "contaminated",
+        (
+            F.col("n_matched") * threshold_den
+            >= F.col("n_shingles") * threshold_num
+        ).cast("int"),
+    )

@@ -1,0 +1,182 @@
+"""Distributed linear algebra over embedding columns.
+
+The 100 TB shape for second-moment statistics (covariance, PCA) is a
+SINGLE pass that reduces each Arrow batch to one fixed-size partial —
+``(n, sum_vec[d], outer[d*d])`` — then merges partials by elementwise
+addition. The merge input is O(#batches) rows of d^2 longs, not
+O(#rows), so a 100 TB embedding table reduces to a few thousand tiny
+rows before the only shuffle. No per-row explode (a d^2-per-row
+explode would be a 4096x row blowup), no driver-side loop over data.
+
+All sums are exact int64 fixed-point (embeddings are quantized to
+``floor(x * scale + 0.5)`` BEFORE any arithmetic), so the result is
+bit-identical regardless of partitioning, batch boundaries, or engine
+— the DuckDB oracle reproduces every column exactly.
+
+Overflow bounds (int64): with |x| <= 1 and scale = 1e5, a product is
+<= 1e10 and the guarded term ``sxy * n`` stays < 2^63 for n up to
+~9e5 rows per statistics run; larger corpora lower ``scale`` (1e4
+supports n ~ 9e7). The quantization error on the covariance is
+O(1/scale), orders below sampling noise at those row counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PARTIAL_SCHEMA = "n long, s array<long>, o array<long>"
+
+
+def embedding_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 100_000,
+) -> DataFrame:
+    """Exact integer second moments of a vector column, one pass.
+
+    Returns the upper triangle (i <= j): ``(i, j, n, sx, sy, sxy,
+    cov)`` where ``sx/sy/sxy`` are int64 sums of the quantized
+    components and ``cov = (sxy*n - sx*sy) / (n^2 * scale^2)`` is the
+    derived population covariance (double; deterministic because both
+    factors are exact integers).
+
+    Plan shape: mapInPandas emits ONE ``(n, s[d], o[d^2])`` row per
+    Arrow batch (numpy ``Q.T @ Q`` — vectorized, no Python per-row
+    work); posexplode of those partials is O(#batches * d^2) rows;
+    one small groupBy finishes the merge. The per-component sums and
+    the 1-row total are broadcast back onto the d(d+1)/2 result rows.
+    """
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(v * scale + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "n": [np.int64(len(q))],
+                    "s": [q.sum(axis=0)],
+                    "o": [(q.T @ q).ravel()],
+                }
+            )
+
+    p = df.select(vec_col).mapInPandas(partials, _PARTIAL_SCHEMA)
+    # the partial set is tiny (one row per Arrow batch) but feeds three
+    # aggregations — persist so the scan+quantize pass runs once
+    p = p.persist()
+    sxy = (
+        p.select(F.posexplode("o").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("sxy"))
+    )
+    comp = (
+        p.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("sx"))
+    )
+    total = p.agg(F.sum("n").alias("n"))
+    tri = sxy.select(
+        (F.col("idx") / dim).cast("int").alias("i"),
+        (F.col("idx") % dim).cast("int").alias("j"),
+        "sxy",
+    ).filter(F.col("i") <= F.col("j"))
+    out = (
+        tri.join(F.broadcast(comp), "i")
+        .join(
+            F.broadcast(comp.select(F.col("i").alias("j"), F.col("sx").alias("sy"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    denom = (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * F.lit(float(scale))
+        * F.lit(float(scale))
+    )
+    return out.select(
+        "i",
+        "j",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        (
+            (F.col("sxy") * F.col("n") - F.col("sx") * F.col("sy")).cast("double")
+            / denom
+        ).alias("cov"),
+    )
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, scale: int = 100_000
+) -> np.ndarray:
+    """Materialize :func:`embedding_moments` as a dense (dim, dim)
+    numpy covariance matrix. Driver state is d^2 doubles — bounded,
+    independent of row count."""
+    rows = embedding_moments(df, vec_col, dim, scale).collect()
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    return cov
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_components: int = 2,
+    scale: int = 100_000,
+) -> DataFrame:
+    """Distributed PCA projection: covariance via one distributed pass
+    (:func:`covariance_matrix`), eigendecomposition of the tiny d x d
+    matrix on the driver (`numpy.linalg.eigh` — d^2 state, never data-
+    sized), then a fully distributed projection of every row onto the
+    top ``n_components`` eigenvectors using JVM-side array HOFs (no
+    second Python stage).
+
+    Eigenvector sign is normalized (largest-magnitude component made
+    positive) so the output is deterministic. Means are subtracted via
+    broadcast literals. Returns (id, pc1 .. pcK) doubles.
+    """
+    rows = embedding_moments(df, vec_col, dim, scale).collect()
+    n = rows[0].n
+    mean = np.zeros(dim)
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+        mean[r.i] = r.sx / (n * scale)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for k in order:
+        v = vecs[:, k]
+        if abs(v.min()) > abs(v.max()):
+            v = -v
+        comps.append(v)
+    cols = [F.col(id_col)]
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda a, b: a - b,
+    )
+    for ci, v in enumerate(comps, start=1):
+        proj = F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(x)) for x in v]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(proj.alias(f"pc{ci}"))
+    return df.select(*cols)

@@ -3867,3 +3867,205 @@ LLM_QUERIES = {
         "stateful streaming: applyInPandasWithState",
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: fixed-size mergeable structures (Bloom, bitmap
+# index) and one-pass distributed second moments
+
+
+def bloom_prefilter_decontaminate(spark, sf_dir):
+    """Benchmark decontamination behind a deterministic Bloom
+    prefilter (operators.curation.bloom_decontaminate): the benchmark
+    digest set collapses to a FIXED 16 Kbit / 512-word bitset that is
+    broadcast instead of the digest set itself; only Bloom-passing
+    train digests reach the exact-confirmation join, which broadcasts
+    candidate-sized sets only. Same result columns as
+    ``decontaminate_overlap`` plus ``n_candidates`` (Bloom survivors,
+    FPs included) — the oracle reproduces every bit of the filter, so
+    a hash match proves the prefilter is lossless."""
+    from ..operators.curation import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    return bloom_decontaminate(
+        docs.filter(b < 80),
+        docs.filter(b >= 90),
+        threshold_num=1,
+        threshold_den=5,
+    )
+
+
+_BLOOM_M = 1 << 14  # bits; 32 packed per BIGINT word -> 512 words
+_BLOOM_POS = sql_hex_to_long(
+    "md5(CAST(h AS VARCHAR) || ':' || CAST(s AS VARCHAR))", 15
+)
+
+ORACLE_BLOOM_DECONTAMINATE = f"""
+WITH {_SHINGLES_CTE},
+hs AS (
+  SELECT DISTINCT doc, {sql_hex_to_long("md5(shingle)", 15)} AS h,
+         {sql_md5_long("CAST(doc AS VARCHAR)", 7)} % 100 AS bkt
+  FROM sh
+),
+train AS (SELECT doc, h FROM hs WHERE bkt < 80),
+bench AS (SELECT DISTINCT h FROM hs WHERE bkt >= 90),
+bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM (
+    SELECT ({_BLOOM_POS}) % {_BLOOM_M} AS pos
+    FROM bench CROSS JOIN (SELECT unnest([0, 1]) AS s)
+  ) GROUP BY word
+),
+probe AS (
+  SELECT h, ({_BLOOM_POS}) % {_BLOOM_M} AS pos
+  FROM (SELECT DISTINCT h FROM train) CROSS JOIN (SELECT unnest([0, 1]) AS s)
+),
+cand AS (
+  SELECT p.h FROM probe p
+  JOIN bloom b ON b.word = p.pos // 32
+  WHERE (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0
+  GROUP BY p.h HAVING count(*) = 2
+),
+sizes AS (SELECT doc, count(*) AS n_shingles FROM train GROUP BY doc),
+nc AS (
+  SELECT t.doc, count(*) AS n_candidates
+  FROM train t JOIN cand USING (h) GROUP BY t.doc
+),
+m AS (
+  SELECT t.doc, count(*) AS n_matched
+  FROM train t JOIN cand USING (h) JOIN bench USING (h) GROUP BY t.doc
+)
+SELECT s.doc AS doc,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(CASE WHEN coalesce(m.n_matched, 0) * 5 >= s.n_shingles * 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM sizes s
+LEFT JOIN nc ON nc.doc = s.doc
+LEFT JOIN m ON m.doc = s.doc
+"""
+
+
+def bitmap_distinct_users(spark, sf_dir):
+    """Exact rolling 7-day distinct users per day via mergeable
+    integer bitmaps (operators.aggregates.bitmap_rolling_distinct) —
+    the Druid/Kylin bitmap-index shape: raw events reduce map-side to
+    id-space/32 ``bit_or`` words per day, the trailing window merges
+    WORDS (not rows) with another ``bit_or``, and ``bit_count`` reads
+    the exact answer. ``count(distinct)`` over a sliding frame would
+    rescan raw rows per frame; this plan's window input is |days| x
+    |words| post-reduction rows."""
+    from ..operators.aggregates import bitmap_rolling_distinct
+
+    return bitmap_rolling_distinct(
+        _t(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    ).withColumn("day", F.col("day").cast("string"))
+
+
+ORACLE_BITMAP_DISTINCT = f"""
+WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM {EVENTS_US} AS ev),
+daily AS (
+  SELECT day, user_id // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+  FROM e GROUP BY day, word
+),
+spine AS (
+  SELECT d.day, w.word
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT DISTINCT word FROM daily) w
+),
+grid AS (
+  SELECT s.day, s.word, coalesce(d.bits, CAST(0 AS BIGINT)) AS bits,
+         datediff('day', DATE '1970-01-01', s.day) AS day_idx
+  FROM spine s LEFT JOIN daily d ON d.day = s.day AND d.word = s.word
+),
+rolled AS (
+  SELECT day, bit_count(bits) AS pc1,
+         bit_count(bit_or(bits) OVER (
+           PARTITION BY word ORDER BY day_idx
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS pcw
+  FROM grid
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(sum(pc1) AS BIGINT) AS users_1d,
+       CAST(sum(pcw) AS BIGINT) AS users_7d
+FROM rolled GROUP BY day
+"""
+
+
+def embedding_covariance(spark, sf_dir):
+    """Exact int64 second moments of the embedding table in ONE
+    distributed pass (operators.linalg.embedding_moments): vectors are
+    quantized to fixed-point, each Arrow batch reduces to a single
+    (n, sum[d], outer[d^2]) partial via numpy ``Q.T @ Q``, and the
+    merge shuffles O(#batches * d^2) tiny rows — never O(rows). The
+    upper-triangle output (i, j, n, sx, sy, sxy, cov) feeds PCA
+    (operators.linalg.pca_project, pytest-pinned against numpy);
+    integer sums make the result independent of partitioning and
+    engine, so the oracle hash-matches bit-for-bit."""
+    from ..operators.linalg import embedding_moments
+
+    return embedding_moments(
+        _t(spark, sf_dir, "embeddings"), "embedding", dim=64, scale=100_000
+    )
+
+
+ORACLE_EMBEDDING_COVARIANCE = """
+WITH q AS (
+  SELECT list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 100000.0 + 0.5) AS BIGINT)
+         ) AS qv
+  FROM embeddings
+),
+grid AS (
+  SELECT ri.i AS i, rj.j AS j
+  FROM range(64) ri(i) CROSS JOIN range(64) rj(j)
+  WHERE ri.i <= rj.j
+),
+sums AS (
+  SELECT g.i, g.j, CAST(sum(qv[g.i + 1] * qv[g.j + 1]) AS BIGINT) AS sxy
+  FROM q CROSS JOIN grid g GROUP BY g.i, g.j
+),
+comp AS (
+  SELECT ri.i AS i, CAST(sum(qv[ri.i + 1]) AS BIGINT) AS sx
+  FROM q CROSS JOIN range(64) ri(i) GROUP BY ri.i
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+SELECT CAST(s.i AS INTEGER) AS i, CAST(s.j AS INTEGER) AS j,
+       t.n AS n, ci.sx AS sx, cj.sx AS sy, s.sxy AS sxy,
+       CAST(s.sxy * t.n - ci.sx * cj.sx AS DOUBLE)
+         / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+            * 100000.0 * 100000.0) AS cov
+FROM sums s
+JOIN comp ci ON ci.i = s.i
+JOIN comp cj ON cj.i = s.j
+CROSS JOIN tot t
+"""
+
+
+LLM_QUERIES.update(
+    {
+        "bloom_prefilter_decontaminate": (
+            bloom_prefilter_decontaminate,
+            ORACLE_BLOOM_DECONTAMINATE,
+            "Bloom prefilter (fixed 16 Kbit bitset) in front of exact "
+            "decontamination; hash match proves losslessness",
+        ),
+        "bitmap_distinct_users": (
+            bitmap_distinct_users,
+            ORACLE_BITMAP_DISTINCT,
+            "exact rolling 7-day distinct via mergeable bitmap index "
+            "(bit_or words + bit_count)",
+        ),
+        "embedding_covariance": (
+            embedding_covariance,
+            ORACLE_EMBEDDING_COVARIANCE,
+            "one-pass distributed integer second moments / covariance "
+            "(mapInPandas partials, O(batches*d^2) merge)",
+        ),
+    }
+)
