@@ -37,6 +37,42 @@ def test_stream_session_windows(spark, sf_dir):
         assert r.n_events >= 1
 
 
+def test_stream_sessionize_equals_watermark_closed_batch_sessions(spark, sf_dir):
+    """Append-mode session_window emission == batch gaps-and-islands
+    sessions whose end (last event + gap) the final watermark
+    (max ts - 1 h) has passed — the exact contract the full SQL
+    oracle of ``stream_sessionize`` encodes."""
+    from udacity_data_engineering_capstone_project_spark.operators.windows import sessionize
+
+    out = run_to_completion(
+        sessionized_stream(read_events_stream(spark, sf_dir))
+    )
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(
+            F.col("session_end")
+            <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    assert emitted == closed and len(emitted) > 0
+
+
 def test_stateful_user_totals_matches_batch(spark, sf_dir):
     from udacity_data_engineering_capstone_project_spark.streaming.events import (
         run_user_totals_batch,

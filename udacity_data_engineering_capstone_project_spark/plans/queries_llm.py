@@ -4069,3 +4069,53 @@ LLM_QUERIES.update(
         ),
     }
 )
+
+
+def stream_sessionize(spark, sf_dir):
+    """Native streaming session windows (``F.session_window``, 30 min
+    gap) driven to completion over the finite replay
+    (streaming/events.run_sessionize_stream). Fully oracled: append
+    mode emits exactly the sessions closed by the final watermark
+    (max ts - 1 h), i.e. the batch sessionization filtered to
+    ``session_end <= watermark`` — pytest pins the emitted set against
+    the batch twin, the oracle hash-checks it. (Fixture-regen caveat:
+    a session ending EXACTLY on the watermark microsecond would sit on
+    the emit boundary; the regen recall guard pattern in NOTES.md
+    applies.)"""
+    from ..streaming.events import run_sessionize_stream
+
+    return run_sessionize_stream(spark, sf_dir)
+
+
+ORACLE_STREAM_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, ts, event_id FROM {EVENTS_US} AS events),
+o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+g AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e)
+SELECT session_start, session_end, user_id, n_events
+FROM g CROSS JOIN wm WHERE session_end <= wm.w
+"""
+
+LLM_QUERIES["stream_sessionize"] = (
+    stream_sessionize,
+    ORACLE_STREAM_SESSIONIZE,
+    "streaming session windows, append-mode emission == batch twin "
+    "filtered to watermark-closed sessions",
+)

@@ -37,6 +37,7 @@ _NEW_OR_CHANGED_R3 = [
     "bloom_prefilter_decontaminate",
     "bitmap_distinct_users",
     "embedding_covariance",
+    "stream_sessionize",
     # new in round 3 (curation-tier additions):
     "containment_pairs_directed",
     "semantic_dedup_clusters",

@@ -228,6 +228,20 @@ def run_hourly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(hourly_counts(read_events_stream(spark, sf_dir)))
 
 
+def run_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream -> native ``session_window`` (30 min gap, 1 h
+    watermark) -> memory sink, to completion. Append mode emits
+    exactly the sessions the FINAL watermark (global max ts - 1 h)
+    has closed: ``session_end = last_event + gap <= watermark`` —
+    deterministic on a finite replay regardless of micro-batching
+    (the emission condition is monotone in the watermark), so the
+    batch gaps-and-islands twin restricted by the same predicate is a
+    full SQL oracle. Trailing sessions correctly stay in state."""
+    return run_to_completion(
+        sessionized_stream(read_events_stream(spark, sf_dir))
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (n_events, total_value, last_seen) emitted every
