@@ -507,3 +507,37 @@ def test_bpe_encode_joins_vocab_without_broadcast_hint(spark):
     df = ALL_QUERIES["bpe_fertility"][0](spark, SF)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in optimized
+
+
+def test_bloom_prefilter_never_broadcasts_benchmark_digests(spark):
+    """The whole point of the Bloom path: every BroadcastExchange in
+    the plan carries either the fixed-size bitset (m_bits/32 rows) or
+    a candidate-sized set — the raw benchmark digest table appears
+    only as a build input to those, never as a broadcast itself. We
+    assert the broadcasts exist and no sort-merge join sneaks in on
+    the probe paths."""
+    plan = _plan(spark, "bloom_prefilter_decontaminate")
+    assert plan.count("BroadcastHashJoin") >= 3  # bloom probe + confirm joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_bitmap_distinct_windows_over_words_not_rows(spark):
+    """The rolling merge must window over (word, day) bitmap rows —
+    post-reduction cardinality — not raw events: exactly one Window
+    operator, partitioned by word, fed by hash aggregation."""
+    plan = _plan(spark, "bitmap_distinct_users")
+    assert plan.count("Window") == 1
+    assert "bit_or" in plan and "bit_count" in plan
+    # daily reduction happens BEFORE the window: partial (map-side)
+    # bitmap aggregation exists
+    assert "HashAggregate" in plan
+
+
+def test_embedding_covariance_merge_is_jvm_side(spark):
+    """One Python stage (the mapInPandas partials); the d^2 merge and
+    the sx/sy/n attach run as JVM aggregates + broadcast joins."""
+    plan = _plan(spark, "embedding_covariance")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
