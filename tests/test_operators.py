@@ -1181,3 +1181,25 @@ def test_bitmap_rolling_distinct_window_bounds(spark, sf_dir):
     }
     for r in bitmap_rolling_distinct(events, "ts", "user_id", 7).collect():
         assert r["users_1d"] <= two[r["day"]] <= r["users_7d"]
+
+
+def test_histogram_quantiles_bound_and_monotone(spark, sf_dir):
+    """Estimate always within one bin of the exact nearest-rank value
+    (the histogram guarantee), quantiles monotone in p, 'ALL' rollup
+    n equals the raw row count."""
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import (
+        histogram_quantiles,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = histogram_quantiles(
+        events, "event_type", "value", bin_width=8, n_bins=128
+    ).collect()
+    assert all(r["within_bin"] == 1 for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], {})[r["p"]] = r["est_x100"]
+    for shard, qs in by_shard.items():
+        assert qs[50] <= qs[90] <= qs[99], shard
+    n_all = next(r["n"] for r in rows if r["shard"] == "ALL")
+    assert n_all == events.count()

@@ -417,3 +417,109 @@ def bitmap_rolling_distinct(
         F.sum("pc1").alias("users_1d"),
         F.sum("pcw").alias(f"users_{window_days}d"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    shard_col: str,
+    value_col: str,
+    bin_width: int = 8,
+    n_bins: int = 128,
+    probs_x100: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Approximate quantiles from MERGEABLE equi-width histograms —
+    the distributed t-digest/KLL role (Agarwal et al., "Mergeable
+    Summaries") in a fully deterministic form: the only data-sized
+    pass reduces rows map-side to per-(shard, bin) counts; every
+    rollup above that (here the 'ALL' row; at 100 TB any
+    day/source/dataset rollup) is plain addition of fixed-size
+    histogram rows, never a raw re-scan. The estimate's error is
+    bounded by one bin width.
+
+    Per (shard + 'ALL', p): target rank ``t = ceil(p*n/100)``
+    (nearest-rank), the covering bin by cumulative count, and the
+    in-bin linear interpolation — all integer/double arithmetic both
+    engines reproduce bit-for-bit. An EXACT nearest-rank companion
+    (row_number over value order — oracle anchor, dropped in a pure
+    sketch deployment) rides along with the within-one-bin flag,
+    which the histogram bound guarantees is always 1.
+
+    Values are clamped into [0, bin_width*n_bins); the top bin absorbs
+    overflow (documented precondition: pick the range from schema
+    knowledge or a prior min/max pass).
+    """
+    from pyspark.sql import Window
+
+    w = bin_width
+    shard = F.col(shard_col).cast("string")
+    binned = df.select(
+        shard.alias("shard"),
+        F.least(
+            F.greatest(F.floor(F.col(value_col) / F.lit(float(w))), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("int").alias("bin"),
+        F.col(value_col).alias("v"),
+    )
+    hist = binned.groupBy("shard", "bin").agg(F.count("*").alias("c"))
+    hist_all = hist.groupBy("bin").agg(F.sum("c").alias("c")).select(
+        F.lit("ALL").alias("shard"), "bin", "c"
+    )
+    h = hist.unionByName(hist_all)
+    ws = Window.partitionBy("shard")
+    wcum = ws.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    h = h.select(
+        "shard",
+        "bin",
+        "c",
+        F.sum("c").over(ws).alias("n"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    probs = F.explode(F.array(*[F.lit(p) for p in probs_x100])).alias("p")
+    cand = h.select("*", probs).withColumn(
+        "t", F.expr("CAST((p * n + 99) DIV 100 AS BIGINT)")
+    )
+    picked = cand.filter(
+        (F.col("cum") >= F.col("t")) & (F.col("cum") - F.col("c") < F.col("t"))
+    )
+    est = (
+        (
+            F.col("bin").cast("double")
+            + (F.col("t") - F.col("cum") + F.col("c")).cast("double")
+            / F.col("c").cast("double")
+        )
+        * F.lit(float(w))
+    )
+    picked = picked.select(
+        "shard",
+        "p",
+        "n",
+        "bin",
+        F.floor(est * 100 + F.lit(0.5)).alias("est_x100"),
+        "t",
+    )
+    # exact nearest-rank companion (oracle anchor)
+    raw = binned.select("shard", "v").unionByName(
+        binned.select(F.lit("ALL").alias("shard"), "v")
+    )
+    ranked = raw.select(
+        F.col("shard").alias("r_shard"),
+        "v",
+        F.row_number().over(Window.partitionBy("shard").orderBy("v")).alias("rn"),
+    )
+    out = picked.join(
+        ranked,
+        (F.col("shard") == F.col("r_shard")) & (F.col("t") == F.col("rn")),
+    ).select(
+        "shard",
+        "p",
+        "n",
+        "bin",
+        "est_x100",
+        F.floor(F.col("v") * 100 + F.lit(0.5)).alias("exact_x100"),
+    )
+    return out.withColumn(
+        "within_bin",
+        (F.abs(F.col("est_x100") - F.col("exact_x100")) <= F.lit(w * 100)).cast(
+            "int"
+        ),
+    )

@@ -4119,3 +4119,88 @@ LLM_QUERIES["stream_sessionize"] = (
     "streaming session windows, append-mode emission == batch twin "
     "filtered to watermark-closed sessions",
 )
+
+
+def histogram_quantile_rollup(spark, sf_dir):
+    """Mergeable-summary quantiles (operators.aggregates.
+    histogram_quantiles): ONE map-side-combined pass reduces events to
+    per-(event_type, bin) counts; the 'ALL' rollup is addition of
+    those fixed-size histogram rows — never a raw re-scan — and
+    p50/p90/p99 come from a cumulative walk with in-bin
+    interpolation. Exact nearest-rank companion + within-one-bin flag
+    (guaranteed 1 by the histogram error bound) make the estimate
+    hash-checkable."""
+    from ..operators.aggregates import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        bin_width=8,
+        n_bins=128,
+        probs_x100=(50, 90, 99),
+    )
+
+
+ORACLE_HISTOGRAM_QUANTILES = """
+WITH e AS (SELECT event_type AS shard, value AS v FROM events),
+binned AS (
+  SELECT shard,
+         CAST(least(greatest(floor(v / 8.0), 0), 127) AS INTEGER) AS bin, v
+  FROM e
+),
+hist AS (
+  SELECT shard, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY shard, bin
+),
+hist_all AS (
+  SELECT 'ALL' AS shard, bin, CAST(sum(c) AS BIGINT) AS c
+  FROM hist GROUP BY bin
+),
+h0 AS (SELECT * FROM hist UNION ALL SELECT * FROM hist_all),
+h AS (
+  SELECT shard, bin, c,
+         CAST(sum(c) OVER (PARTITION BY shard) AS BIGINT) AS n,
+         CAST(sum(c) OVER (PARTITION BY shard ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM h0
+),
+cand AS (
+  SELECT h.*, p, CAST((p * n + 99) // 100 AS BIGINT) AS t
+  FROM h CROSS JOIN (SELECT unnest([50, 90, 99]) AS p)
+),
+picked AS (
+  SELECT shard, p, n, bin, c, cum, t
+  FROM cand WHERE cum >= t AND cum - c < t
+),
+raw AS (
+  SELECT shard, v FROM binned
+  UNION ALL SELECT 'ALL' AS shard, v FROM binned
+),
+ranked AS (
+  SELECT shard, v,
+         row_number() OVER (PARTITION BY shard ORDER BY v) AS rn
+  FROM raw
+),
+joined AS (
+  SELECT pk.shard AS shard, CAST(pk.p AS INTEGER) AS p, pk.n AS n,
+         pk.bin AS bin,
+         CAST(floor((CAST(pk.bin AS DOUBLE)
+                     + CAST(pk.t - pk.cum + pk.c AS DOUBLE)
+                       / CAST(pk.c AS DOUBLE)) * 8.0 * 100 + 0.5)
+              AS BIGINT) AS est_x100,
+         CAST(floor(r.v * 100 + 0.5) AS BIGINT) AS exact_x100
+  FROM picked pk JOIN ranked r ON r.shard = pk.shard AND r.rn = pk.t
+)
+SELECT shard, p, n, bin, est_x100, exact_x100,
+       CAST(CASE WHEN abs(est_x100 - exact_x100) <= 800 THEN 1 ELSE 0 END
+            AS INTEGER) AS within_bin
+FROM joined
+"""
+
+LLM_QUERIES["histogram_quantile_rollup"] = (
+    histogram_quantile_rollup,
+    ORACLE_HISTOGRAM_QUANTILES,
+    "mergeable equi-width histogram quantiles with 'ALL' rollup from "
+    "sketch rows + exact nearest-rank anchor",
+)

@@ -38,6 +38,7 @@ _NEW_OR_CHANGED_R3 = [
     "bitmap_distinct_users",
     "embedding_covariance",
     "stream_sessionize",
+    "histogram_quantile_rollup",
     # new in round 3 (curation-tier additions):
     "containment_pairs_directed",
     "semantic_dedup_clusters",
