@@ -440,9 +440,13 @@ def histogram_quantiles(
     (nearest-rank), the covering bin by cumulative count, and the
     in-bin linear interpolation — all integer/double arithmetic both
     engines reproduce bit-for-bit. An EXACT nearest-rank companion
-    (row_number over value order — oracle anchor, dropped in a pure
-    sketch deployment) rides along with the within-one-bin flag,
-    which the histogram bound guarantees is always 1.
+    (oracle anchor, dropped in a pure sketch deployment) rides along
+    with the within-one-bin flag, which the histogram bound
+    guarantees is always 1. The anchor does NOT globally sort: the
+    sketch already located the covering bin, so the global rank-t row
+    is the rank-``(t - cum_before)`` row WITHIN that bin (binning is
+    monotone in v), and only picked-bin rows — ~n/n_bins each, never
+    a whole shard — are window-sorted.
 
     Values are clamped into [0, bin_width*n_bins); the top bin absorbs
     overflow (documented precondition: pick the range from schema
@@ -495,20 +499,33 @@ def histogram_quantiles(
         "n",
         "bin",
         F.floor(est * 100 + F.lit(0.5)).alias("est_x100"),
-        "t",
+        (F.col("t") - F.col("cum") + F.col("c")).alias("k"),
     )
-    # exact nearest-rank companion (oracle anchor)
-    raw = binned.select("shard", "v").unionByName(
-        binned.select(F.lit("ALL").alias("shard"), "v")
+    # exact nearest-rank companion (oracle anchor): rank-k row WITHIN
+    # the covering bin; only picked-bin rows are window-sorted
+    bins_typed = (
+        picked.filter(F.col("shard") != "ALL").select("shard", "bin").distinct()
     )
-    ranked = raw.select(
+    rows_typed = binned.join(F.broadcast(bins_typed), ["shard", "bin"]).select(
+        "shard", "bin", "v"
+    )
+    bins_all = picked.filter(F.col("shard") == "ALL").select("bin").distinct()
+    rows_all = binned.join(F.broadcast(bins_all), ["bin"]).select(
+        F.lit("ALL").alias("shard"), "bin", "v"
+    )
+    ranked = rows_typed.unionByName(rows_all).select(
         F.col("shard").alias("r_shard"),
+        F.col("bin").alias("r_bin"),
         "v",
-        F.row_number().over(Window.partitionBy("shard").orderBy("v")).alias("rn"),
+        F.row_number()
+        .over(Window.partitionBy("shard", "bin").orderBy("v"))
+        .alias("rn"),
     )
     out = picked.join(
         ranked,
-        (F.col("shard") == F.col("r_shard")) & (F.col("t") == F.col("rn")),
+        (F.col("shard") == F.col("r_shard"))
+        & (F.col("bin") == F.col("r_bin"))
+        & (F.col("k") == F.col("rn")),
     ).select(
         "shard",
         "p",

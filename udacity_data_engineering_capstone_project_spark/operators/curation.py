@@ -536,22 +536,20 @@ def bloom_bitset(
     stays fixed-size (Bloom 1970). Bitsets from different shards /
     days / benchmark versions merge by plain ``bit_or`` on word.
 
-    The ``k`` probe positions per key are carved from ONE md5 digest
-    (independent 15-hex-char slices), so build and probe cost one hash
-    per key per probe and the DuckDB oracle reproduces every bit.
+    The ``k`` probe positions are carved from the KEY'S OWN BITS
+    (``pos_s = (key div m_bits^s) mod m_bits`` — Kirsch-Mitzenmacher
+    double hashing): the keys here are already uniform md5-derived
+    60-bit digests, so slicing them costs pure integer ops — no new
+    hash per probe, which the 10x scale probe showed dominating the
+    per-key md5 variant. Requires ``m_bits^k <= 2^60`` (k=2 up to
+    m=2^30) and uniformly-hashed keys.
     """
+    assert m_bits ** k <= 1 << 60, "key bits exhausted: lower k or m_bits"
     pos = keys.select(F.col(key_col).alias("key")).select(
         F.explode(
             F.array(
                 *[
-                    F.expr(
-                        spark_hex_to_long(
-                            "md5(concat(CAST(key AS STRING), ':', "
-                            f"'{s}'))",
-                            15,
-                        )
-                        + f" % {m_bits}"
-                    )
+                    F.expr(f"(key DIV {m_bits ** s}) % {m_bits}")
                     for s in range(k)
                 ]
             )
@@ -592,14 +590,7 @@ def bloom_member_keys(
             F.explode(
                 F.array(
                     *[
-                        F.expr(
-                            spark_hex_to_long(
-                                "md5(concat(CAST(key AS STRING), ':', "
-                                f"'{s}'))",
-                                15,
-                            )
-                            + f" % {m_bits}"
-                        )
+                        F.expr(f"(key DIV {m_bits ** s}) % {m_bits}")
                         for s in range(k)
                     ]
                 )
@@ -632,7 +623,7 @@ def bloom_decontaminate(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 5,
-    m_bits: int = 1 << 14,
+    m_bits: int | None = 1 << 14,
     k: int = 2,
 ) -> DataFrame:
     """:func:`benchmark_decontaminate` with a Bloom prefilter: the
@@ -643,6 +634,13 @@ def bloom_decontaminate(
     filter only prunes — plus ``n_candidates`` (Bloom survivors per
     doc) making the FP overhead observable.
 
+    ``m_bits=None`` auto-sizes the filter to ~16 bits per benchmark
+    digest (next power of two; k=2 gives ~1.4 % FP) from one bounded
+    count — the production setting, since a filter the benchmark has
+    outgrown degrades toward pass-everything (graceful but pointless:
+    the 10x scale probe measured 4.5x wall from exactly that). A
+    pinned ``m_bits`` keeps the layout reproducible for the oracle.
+
     Scale: the broadcast is ``m_bits/32`` longs instead of the O(|
     benchmark|) digest set, and the exact-confirm join's probe side
     shrinks from every train shingle to the Bloom survivors (true
@@ -650,8 +648,17 @@ def bloom_decontaminate(
     """
     train_sh = hashed_shingle_table(train, id_col, text_col, n)
     bench_h = hashed_shingle_table(benchmark, id_col, text_col, n).select("h").distinct()
+    if m_bits is None:
+        n_keys = bench_h.count()  # bounded driver state: one scalar
+        m_bits = 1 << max(10, (16 * max(n_keys, 1) - 1).bit_length())
     bloom = bloom_bitset(bench_h, "h", m_bits, k)
-    cand = bloom_member_keys(train_sh, bloom, "h", m_bits, k)
+    # the candidate key set feeds three broadcasts (cand_sh twice,
+    # true_h) — persist it or each broadcast re-runs the whole probe
+    # pipeline (4x wall at 10x data). Only this bloom-SPECIFIC subtree
+    # is persisted: caching shared-lineage subtrees (train_sh/bench_h)
+    # would cache-substitute into OTHER queries' plans in a shared
+    # session and knock their dim joins off the broadcast path.
+    cand = bloom_member_keys(train_sh, bloom, "h", m_bits, k).persist()
     cand_sh = train_sh.join(F.broadcast(cand), "h")
     sizes = train_sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     n_cand = cand_sh.groupBy("doc").agg(F.count("*").alias("n_candidates"))

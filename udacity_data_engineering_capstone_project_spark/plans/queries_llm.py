@@ -3897,9 +3897,8 @@ def bloom_prefilter_decontaminate(spark, sf_dir):
 
 
 _BLOOM_M = 1 << 14  # bits; 32 packed per BIGINT word -> 512 words
-_BLOOM_POS = sql_hex_to_long(
-    "md5(CAST(h AS VARCHAR) || ':' || CAST(s AS VARCHAR))", 15
-)
+# Kirsch-Mitzenmacher positions from the key's own bits:
+# pos_s = (h div M^s) mod M, divisors [1, M] (k = 2)
 
 ORACLE_BLOOM_DECONTAMINATE = f"""
 WITH {_SHINGLES_CTE},
@@ -3914,13 +3913,13 @@ bloom AS (
   SELECT pos // 32 AS word,
          bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
   FROM (
-    SELECT ({_BLOOM_POS}) % {_BLOOM_M} AS pos
-    FROM bench CROSS JOIN (SELECT unnest([0, 1]) AS s)
+    SELECT (h // d) % {_BLOOM_M} AS pos
+    FROM bench CROSS JOIN (SELECT unnest([1, {_BLOOM_M}]) AS d)
   ) GROUP BY word
 ),
 probe AS (
-  SELECT h, ({_BLOOM_POS}) % {_BLOOM_M} AS pos
-  FROM (SELECT DISTINCT h FROM train) CROSS JOIN (SELECT unnest([0, 1]) AS s)
+  SELECT h, (h // d) % {_BLOOM_M} AS pos
+  FROM (SELECT DISTINCT h FROM train) CROSS JOIN (SELECT unnest([1, {_BLOOM_M}]) AS d)
 ),
 cand AS (
   SELECT p.h FROM probe p
@@ -4170,17 +4169,22 @@ cand AS (
   FROM h CROSS JOIN (SELECT unnest([50, 90, 99]) AS p)
 ),
 picked AS (
-  SELECT shard, p, n, bin, c, cum, t
+  SELECT shard, p, n, bin, c, cum, t, t - cum + c AS k
   FROM cand WHERE cum >= t AND cum - c < t
 ),
-raw AS (
-  SELECT shard, v FROM binned
-  UNION ALL SELECT 'ALL' AS shard, v FROM binned
+rws AS (
+  SELECT b.shard, b.bin, b.v FROM binned b
+  JOIN (SELECT DISTINCT shard, bin FROM picked WHERE shard <> 'ALL') s
+    ON s.shard = b.shard AND s.bin = b.bin
+  UNION ALL
+  SELECT 'ALL' AS shard, b.bin, b.v FROM binned b
+  JOIN (SELECT DISTINCT bin FROM picked WHERE shard = 'ALL') s
+    ON s.bin = b.bin
 ),
 ranked AS (
-  SELECT shard, v,
-         row_number() OVER (PARTITION BY shard ORDER BY v) AS rn
-  FROM raw
+  SELECT shard, bin, v,
+         row_number() OVER (PARTITION BY shard, bin ORDER BY v) AS rn
+  FROM rws
 ),
 joined AS (
   SELECT pk.shard AS shard, CAST(pk.p AS INTEGER) AS p, pk.n AS n,
@@ -4190,7 +4194,9 @@ joined AS (
                        / CAST(pk.c AS DOUBLE)) * 8.0 * 100 + 0.5)
               AS BIGINT) AS est_x100,
          CAST(floor(r.v * 100 + 0.5) AS BIGINT) AS exact_x100
-  FROM picked pk JOIN ranked r ON r.shard = pk.shard AND r.rn = pk.t
+  FROM picked pk
+  JOIN ranked r
+    ON r.shard = pk.shard AND r.bin = pk.bin AND r.rn = pk.k
 )
 SELECT shard, p, n, bin, est_x100, exact_x100,
        CAST(CASE WHEN abs(est_x100 - exact_x100) <= 800 THEN 1 ELSE 0 END

@@ -31,11 +31,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        # Spark-written layout (e.g. the scale replicas): events.parquet
+        # is a directory of part files — stream it directly (the glob
+        # filter below matches leaf FILE names, so it would match
+        # nothing here)
+        stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # ts has shipped as both TIMESTAMP(NANOS) (decoded long under
     # nanosAsLong) and plain micros; normalize either to session-tz ts.
     if isinstance(schema["ts"].dataType, LongType):
