@@ -186,3 +186,96 @@ def test_merge_partial_aggs_equals_full_recompute(spark_global, rows):
         n, s = want.get(k, (0, 0))
         want[k] = (n + 1, s + m)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),    # day offset
+            st.integers(min_value=0, max_value=200),  # user id
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_bitmap_rolling_distinct_matches_reference_model(spark_global, events):
+    """Bitmap OR + popcount == brute-force set model for arbitrary
+    (day, user) multisets — including idle days inside the window."""
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import (
+        bitmap_rolling_distinct,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=d), u) for d, u in events
+    ]
+    df = spark_global.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {
+        r["day"]: (r["users_1d"], r["users_3d"])
+        for r in bitmap_rolling_distinct(df, "ts", "user_id", 3).collect()
+    }
+    days = sorted({d for d, _ in events})
+    for d in days:
+        day = (base + datetime.timedelta(days=d)).date()
+        one = {u for dd, u in events if dd == d}
+        three = {u for dd, u in events if d - 2 <= dd <= d}
+        assert got[day] == (len(one), len(three))
+
+
+@given(
+    st.sets(
+        st.integers(min_value=0, max_value=(1 << 60) - 1), min_size=1, max_size=50
+    ),
+    st.sets(st.integers(min_value=0, max_value=(1 << 60) - 1), max_size=50),
+)
+@settings(max_examples=10, deadline=None)
+def test_bloom_no_false_negatives(spark_global, members, probes):
+    """Every true member passes the filter (no false negatives), for
+    arbitrary 60-bit keys and a deliberately tiny (collision-prone)
+    filter."""
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        bloom_bitset,
+        bloom_member_keys,
+    )
+
+    keys = spark_global.createDataFrame([(h,) for h in sorted(members)], "h long")
+    bloom = bloom_bitset(keys, "h", m_bits=1 << 8)
+    probe = spark_global.createDataFrame(
+        [(h,) for h in sorted(members | probes)], "h long"
+    )
+    passed = {
+        r["h"] for r in bloom_member_keys(probe, bloom, "h", m_bits=1 << 8).collect()
+    }
+    assert members <= passed
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_histogram_quantile_error_bound(spark_global, values):
+    """The histogram estimate is always within one bin width of the
+    exact nearest-rank value, for arbitrary value distributions
+    (including everything-in-one-bin and out-of-range clamping)."""
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import (
+        histogram_quantiles,
+    )
+
+    df = spark_global.createDataFrame(
+        [("a", v) for v in values], "shard string, v double"
+    )
+    rows = histogram_quantiles(
+        df, "shard", "v", bin_width=8, n_bins=128, probs_x100=(50, 99)
+    ).collect()
+    assert len(rows) == 4  # shard 'a' + 'ALL', two probs each
+    for r in rows:
+        assert r["within_bin"] == 1
+        n = len(values)
+        t = -(-r["p"] * n // 100)  # ceil
+        exact = sorted(min(v, 8 * 128 - 1e-9) for v in values)[t - 1]
+        assert abs(r["exact_x100"] - int(exact * 100 + 0.5)) <= 1
