@@ -14,7 +14,9 @@ def test_every_query_has_oracle_except_streaming(spark):
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert set(qs) - set(oracles) == {
-        "stream_hourly_counts",
+        # (stream_hourly_counts and stream_sessionize are FULLY oracled
+        # since round 3: append-mode emission == the batch twin filtered
+        # to watermark-closed windows/sessions)
         "stream_user_totals",
         "kmeans_assign",
         "ivf_trained_recall",

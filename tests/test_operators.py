@@ -1203,3 +1203,22 @@ def test_histogram_quantiles_bound_and_monotone(spark, sf_dir):
         assert qs[50] <= qs[90] <= qs[99], shard
     n_all = next(r["n"] for r in rows if r["shard"] == "ALL")
     assert n_all == events.count()
+
+
+def test_bitmap_retention_identities(spark, sf_dir):
+    """Conservation laws: retained + new == active, and last week's
+    active == this week's retained + churned (for days with a lagged
+    counterpart)."""
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import (
+        bitmap_retention,
+    )
+    import datetime
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = {r["day"]: r for r in bitmap_retention(events, "ts", "user_id", 7).collect()}
+    assert rows
+    for day, r in rows.items():
+        assert r["retained"] + r["new_users"] == r["active"]
+        prev = rows.get(day - datetime.timedelta(days=7))
+        if prev is not None:
+            assert prev["active"] == r["retained"] + r["churned"]

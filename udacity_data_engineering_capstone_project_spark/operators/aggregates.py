@@ -540,3 +540,67 @@ def histogram_quantiles(
             "int"
         ),
     )
+
+
+def bitmap_retention(
+    df: DataFrame,
+    day_col: str,
+    id_col: str,
+    lag_days: int = 7,
+) -> DataFrame:
+    """Exact day-over-``lag_days`` retention via bitmap INTERSECTION —
+    the second read path the bitmap index buys (the first being the
+    rolling-distinct OR): ``retained = popcount(today AND lagged)``,
+    ``new = popcount(today AND NOT lagged)``, ``churned =
+    popcount(lagged AND NOT today)``. A count-distinct formulation
+    needs a self-join of raw events; here the self-join is between
+    per-(day, word) BITMAP rows — id-space/32 per day, independent of
+    event volume — and every count is exact.
+
+    Full-outer on the (word, day = lagged day + lag) pair so a word
+    active only in one of the two days still contributes its new /
+    churned mass. Days with no lagged counterpart report churned = 0
+    and new = active (a cold start, not data loss).
+    """
+    day = F.col(day_col).cast("date")
+    daily = (
+        df.select(
+            day.alias("day"),
+            (F.col(id_col) / 32).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(({id_col}) % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    t = daily.select(
+        F.col("day").alias("t_day"), F.col("word").alias("t_word"),
+        F.col("bits").alias("t_bits"),
+    )
+    p = daily.select(
+        F.col("day").alias("p_day"), F.col("word").alias("p_word"),
+        F.col("bits").alias("p_bits"),
+    )
+    j = t.join(
+        p,
+        (F.col("t_word") == F.col("p_word"))
+        & (F.col("p_day") == F.date_sub(F.col("t_day"), lag_days)),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("t_day"), F.date_add(F.col("p_day"), lag_days)).alias(
+            "day"
+        ),
+        F.coalesce("t_bits", F.lit(0).cast("long")).alias("tb"),
+        F.coalesce("p_bits", F.lit(0).cast("long")).alias("pb"),
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum(F.bit_count("tb")).alias("active"),
+            F.sum(F.bit_count(F.expr("tb & pb"))).alias("retained"),
+            F.sum(F.bit_count(F.expr("tb & ~pb"))).alias("new_users"),
+            F.sum(F.bit_count(F.expr("pb & ~tb"))).alias("churned"),
+        )
+        .filter(F.col("active") > 0)
+    )

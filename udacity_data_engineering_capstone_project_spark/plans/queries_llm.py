@@ -2271,14 +2271,29 @@ SELECT event_id, user_id, event_type FROM events
 
 
 def stream_hourly_counts(spark, sf_dir):
-    """Structured Streaming smoke: the events parquet replayed through
+    """Structured Streaming: the events parquet replayed through
     readStream -> watermark -> tumbling window -> memory sink, run to
-    completion. Append mode only emits watermark-closed windows, so the
-    trailing window is withheld (correct streaming semantics). No SQL
-    oracle — the driver records a rows-only check."""
+    completion. Append mode emits exactly the windows the FINAL
+    watermark (max ts - 1 h) has closed (``window.end <= watermark``,
+    monotone in the watermark -> deterministic under any
+    micro-batching; same contract as ``stream_sessionize``), so the
+    batch hourly rollup restricted by that predicate is a full SQL
+    oracle. The trailing window is correctly withheld in state."""
     from ..streaming.events import run_hourly_batch
 
     return run_hourly_batch(spark, sf_dir)
+
+
+ORACLE_STREAM_HOURLY = f"""
+WITH e AS (SELECT * FROM {EVENTS_US} AS ev),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e)
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_round_fixed('sum(value)', 2)} AS sum_value_r
+FROM e CROSS JOIN wm
+GROUP BY 1, 2, wm.w
+HAVING hour_start + INTERVAL 1 HOUR <= wm.w
+"""
 
 
 def stream_user_totals(spark, sf_dir):
@@ -3845,7 +3860,12 @@ LLM_QUERIES = {
         ORACLE_MAD,
         "UDAF surface: GROUPED_AGG pandas UDF (exact MAD) vs native oracle",
     ),
-    "stream_hourly_counts": (stream_hourly_counts, None, "structured streaming"),
+    "stream_hourly_counts": (
+        stream_hourly_counts,
+        ORACLE_STREAM_HOURLY,
+        "structured streaming tumbling windows; append-mode emission "
+        "== batch rollup filtered to watermark-closed windows",
+    ),
     "stream_stream_join": (
         stream_stream_join,
         ORACLE_STREAM_STREAM_JOIN,
@@ -4209,4 +4229,49 @@ LLM_QUERIES["histogram_quantile_rollup"] = (
     ORACLE_HISTOGRAM_QUANTILES,
     "mergeable equi-width histogram quantiles with 'ALL' rollup from "
     "sketch rows + exact nearest-rank anchor",
+)
+
+
+def bitmap_weekly_retention(spark, sf_dir):
+    """Exact week-over-week retention from the bitmap index
+    (operators.aggregates.bitmap_retention): retained / new / churned
+    users per day as popcounts of AND / AND-NOT between today's and
+    the 7-days-ago bitmap words — a bitmap-row self-join, never a raw
+    event self-join."""
+    from ..operators.aggregates import bitmap_retention
+
+    return bitmap_retention(
+        _t(spark, sf_dir, "events"), "ts", "user_id", lag_days=7
+    ).withColumn("day", F.col("day").cast("string"))
+
+
+ORACLE_BITMAP_RETENTION = f"""
+WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM {EVENTS_US} AS ev),
+daily AS (
+  SELECT day, user_id // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+  FROM e GROUP BY day, word
+),
+j AS (
+  SELECT coalesce(t.day, p.day + 7) AS day,
+         coalesce(t.bits, CAST(0 AS BIGINT)) AS tb,
+         coalesce(p.bits, CAST(0 AS BIGINT)) AS pb
+  FROM daily t
+  FULL OUTER JOIN daily p
+    ON p.word = t.word AND p.day = t.day - 7
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(sum(bit_count(tb)) AS BIGINT) AS active,
+       CAST(sum(bit_count(tb & pb)) AS BIGINT) AS retained,
+       CAST(sum(bit_count(tb & ~pb)) AS BIGINT) AS new_users,
+       CAST(sum(bit_count(pb & ~tb)) AS BIGINT) AS churned
+FROM j GROUP BY day
+HAVING sum(bit_count(tb)) > 0
+"""
+
+LLM_QUERIES["bitmap_weekly_retention"] = (
+    bitmap_weekly_retention,
+    ORACLE_BITMAP_RETENTION,
+    "exact week-over-week retention/new/churn via bitmap AND/AND-NOT "
+    "popcounts",
 )

@@ -10,10 +10,10 @@ to maximize driver-recorded coverage across rounds (VERDICT r1 #1):
 - round 1 recorded the 43 parity queries + the first 7 SQL queries;
 - round 2 recorded the new/changed queries + the LLM tier through
   ``quality_filter_reasons`` (48 full green + 2 rows-only);
-- round 3 leads with this round's changed queries, then the 32
-  queries never driver-recorded in r1/r2, then re-records of the
-  most load-bearing round-2 entries — after which every registered
-  query has a green driver row in some round's CORRECTNESS file.
+- round 3 leads with this round's 24 new/changed queries, then the
+  26 never-driver-recorded full-oracle queries (14 LLM + 12 SQL) —
+  exactly 50. The 6 rows-only/diagnostic stragglers and the
+  re-record backfill sit just past the window and lead round 4.
 Every query not in the current window stays verified by
 ``tools/oracle_check.py`` (run per-round, see NOTES.md).
 """
@@ -39,6 +39,8 @@ _NEW_OR_CHANGED_R3 = [
     "embedding_covariance",
     "stream_sessionize",
     "histogram_quantile_rollup",
+    "bitmap_weekly_retention",
+    "stream_hourly_counts",  # gained a full oracle (watermark closure)
     # new in round 3 (curation-tier additions):
     "containment_pairs_directed",
     "semantic_dedup_clusters",

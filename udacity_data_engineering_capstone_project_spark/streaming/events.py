@@ -56,12 +56,14 @@ def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour windows per event_type with late-data tolerance
     = ``watermark``. State per (window, type) is dropped once the
     watermark passes the window end."""
+    from ..functions.rounding import round_fixed
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value_r"),
+            round_fixed(F.sum("value"), 2).alias("sum_value_r"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
