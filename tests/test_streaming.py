@@ -246,3 +246,32 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     incremental_ingest(spark, src, dest, ckpt)
     got = sorted(r.id for r in spark.read.parquet(dest).collect())
     assert got == [1, 2, 3]
+
+
+def test_watermark_closure_oracles_have_no_boundary_sessions(spark, sf_dir):
+    """Fixture-regen guard for the two watermark-closure full oracles
+    (stream_sessionize / stream_hourly_counts): no batch session end
+    or window end may land EXACTLY on the final watermark microsecond,
+    where Spark's emit-on-close (<=) and a regenerated fixture could
+    disagree. A failure here means regenerate or re-derive the oracle
+    boundary, not a code bug."""
+    from udacity_data_engineering_capstone_project_spark.operators.windows import sessionize
+
+    ev = read_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    boundary_sessions = (
+        sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+        .groupBy("user_id", "session_id")
+        .agg((F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"))
+        .filter(F.col("session_end") == wm)
+        .count()
+    )
+    assert boundary_sessions == 0
+    boundary_windows = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+        .filter(F.col("w.end") == wm)
+        .count()
+    )
+    assert boundary_windows == 0
