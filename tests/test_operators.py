@@ -1222,3 +1222,61 @@ def test_bitmap_retention_identities(spark, sf_dir):
         prev = rows.get(day - datetime.timedelta(days=7))
         if prev is not None:
             assert prev["active"] == r["retained"] + r["churned"]
+
+
+def test_chunk_windows_cover_every_token(spark, sf_dir):
+    """Every token index of every document is covered by >=1 chunk;
+    consecutive chunks overlap by chunk_len - stride; short docs get
+    exactly one chunk; plan is shuffle-free."""
+    import re
+
+    from pyspark.sql import functions as F
+    from udacity_data_engineering_capstone_project_spark.functions.textnorm import (
+        tokens_col,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        chunk_windows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_windows(docs, "doc_id", "text", chunk_len=32, stride=24)
+    rows = out.collect()
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(tokens_col("text")).alias("n")).collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], []).append(r)
+    assert set(by_doc) == set(lens)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        covered = max(c["tok_start"] + c["n_chunk_tokens"] for c in chunks)
+        assert covered == lens[doc]  # full coverage, no token dropped
+        assert chunks[-1]["n_chunk_tokens"] >= 1
+        if lens[doc] <= 32:
+            assert len(chunks) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange (?:hash|range)partitioning", plan)
+
+
+def test_epoch_shuffle_is_reproducible_and_reshuffles(spark, sf_dir):
+    """Same epoch twice -> identical shard checksums; different epochs
+    -> different assignment (the reshuffle); shard counts cover the
+    corpus exactly once per epoch."""
+    from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
+        epoch_shuffle_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r["epoch"], r["shard"]): (r["n_docs"], r["ids_xor"])
+         for r in epoch_shuffle_shards(docs, epochs=(0, 1)).collect()}
+    b = {(r["epoch"], r["shard"]): (r["n_docs"], r["ids_xor"])
+         for r in epoch_shuffle_shards(docs, epochs=(0, 1)).collect()}
+    assert a == b  # reproducible
+    n = docs.count()
+    for e in (0, 1):
+        assert sum(v[0] for (ep, _), v in a.items() if ep == e) == n
+    sig0 = {s: v for (e, s), v in a.items() if e == 0}
+    sig1 = {s: v for (e, s), v in a.items() if e == 1}
+    assert sig0 != sig1  # epochs produce different permutations

@@ -161,3 +161,43 @@ def weighted_sample_per_group(
         .filter(F.col("__rk") <= n_per_group)
         .drop("__rk")
     )
+
+
+def epoch_shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    epochs: tuple[int, ...] = (0, 1),
+) -> DataFrame:
+    """Reproducible per-epoch corpus reshuffle audit: every document is
+    assigned to shard ``md5(id ':' epoch) mod n_shards`` — a pure
+    function of (id, epoch), so every training run sees the same
+    epoch-e permutation, while different epochs get independent
+    assignments (the reshuffle). Returns per (epoch, shard):
+    (n_docs, ids_xor) with ``ids_xor`` a bit_xor membership checksum —
+    enough to prove two runs produced identical shards without
+    shipping the id lists.
+
+    Scale: NO global sort/rank (hash-mod sharding is the standard
+    training-shard assignment; shard sizes are binomially tight at
+    corpus counts) — one map-side-combined groupBy per epoch, exploded
+    from a literal epoch array, one scan total.
+    """
+    from ..functions.hashing import spark_hex_to_long
+
+    e = df.select(F.col(id_col).alias("id")).select(
+        "id",
+        F.explode(F.array(*[F.lit(x) for x in epochs])).alias("epoch"),
+    )
+    shard = F.expr(
+        spark_hex_to_long("md5(concat(CAST(id AS STRING), ':', CAST(epoch AS STRING)))", 15)
+        + f" % {n_shards}"
+    )
+    return (
+        e.select("id", "epoch", shard.alias("shard"))
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(id)").alias("ids_xor"),
+        )
+    )

@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import spark_hex_to_long
 from ..functions.textnorm import tokens_col
 
 #: Marker stopwords per language for the n-gram-free language-ID
@@ -890,4 +891,56 @@ def bigram_interp_nll(
     return scored.groupBy("doc").agg(
         F.count("*").alias("n_bigrams"),
         F.expr("sum(s) div count(*)").alias("mean_nll_x1e6"),
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_len: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / embedding-prep
+    layout (split every document into ``chunk_len``-token windows
+    advancing by ``stride``; the final window may be shorter, and a
+    document shorter than one window yields exactly one chunk).
+
+    Returns (doc, chunk_id, tok_start, n_chunk_tokens, chunk_h) with
+    ``chunk_h`` the 60-bit md5 digest of the space-joined window —
+    chunks leave the operator as digests + offsets, so downstream
+    dedup/embedding joins never ship chunk text.
+
+    Scale: MAP-ONLY — tokenize, per-row ``sequence()`` explode, and
+    ``slice()`` are all JVM array ops inside codegen; no shuffle, no
+    Python. Fan-out is ~n_tokens/stride rows per document, the
+    inherent output size.
+    """
+    n_chunks = F.expr(
+        f"CAST(ceil(greatest(size(__toks) - {chunk_len}, 0) / {stride}.0) AS INT) + 1"
+    )
+    chunk = F.expr(f"slice(__toks, __ci * {stride} + 1, {chunk_len})")
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            tokens_col(text_col).alias("__toks"),
+        )
+        .select(
+            "doc",
+            "__toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("__ci"),
+        )
+        .select(
+            "doc",
+            F.col("__ci").alias("chunk_id"),
+            (F.col("__ci") * stride).alias("tok_start"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.expr(
+                spark_hex_to_long(
+                    f"md5(array_join(slice(__toks, __ci * {stride} + 1, "
+                    f"{chunk_len}), ' '))",
+                    15,
+                )
+            ).alias("chunk_h"),
+        )
     )

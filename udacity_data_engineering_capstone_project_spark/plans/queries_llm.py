@@ -4275,3 +4275,83 @@ LLM_QUERIES["bitmap_weekly_retention"] = (
     "exact week-over-week retention/new/churn via bitmap AND/AND-NOT "
     "popcounts",
 )
+
+
+def doc_chunk_windows(spark, sf_dir):
+    """RAG/embedding-prep chunking (operators.textops.chunk_windows):
+    every document split into overlapping 32-token windows (stride
+    24), emitted as digests + offsets. Map-only plan — tokenize,
+    sequence() explode, slice(), md5 all inside codegen; zero
+    shuffles."""
+    from ..operators.textops import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_len=32, stride=24
+    )
+
+
+ORACLE_CHUNK_WINDOWS = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_TOKS_DUCK} AS t FROM documents
+),
+n AS (
+  SELECT doc, t,
+         CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INTEGER) + 1 AS nc
+  FROM toks
+),
+c AS (
+  SELECT doc, t, unnest(range(nc)) AS ci FROM n
+)
+SELECT doc, CAST(ci AS INTEGER) AS chunk_id,
+       CAST(ci * 24 AS INTEGER) AS tok_start,
+       CAST(len(t[ci * 24 + 1 : ci * 24 + 32]) AS INTEGER) AS n_chunk_tokens,
+       {sql_hex_to_long("md5(array_to_string(t[ci * 24 + 1 : ci * 24 + 32], ' '))", 15)} AS chunk_h
+FROM c
+"""
+
+
+def epoch_shuffle_audit(spark, sf_dir):
+    """Reproducible epoch reshuffle (operators.cleaning.
+    epoch_shuffle_shards): documents hash-mod-assigned to 8 training
+    shards per epoch; per-(epoch, shard) counts + bit_xor id
+    checksums prove run-to-run identity without shipping id lists. No
+    global sort — one map-side-combined groupBy."""
+    from ..operators.cleaning import epoch_shuffle_shards
+
+    return epoch_shuffle_shards(
+        _t(spark, sf_dir, "documents"), "doc_id", n_shards=8, epochs=(0, 1)
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH e AS (
+  SELECT doc_id AS id, epoch
+  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch)
+),
+s AS (
+  SELECT id, epoch,
+         ({sql_hex_to_long("md5(CAST(id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))", 15)}) % 8 AS shard
+  FROM e
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(id) AS BIGINT) AS ids_xor
+FROM s GROUP BY epoch, shard
+"""
+
+LLM_QUERIES.update(
+    {
+        "doc_chunk_windows": (
+            doc_chunk_windows,
+            ORACLE_CHUNK_WINDOWS,
+            "RAG chunking: overlapping 32-token windows (stride 24) as "
+            "digests+offsets, map-only / shuffle-free",
+        ),
+        "epoch_shuffle_audit": (
+            epoch_shuffle_audit,
+            ORACLE_EPOCH_SHUFFLE,
+            "reproducible per-epoch shard assignment with bit_xor "
+            "membership checksums, no global sort",
+        ),
+    }
+)

@@ -40,6 +40,8 @@ _NEW_OR_CHANGED_R3 = [
     "stream_sessionize",
     "histogram_quantile_rollup",
     "bitmap_weekly_retention",
+    "doc_chunk_windows",
+    "epoch_shuffle_audit",
     "stream_hourly_counts",  # gained a full oracle (watermark closure)
     # new in round 3 (curation-tier additions):
     "containment_pairs_directed",
@@ -55,11 +57,16 @@ _NEW_OR_CHANGED_R3 = [
     "dsir_src0_importance",
     "quality_linear_score",
     # changed this round (see VERDICT r2 next-steps #2, #4, #5, #6):
-    "doc_surprisal",  # broadcast hint dropped (unbounded-vocab fix)
     "hll_sketch_rollup",  # + exact countDistinct companion column
     "ann_pq_recall",  # + exact re-rank neighbor-id companion column
     "dedup_components",  # large-star/small-star rewrite
-    "ewma_user_value",  # explicit non-null value contract (ADVICE)
+]
+#: Changed in r3 but already full-green in r2 and result-identical
+#: (hint drop / null contract): re-record AFTER the never-recorded
+#: tier so the window stays exactly 50 first-record rows.
+_CHANGED_LOW_PRIORITY = [
+    "doc_surprisal",
+    "ewma_user_value",
 ]
 #: Never driver-recorded: pushed out of r2's window by late additions.
 _UNRECORDED_LLM = [
@@ -125,6 +132,7 @@ _PRIORITY_R3 = [
     *_NEW_OR_CHANGED_R3,
     *_UNRECORDED_LLM,
     *_UNRECORDED_SQL,
+    *_CHANGED_LOW_PRIORITY,
     *_UNRECORDED_DEMOTED,
     *_RERECORD,
 ]
