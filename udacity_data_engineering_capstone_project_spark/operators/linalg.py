@@ -14,10 +14,12 @@ bit-identical regardless of partitioning, batch boundaries, or engine
 — the DuckDB oracle reproduces every column exactly.
 
 Overflow bounds (int64): with |x| <= 1 and scale = 1e5, a product is
-<= 1e10 and the guarded term ``sxy * n`` stays < 2^63 for n up to
-~9e5 rows per statistics run; larger corpora lower ``scale`` (1e4
-supports n ~ 9e7). The quantization error on the covariance is
-O(1/scale), orders below sampling noise at those row counts.
+<= 1e10, so the int64 sums hold to ~9e8 rows; the derived ``cov``
+numerator is computed in double (int64 would overflow at ~2e5 rows)
+— deterministic, and bit-exact while the sums stay under 2^53
+(beyond that both engines round identically). Larger corpora lower
+``scale`` (1e4 buys 100x more rows at O(1/scale) quantization error,
+orders below sampling noise at those counts).
 """
 
 from __future__ import annotations
@@ -99,6 +101,14 @@ def embedding_moments(
         * F.lit(float(scale))
         * F.lit(float(scale))
     )
+    # the derived numerator is computed in DOUBLE: sxy*n in int64
+    # overflows at ~2e5 rows (ANSI would throw). The double ops run on
+    # exact integer inputs with one expression shape, so the oracle
+    # still matches bit-for-bit.
+    num = (
+        F.col("sxy").cast("double") * F.col("n").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
     return out.select(
         "i",
         "j",
@@ -106,10 +116,7 @@ def embedding_moments(
         "sx",
         "sy",
         "sxy",
-        (
-            (F.col("sxy") * F.col("n") - F.col("sx") * F.col("sy")).cast("double")
-            / denom
-        ).alias("cov"),
+        (num / denom).alias("cov"),
     )
 
 

@@ -4056,7 +4056,8 @@ comp AS (
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
 SELECT CAST(s.i AS INTEGER) AS i, CAST(s.j AS INTEGER) AS j,
        t.n AS n, ci.sx AS sx, cj.sx AS sy, s.sxy AS sxy,
-       CAST(s.sxy * t.n - ci.sx * cj.sx AS DOUBLE)
+       (CAST(s.sxy AS DOUBLE) * CAST(t.n AS DOUBLE)
+        - CAST(ci.sx AS DOUBLE) * CAST(cj.sx AS DOUBLE))
          / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
             * 100000.0 * 100000.0) AS cov
 FROM sums s
