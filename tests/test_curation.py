@@ -176,3 +176,30 @@ def test_bloom_bitset_is_fixed_size(spark):
     keys = spark.range(5000).select(F.col("id").alias("h"))
     bs = bloom_bitset(keys, m_bits=1 << 10)
     assert bs.count() <= (1 << 10) // 32
+
+
+def test_bloom_decontaminate_accepts_materialized_shingles(spark, tmp_path):
+    """A caller-materialized (doc, h) shingle table produces the same
+    result as the internal tokenize path — the pay-the-scan-once
+    production shape."""
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        bloom_decontaminate,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        hashed_shingle_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    train, bench = docs.filter(b < 80), docs.filter(b >= 90)
+    p = str(tmp_path / "train_sh")
+    hashed_shingle_table(train, "doc_id", "text", 3).write.parquet(p)
+    via_table = bloom_decontaminate(
+        train, bench, train_shingles=spark.read.parquet(p)
+    ).orderBy("doc").collect()
+    inline = bloom_decontaminate(train, bench).orderBy("doc").collect()
+    assert via_table == inline and len(inline) > 0

@@ -1280,3 +1280,47 @@ def test_epoch_shuffle_is_reproducible_and_reshuffles(spark, sf_dir):
     sig0 = {s: v for (e, s), v in a.items() if e == 0}
     sig1 = {s: v for (e, s), v in a.items() if e == 1}
     assert sig0 != sig1  # epochs produce different permutations
+
+
+def test_ivf_index_on_disk_prunes_partitions_and_matches_in_memory(spark, sf_dir, tmp_path):
+    """write_ivf_index -> parquet partitioned by cell; serving pushes
+    the probed cells as STATIC PartitionFilters (unprobed directories
+    never read) and returns exactly the in-memory ivf_topk result."""
+    from pyspark.sql import functions as F
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        srp_planes,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # deterministic centroids: first 8 vectors by id
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.monotonically_increasing_id().cast("int").alias("centroid_id"),
+                "embedding")
+    )
+    cents = spark.createDataFrame(cents.collect())  # freeze
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(queries, emb, cents, k=5, nprobe=2).collect()
+    }
+    got_df = ivf_topk_from_index(spark, path, queries, cents, k=5, nprobe=2)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in got_df.collect()}
+    assert got == want and len(got) > 0
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan.replace("#", " ").replace(
+        "centroid_id ", "centroid_id"
+    ) or "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1) and "IN" in m.group(1).upper()

@@ -625,6 +625,7 @@ def bloom_decontaminate(
     threshold_den: int = 5,
     m_bits: int | None = 1 << 14,
     k: int = 2,
+    train_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`benchmark_decontaminate` with a Bloom prefilter: the
     benchmark shingle digests build a fixed-size bitset
@@ -644,9 +645,18 @@ def bloom_decontaminate(
     Scale: the broadcast is ``m_bits/32`` longs instead of the O(|
     benchmark|) digest set, and the exact-confirm join's probe side
     shrinks from every train shingle to the Bloom survivors (true
-    matches + ~FP-rate of the rest).
+    matches + ~FP-rate of the rest). The (doc, h) shingle table is
+    consumed three times (probe, sizes, candidate re-join); pass a
+    MATERIALIZED one via ``train_shingles`` to pay the tokenize+md5
+    scan once — the 100x probe showed that scan dominating (SCALE.md;
+    persisting it here instead would cache-substitute into other
+    queries' plans in a shared session, so it is the caller's call).
     """
-    train_sh = hashed_shingle_table(train, id_col, text_col, n)
+    train_sh = (
+        train_shingles
+        if train_shingles is not None
+        else hashed_shingle_table(train, id_col, text_col, n)
+    )
     bench_h = hashed_shingle_table(benchmark, id_col, text_col, n).select("h").distinct()
     if m_bits is None:
         n_keys = bench_h.count()  # bounded driver state: one scalar

@@ -798,3 +798,103 @@ def pq_topk(
     return rer.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index on disk: every corpus vector stored
+    WITH its double-precision embedding, parquet-partitioned by
+    assigned centroid — the build-once / serve-many ANN layout. A
+    serving query that probes ``nprobe`` cells then reads ONLY those
+    directories (partition pruning), i.e. nprobe/|cells| of the corpus
+    bytes, without any index service beside the file system. Rebuild
+    is a one-pass job; incremental batches append their own
+    assignments into the same partition scheme.
+    """
+    assigned = build_ivf_assignments(
+        corpus, centroids, id_col, vec_col, centroid_id_col
+    ).select("vec_id", "centroid_id")
+    vecs = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("vec_id"), "cv"
+    )
+    assigned.join(vecs, "vec_id").write.partitionBy("centroid_id").mode(
+        mode
+    ).parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve top-k from a :func:`write_ivf_index` layout. The probed
+    cell set (<= |queries| * nprobe ids — bounded driver state) is
+    collected and pushed as a STATIC partition filter, so the parquet
+    scan's ``PartitionFilters`` prunes every unprobed cell directory
+    before a single byte is read (asserted in tests). Results are
+    identical to the in-memory :func:`ivf_topk` for the same
+    centroids. At very large query batches, skip the collect and let
+    dynamic partition pruning do the same from the broadcast join.
+    """
+    q = _with_double_vec(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
+    )
+    cent = _with_double_vec(centroids, vec_col, "uv").select(
+        F.col(centroid_id_col).alias("centroid_id"), "uv"
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine_cols(F.col("qv"), F.col("uv")).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cells = sorted(
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    )
+    index = spark.read.parquet(index_path).filter(
+        F.col("centroid_id").isin(cells)
+    )
+    candidates = index.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        candidates.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_cols(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
