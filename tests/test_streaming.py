@@ -275,3 +275,24 @@ def test_watermark_closure_oracles_have_no_boundary_sessions(spark, sf_dir):
         .count()
     )
     assert boundary_windows == 0
+
+
+def test_stream_bitmap_distinct_equals_batch_count_distinct(spark, sf_dir):
+    """Monotone bit_or state: the reduced update-mode emissions equal
+    batch count(distinct user_id) per day exactly."""
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        run_bitmap_distinct_batch,
+    )
+
+    got = {
+        r["day"]: r["distinct_users"]
+        for r in run_bitmap_distinct_batch(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    want = {
+        str(r["day"]): r["n"]
+        for r in ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

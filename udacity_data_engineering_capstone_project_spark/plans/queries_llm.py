@@ -4356,3 +4356,29 @@ LLM_QUERIES.update(
         ),
     }
 )
+
+
+def stream_bitmap_distinct(spark, sf_dir):
+    """Exact distinct users per day over a STREAM via mergeable
+    bitmap state (streaming/events.bitmap_daily_distinct_stream):
+    update-mode bit_or emissions are monotone, so their bit_or
+    reduction equals the final state and the result equals batch
+    count(distinct) exactly — a full SQL oracle for a stateful
+    streaming aggregate."""
+    from ..streaming.events import run_bitmap_distinct_batch
+
+    return run_bitmap_distinct_batch(spark, sf_dir)
+
+
+ORACLE_STREAM_BITMAP_DISTINCT = f"""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM {EVENTS_US} AS events GROUP BY 1
+"""
+
+LLM_QUERIES["stream_bitmap_distinct"] = (
+    stream_bitmap_distinct,
+    ORACLE_STREAM_BITMAP_DISTINCT,
+    "streaming exact distinct per day: monotone bit_or bitmap state, "
+    "update-mode emissions reduce to the batch answer",
+)

@@ -42,6 +42,7 @@ _NEW_OR_CHANGED_R3 = [
     "bitmap_weekly_retention",
     "doc_chunk_windows",
     "epoch_shuffle_audit",
+    "stream_bitmap_distinct",
     "stream_hourly_counts",  # gained a full oracle (watermark closure)
     # new in round 3 (curation-tier additions):
     "containment_pairs_directed",
@@ -59,12 +60,12 @@ _NEW_OR_CHANGED_R3 = [
     # changed this round (see VERDICT r2 next-steps #2, #4, #5, #6):
     "hll_sketch_rollup",  # + exact countDistinct companion column
     "ann_pq_recall",  # + exact re-rank neighbor-id companion column
-    "dedup_components",  # large-star/small-star rewrite
 ]
 #: Changed in r3 but already full-green in r2 and result-identical
 #: (hint drop / null contract): re-record AFTER the never-recorded
 #: tier so the window stays exactly 50 first-record rows.
 _CHANGED_LOW_PRIORITY = [
+    "dedup_components",  # large-star rewrite: chain-of-1000 + union-find pytests
     "doc_surprisal",
     "ewma_user_value",
 ]

@@ -339,3 +339,49 @@ def incremental_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def bitmap_daily_distinct_stream(events: DataFrame) -> DataFrame:
+    """EXACT distinct users per day over a STREAM — the classic
+    hard streaming aggregate made bounded by bitmap state: per
+    (1-day event-time window, id-word) the state is one int64 of
+    ``bit_or``-ed membership bits (id-space/32 words per day,
+    independent of event volume; watermark evicts closed days).
+    Update mode re-emits a (window, word) row whenever its bits grow;
+    because OR-state is MONOTONE, ``bit_or`` over all emissions of a
+    key equals its final state, so the reduced result is exactly the
+    batch bitmap — callers finish with bit_count + a per-day sum
+    (see ``run_bitmap_distinct_batch``)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .select(
+            "ts",
+            (F.col("user_id") / 32).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy(F.window("ts", "1 day").alias("w"), "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .select(F.col("w.start").cast("date").alias("day"), "word", "bits")
+    )
+
+
+def run_bitmap_distinct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream -> bitmap_daily_distinct_stream (update mode) ->
+    memory sink, to completion; emissions reduced by the monotone
+    ``bit_or`` per (day, word), then popcount-summed per day. Equals
+    the batch ``count(distinct user_id)`` per day — the full SQL
+    oracle."""
+    emitted = run_to_completion(
+        bitmap_daily_distinct_stream(read_events_stream(spark, sf_dir)),
+        "update",
+    )
+    final = emitted.groupBy("day", "word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    return (
+        final.groupBy("day")
+        .agg(F.sum(F.bit_count("bits")).alias("distinct_users"))
+        .select(F.col("day").cast("string").alias("day"), "distinct_users")
+    )
