@@ -1324,3 +1324,37 @@ def test_ivf_index_on_disk_prunes_partitions_and_matches_in_memory(spark, sf_dir
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "centroid_id" in m.group(1) and "IN" in m.group(1).upper()
+
+
+def test_dedup_pairs_identical_across_hash_families(spark, sf_dir):
+    """jaccard_pairs and minhash_lsh_pairs emit the SAME pairs under
+    md5 digests (oracle family) and xxhash64 digests (the JVM-intrinsic
+    production fast path): downstream treats digests as opaque equality
+    keys and verification is exact, so any collision-free family gives
+    identical output."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jac = {}
+    for fam in ("md5", "xxhash64"):
+        sets = shingle_sets(docs, "doc_id", "text", 3, hash_family=fam)
+        jac[fam] = {
+            (r.doc_a, r.doc_b, r.inter_size, r.union_size)
+            for r in jaccard_pairs(sets, 3, 5).collect()
+        }
+    assert jac["md5"] == jac["xxhash64"] and len(jac["md5"]) > 0
+
+    mh = {}
+    for fam in ("md5", "xxhash64"):
+        mh[fam] = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold_num=3, threshold_den=5,
+                hash_family=fam,
+            ).collect()
+        }
+    assert mh["md5"] == mh["xxhash64"] and len(mh["md5"]) > 0

@@ -81,12 +81,39 @@ def shingle_table(
     )
 
 
+#: 2^60 - 1: masks an xxhash64 into the same non-negative 60-bit range
+#: the md5-prefix digests occupy, so every downstream assumption
+#: (h >= 0, h < 2^60, uniform top 28 bits for MinHash) holds unchanged.
+_MASK_60 = (1 << 60) - 1
+
+
+def _digest_expr(hash_family: str):
+    """Digest expression for a ``shingle`` string column.
+
+    ``md5`` (default) is reproducible in DuckDB — required for every
+    oracle-checked query. ``xxhash64`` is the PRODUCTION fast path:
+    the JVM-intrinsic hash with no hex-string detour is ~5x cheaper
+    per shingle, and because every downstream consumer (inverted
+    index, exact verification, MinHash banding) treats digests as
+    opaque equality keys, the emitted PAIRS are identical for any
+    collision-free family — pinned by
+    ``test_dedup_pairs_identical_across_hash_families``.
+    """
+    if hash_family == "md5":
+        return F.expr(spark_hex_to_long("md5(shingle)", 15))
+    if hash_family == "xxhash64":
+        return F.expr(f"xxhash64(shingle) & {_MASK_60}")
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(doc, hs) rows: the distinct 60-bit shingle digests of each doc
     as ONE array column — the partitioning-friendly form of
-    :func:`hashed_shingle_table`.
+    :func:`hashed_shingle_table`. ``hash_family="xxhash64"`` is the
+    oracle-free production path (see :func:`_digest_expr`).
 
     Built with ``collect_set`` so in-doc dedup happens in the (partial,
     map-side) aggregation buffers: ONE shuffle, hash-partitioned by
@@ -99,14 +126,15 @@ def shingle_sets(
         df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("toks"))
         .filter(F.size("toks") >= n)
         .select("doc", F.explode(_gram_expr(n)).alias("shingle"))
-        .select("doc", F.expr(spark_hex_to_long("md5(shingle)", 15)).alias("h"))
+        .select("doc", _digest_expr(hash_family).alias("h"))
         .groupBy("doc")
         .agg(F.collect_set("h").alias("hs"))
     )
 
 
 def hashed_shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(doc, h) pairs: distinct 60-bit digests (first 15 hex chars of
     md5, big-endian) of the word ``n``-gram shingles.
@@ -117,7 +145,7 @@ def hashed_shingle_table(
     one md5 serves both Jaccard and MinHash. Derived by exploding
     :func:`shingle_sets`, so the rows arrive hash-partitioned by doc.
     """
-    return shingle_sets(df, id_col, text_col, n).select(
+    return shingle_sets(df, id_col, text_col, n, hash_family).select(
         "doc", F.explode("hs").alias("h")
     )
 
@@ -371,9 +399,12 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold_num: int = 4,
     threshold_den: int = 5,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs at Jaccard >= num/den via MinHash + banded LSH +
-    exact verification.
+    exact verification. ``hash_family="xxhash64"`` switches the shingle
+    digests to the oracle-free production fast path (identical output;
+    see :func:`_digest_expr`).
 
     Pipeline: hashed shingles -> 64-hash signature -> 16 bands x 4 rows
     -> band-bucket self-join (candidates) -> exact Jaccard on candidate
@@ -392,7 +423,7 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     # (doc, digest-set) rows: reused by band keys and verification.
     # Persisted ONCE, one narrow (long, array<long>) row per doc.
-    sets = shingle_sets(df, id_col, text_col, n).persist(
+    sets = shingle_sets(df, id_col, text_col, n, hash_family).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
