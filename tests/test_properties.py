@@ -279,3 +279,37 @@ def test_histogram_quantile_error_bound(spark_global, values):
         t = -(-r["p"] * n // 100)  # ceil
         exact = sorted(min(v, 8 * 128 - 1e-9) for v in values)[t - 1]
         assert abs(r["exact_x100"] - int(exact * 100 + 0.5)) <= 1
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=120),  # doc token counts
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_chunk_windows_tile_exactly(spark_global, lens):
+    """For arbitrary document lengths: chunks start at stride
+    multiples, cover every token exactly once per its containing
+    windows, the last chunk ends at the doc length, and a doc shorter
+    than one window yields exactly one chunk."""
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        chunk_windows,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lens)]
+    df = spark_global.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_windows(df, "doc_id", "text", chunk_len=16, stride=12)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc"], []).append(r)
+    assert set(by_doc) == set(range(len(lens)))
+    for i, n in enumerate(lens):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert [c["tok_start"] for c in chunks] == [12 * k for k in range(len(chunks))]
+        assert chunks[-1]["tok_start"] + chunks[-1]["n_chunk_tokens"] == n
+        for c in chunks[:-1]:
+            assert c["n_chunk_tokens"] == 16
+        if n <= 16:
+            assert len(chunks) == 1
