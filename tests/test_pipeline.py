@@ -52,3 +52,40 @@ def test_pipeline_end_to_end(spark, tmp_path):
     dd = spark.read.parquet(f"{out}/dim_date.parquet")
     assert dd.filter(dd.part_year == 2016).count() == dd.count()
     assert spark.read.parquet(f"{out}/fact_i94.parquet").count() == 2
+
+
+def test_llm_curation_pipeline_end_to_end(spark, sf_dir):
+    """The full curation pipeline composes: survivor funnel is monotone
+    non-increasing, the packed layout conserves the final corpus's
+    token mass, and every epoch's shards partition the final corpus."""
+    from pyspark.sql import functions as F
+    from udacity_data_engineering_capstone_project_spark.plans.pipeline_llm import (
+        curate_corpus,
+    )
+
+    out = curate_corpus(spark, sf_dir)
+    report = sorted(
+        ((r["stage_no"], r["stage"], r["n_docs"], r["n_tokens"])
+         for r in out["report"].collect())
+    )
+    assert [r[1] for r in report] == [
+        "ingest", "lang_quality_gate", "exact_dedup", "near_dedup",
+        "decontaminate", "pii_redact", "mixture",
+    ]
+    for (_, _, d0, t0), (_, _, d1, t1) in zip(report, report[1:]):
+        assert d1 <= d0 and t1 <= t0
+    assert report[-1][2] > 0  # something survives
+
+    n_final = out["corpus"].count()
+    tok_final = out["corpus"].select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    packed = out["packed"]
+    assert packed.count() == n_final  # one row per surviving doc
+    shard_rows = out["shards"].collect()
+    for e in (0, 1):
+        assert sum(r["n_docs"] for r in shard_rows if r["epoch"] == e) == n_final
+    # packing conserves the (tokenizer's) token mass
+    tok_packed = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    rep_tok = report[-1][3]
+    assert tok_packed == rep_tok
