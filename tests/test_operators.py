@@ -1358,3 +1358,62 @@ def test_dedup_pairs_identical_across_hash_families(spark, sf_dir):
             ).collect()
         }
     assert mh["md5"] == mh["xxhash64"] and len(mh["md5"]) > 0
+
+
+def test_kmv_sketch_equals_naive_kmin(spark):
+    """kmv_sketch's filtered scale path must return EXACTLY the k
+    smallest distinct hashes per group — identical to the naive
+    full-sort definition (which the DuckDB oracle implements)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import kmv_sketch
+
+    sizes = {"g0": 500, "g1": 600, "g2": 700}
+    rows = [
+        (g, "%s_v%d" % (g, j)) for g, n in sizes.items() for j in range(n)
+    ] * 3  # duplicates: the sketch is over DISTINCT values
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(8)
+    k = 16
+    sk = kmv_sketch(df, "g", "v", k=k, nchars=13, margin=8)
+    got = {
+        (r["g"], r["rn"]): r["h"] for r in sk.collect()
+    }
+
+    def h(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:13], 16)
+
+    for g, n in sizes.items():
+        want = sorted({h("%s_v%d" % (g, j)) for j in range(n)})[:k]
+        assert [got[(g, rn)] for rn in range(1, k + 1)] == want
+
+
+def test_kmv_sketch_exact_mode_small_group(spark):
+    """A group with fewer distinct values than k yields its full hash
+    set (exact mode) — rn never exceeds the distinct count and no
+    guard fires."""
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", str(i % 5)) for i in range(100)], ["g", "v"]
+    )
+    out = kmv_sketch(df, "g", "v", k=64).collect()
+    assert len(out) == 5
+    assert max(r["rn"] for r in out) == 5
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """KMV estimator (k-1)*SPACE/kth lands within 4/sqrt(k) relative
+    error (>3 sigma) of the true distinct count on a 10k-value group."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.aggregates import kmv_sketch
+
+    n, k = 10_000, 64
+    space = 16**13
+    df = spark.createDataFrame([("a", "u%d" % i) for i in range(n)], ["g", "v"])
+    sk = kmv_sketch(df, "g", "v", k=k)
+    kth = sk.agg(F.max("h")).collect()[0][0]
+    est = (k - 1) * space // kth
+    assert abs(est - n) / n < 4 / (k**0.5)

@@ -604,3 +604,92 @@ def bitmap_retention(
         )
         .filter(F.col("active") > 0)
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    nchars: int = 13,
+    margin: int = 8,
+) -> DataFrame:
+    """KMV / theta distinct sketch per group: the ``k`` smallest
+    md5-derived hashes of the DISTINCT values, as rows
+    ``(g, h, rn)`` with ``rn`` the 1-based hash rank. Where the HLL
+    rollup (``hll_sketch_rollup``) trades determinism for fixed size,
+    KMV keeps BOTH mergeability and cross-engine determinism: the
+    sketch is a pure function of the md5 hash set, so a DuckDB oracle
+    reproduces it bit-for-bit — estimates and set operations included
+    (``theta_sketch_ops`` in plans/queries_llm.py builds
+    union/intersection estimates from these rows, the Apache
+    DataSketches theta-sketch shape).
+
+    Scale path (the point at 100 TB): a naive per-group k-min is a
+    full sort of every distinct hash. Instead: (1) one cheap
+    partial-aggregated ``approx_count_distinct`` pass per group; (2) a
+    conservative hash threshold ``thr ~= margin * k / n_est * SPACE``
+    broadcast back, so the map-side filter discards all but
+    ~``margin * k`` hashes per group before anything shuffles; (3)
+    exact ``row_number`` on the tiny survivor set. Groups estimated at
+    <= ``margin * k`` distinct values skip the filter entirely
+    (thr = SPACE). The filter can under-collect only if the true kth
+    smallest hash exceeds ``margin``x its expectation — a Chernoff
+    tail below e^-{4k} — and that case RAISES (filtered group with an
+    unfilled sketch) rather than returning a silently biased sketch.
+
+    ``nchars=13`` (52-bit hash space) keeps every downstream estimator
+    term — ``(k-1) * SPACE``, ``n_retained * SPACE`` — inside exact
+    int64 arithmetic in both engines (no double rounding divergence).
+    """
+    from pyspark.sql import Window
+
+    space = 16**nchars
+    h = F.expr(
+        spark_hex_to_long(f"md5(CAST({value_col} AS STRING))", nchars)
+    )
+    hashed = df.select(F.col(group_col).alias("g"), h.alias("h"))
+    thr = (
+        hashed.groupBy("g")
+        .agg(F.approx_count_distinct("h").alias("n_est"))
+        .select(
+            "g",
+            F.when(F.col("n_est") <= margin * k, F.lit(space))
+            .otherwise(
+                F.least(
+                    F.lit(space),
+                    (F.lit(margin * k * space) / F.col("n_est")).cast("long")
+                    + 1,
+                )
+            )
+            .alias("thr"),
+        )
+    )
+    surv = (
+        hashed.join(F.broadcast(thr), "g")
+        .filter(F.col("h") < F.col("thr"))
+        .groupBy("g", "h")
+        .agg(F.min("thr").alias("thr"))
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = surv.select(
+        "g",
+        "h",
+        "thr",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("n_surv"),
+    )
+    guard = F.when(
+        (F.col("thr") < space) & (F.col("n_surv") < k),
+        F.raise_error(
+            F.concat(
+                F.lit("kmv_sketch: filtered group under-collected (g="),
+                F.col("g").cast("string"),
+                F.lit("); raise margin"),
+            )
+        ),
+    ).otherwise(F.col("h"))
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .select("g", guard.alias("h"), "rn")
+    )

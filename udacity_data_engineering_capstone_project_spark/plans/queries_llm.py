@@ -4382,3 +4382,196 @@ LLM_QUERIES["stream_bitmap_distinct"] = (
     "streaming exact distinct per day: monotone bit_or bitmap state, "
     "update-mode emissions reduce to the batch answer",
 )
+
+
+def kmv_user_overlap(spark, sf_dir):
+    """Theta-sketch SET OPERATIONS from deterministic KMV sketches
+    (operators.aggregates.kmv_sketch): per-event-type distinct-user
+    estimates plus union/intersection estimates for every type pair —
+    the Apache DataSketches theta-sketch algebra (union theta =
+    min(theta_a, theta_b); estimate = retained * SPACE / theta), done
+    entirely on k-row sketches.
+
+    This is the query hll_sketch_rollup cannot be: because the sketch
+    is a pure function of md5 (52-bit hashes, exact int64 arithmetic
+    end to end), the DuckDB oracle reproduces every ESTIMATE
+    bit-for-bit — a fully hash-checked approximate-distinct path. The
+    exact union/intersection companions double as accuracy anchors
+    (at 100 TB they are precisely the all-pairs distinct shuffles the
+    sketch algebra avoids: any pair overlap is k-row arithmetic once
+    per-type sketches exist)."""
+    from ..operators.aggregates import kmv_sketch
+
+    K, NCH = 64, 13
+    SPACE = 16**NCH
+    e = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(e, "event_type", "user_id", k=K, nchars=NCH)
+    per = (
+        sk.groupBy("g")
+        .agg(F.max("rn").alias("n_sk"), F.max("h").alias("kth"))
+        .select(
+            "g",
+            F.when(F.col("n_sk") < K, F.lit(SPACE).cast("long"))
+            .otherwise(F.col("kth"))
+            .alias("theta"),
+            F.when(F.col("n_sk") < K, F.col("n_sk").cast("long"))
+            .otherwise(F.expr(f"CAST({(K - 1) * SPACE} AS BIGINT) DIV kth"))
+            .alias("est"),
+        )
+    )
+    a = per.select(
+        F.col("g").alias("ta"),
+        F.col("est").alias("est_a"),
+        F.col("theta").alias("theta_a"),
+    )
+    b = per.select(
+        F.col("g").alias("tb"),
+        F.col("est").alias("est_b"),
+        F.col("theta").alias("theta_b"),
+    )
+    pairs = a.join(b, F.col("ta") < F.col("tb")).select(
+        "ta", "tb", "est_a", "est_b",
+        F.least("theta_a", "theta_b").alias("theta_u"),
+    )
+    s = sk.select(F.col("g").alias("sg"), F.col("h").alias("sh"))
+    u = (
+        pairs.select("ta", "tb", "theta_u")
+        .join(
+            s,
+            ((F.col("sg") == F.col("ta")) | (F.col("sg") == F.col("tb")))
+            & (F.col("sh") < F.col("theta_u")),
+        )
+        .groupBy("ta", "tb", "theta_u", "sh")
+        .agg(
+            F.max((F.col("sg") == F.col("ta")).cast("int")).alias("ia"),
+            F.max((F.col("sg") == F.col("tb")).cast("int")).alias("ib"),
+        )
+        .groupBy("ta", "tb", "theta_u")
+        .agg(
+            F.count("*").alias("n_u"),
+            F.sum(F.col("ia") * F.col("ib")).alias("n_i"),
+        )
+    )
+    ex = e.select(F.col("event_type").alias("g"), "user_id").distinct()
+    exn = ex.groupBy("g").agg(F.count("*").alias("n"))
+    exi = (
+        ex.select(F.col("g").alias("xa"), F.col("user_id").alias("ua"))
+        .join(
+            ex.select(F.col("g").alias("xb"), F.col("user_id").alias("ub")),
+            (F.col("ua") == F.col("ub")) & (F.col("xa") < F.col("xb")),
+        )
+        .groupBy("xa", "xb")
+        .agg(F.count("*").alias("exact_i"))
+    )
+    est_u = (
+        F.when(F.col("theta_u") == SPACE, F.col("n_u"))
+        .otherwise(
+            F.expr(f"(n_u * CAST({SPACE} AS BIGINT)) DIV theta_u")
+        )
+        .cast("long")
+    )
+    est_i = (
+        F.when(F.col("theta_u") == SPACE, F.col("n_i"))
+        .otherwise(
+            F.expr(f"(n_i * CAST({SPACE} AS BIGINT)) DIV theta_u")
+        )
+        .cast("long")
+    )
+    na = exn.select(F.col("g").alias("ta"), F.col("n").alias("n_a"))
+    nb = exn.select(F.col("g").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(u, ["ta", "tb", "theta_u"])
+        .join(na, "ta")
+        .join(nb, "tb")
+        .join(
+            exi,
+            (F.col("ta") == F.col("xa")) & (F.col("tb") == F.col("xb")),
+            "left",
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "est_a",
+            "est_b",
+            est_u.alias("est_union"),
+            est_i.alias("est_inter"),
+            (
+                F.col("n_a") + F.col("n_b")
+                - F.coalesce("exact_i", F.lit(0))
+            )
+            .cast("long")
+            .alias("exact_union"),
+            F.coalesce("exact_i", F.lit(0)).cast("long").alias("exact_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_KMV_SPACE = 16**13
+ORACLE_KMV_OVERLAP = f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         {sql_md5_long("CAST(user_id AS VARCHAR)", 13)} AS h
+  FROM events
+),
+ranked AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h
+),
+sk AS (SELECT * FROM ranked WHERE rn <= 64),
+per AS (
+  SELECT g,
+         CASE WHEN max(rn) < 64 THEN CAST({_KMV_SPACE} AS BIGINT)
+              ELSE max(h) END AS theta,
+         CASE WHEN max(rn) < 64 THEN CAST(max(rn) AS BIGINT)
+              ELSE CAST({63 * _KMV_SPACE} AS BIGINT) // max(h) END AS est
+  FROM sk GROUP BY g
+),
+pairs AS (
+  SELECT a.g AS ta, b.g AS tb, a.est AS est_a, b.est AS est_b,
+         least(a.theta, b.theta) AS theta_u
+  FROM per a JOIN per b ON a.g < b.g
+),
+u AS (
+  SELECT p.ta, p.tb, p.theta_u, s.h,
+         max(CASE WHEN s.g = p.ta THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN s.g = p.tb THEN 1 ELSE 0 END) AS ib
+  FROM pairs p JOIN sk s
+    ON (s.g = p.ta OR s.g = p.tb) AND s.h < p.theta_u
+  GROUP BY p.ta, p.tb, p.theta_u, s.h
+),
+uagg AS (
+  SELECT ta, tb, theta_u, count(*) AS n_u, sum(ia * ib) AS n_i
+  FROM u GROUP BY ta, tb, theta_u
+),
+ex AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+exn AS (SELECT g, count(*) AS n FROM ex GROUP BY g),
+exi AS (
+  SELECT a.g AS ta, b.g AS tb, count(*) AS exact_i
+  FROM ex a JOIN ex b ON a.user_id = b.user_id AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       CAST(p.est_a AS BIGINT) AS est_a,
+       CAST(p.est_b AS BIGINT) AS est_b,
+       CAST(CASE WHEN ua.theta_u = {_KMV_SPACE} THEN ua.n_u
+                 ELSE (ua.n_u * CAST({_KMV_SPACE} AS BIGINT)) // ua.theta_u
+            END AS BIGINT) AS est_union,
+       CAST(CASE WHEN ua.theta_u = {_KMV_SPACE} THEN ua.n_i
+                 ELSE (ua.n_i * CAST({_KMV_SPACE} AS BIGINT)) // ua.theta_u
+            END AS BIGINT) AS est_inter,
+       CAST(na.n + nb.n - coalesce(xi.exact_i, 0) AS BIGINT) AS exact_union,
+       CAST(coalesce(xi.exact_i, 0) AS BIGINT) AS exact_inter
+FROM pairs p
+JOIN uagg ua ON ua.ta = p.ta AND ua.tb = p.tb
+JOIN exn na ON na.g = p.ta
+JOIN exn nb ON nb.g = p.tb
+LEFT JOIN exi xi ON xi.ta = p.ta AND xi.tb = p.tb
+ORDER BY type_a, type_b
+"""
+
+LLM_QUERIES["kmv_user_overlap"] = (
+    kmv_user_overlap,
+    ORACLE_KMV_OVERLAP,
+    "deterministic KMV/theta sketches: per-type distinct estimates + "
+    "union/intersection algebra, estimates hash-checked bit-for-bit",
+)

@@ -33,6 +33,8 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 #: SQL-tier, 6 demoted rows-only); (3) remaining slots re-record the
 #: most load-bearing round-2 entries.
 _NEW_OR_CHANGED_R3 = [
+    # new in round 3, fourth wave:
+    "kmv_user_overlap",
     # new in round 3, third wave (fixed-size mergeable structures):
     "bloom_prefilter_decontaminate",
     "bitmap_distinct_users",
