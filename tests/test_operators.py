@@ -1417,3 +1417,53 @@ def test_kmv_estimate_within_error_bound(spark):
     kth = sk.agg(F.max("h")).collect()[0][0]
     est = (k - 1) * space // kth
     assert abs(est - n) / n < 4 / (k**0.5)
+
+
+def test_duplicate_spans_planted_shared_run(spark):
+    """Two docs sharing a 12-token run (inside otherwise-unique text)
+    must each report exactly one maximal span covering precisely that
+    run; a third unique doc reports nothing."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join("s%d" % i for i in range(12))
+    far = " ".join("t%d" % i for i in range(9))
+    d1 = " ".join("a%d" % i for i in range(10)) + " " + shared + " " + \
+        " ".join("b%d" % i for i in range(10)) + " " + far
+    d2 = " ".join("c%d" % i for i in range(10)) + " " + shared + " " + \
+        " ".join("d%d" % i for i in range(10)) + " " + far
+    d3 = " ".join("e%d" % i for i in range(40))
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, "doc_id", "text", k=8).collect()
+    }
+    # the 12-token run occupies positions 11..22 in both docs; the
+    # 9-token far run occupies 33..41
+    assert spans == {
+        (1, 11, 22, 12), (2, 11, 22, 12),
+        (1, 33, 41, 9), (2, 33, 41, 9),
+    }
+
+
+def test_duplicate_spans_merge_vs_gap(spark):
+    """Back-to-back duplicated runs merge into one maximal span; runs
+    separated by one uncovered token stay two spans (the merge rule is
+    touching-or-overlapping intervals, never bridging a gap)."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import duplicate_spans
+
+    r1 = " ".join("s%d" % i for i in range(8))
+    r2 = " ".join("q%d" % i for i in range(8))
+    da = r1 + " " + r2          # doc 1: runs touch -> one span 1..16
+    dg = r1 + " x " + r2        # doc 4: 1-token gap -> spans 1..8, 10..17
+    db = " ".join("m%d" % i for i in range(10)) + " " + r1
+    dc = " ".join("n%d" % i for i in range(10)) + " " + r2
+    df = spark.createDataFrame(
+        [(1, da), (2, db), (3, dc), (4, dg)], ["doc_id", "text"]
+    )
+    spans = duplicate_spans(df, "doc_id", "text", k=8).collect()
+    doc1 = {(r["span_start"], r["span_end"]) for r in spans if r["doc_id"] == 1}
+    doc4 = {(r["span_start"], r["span_end"]) for r in spans if r["doc_id"] == 4}
+    assert doc1 == {(1, 16)}
+    assert doc4 == {(1, 8), (10, 17)}

@@ -871,3 +871,98 @@ def connected_components(
         F.coalesce(F.col("v"), F.col("node")).alias("component"),
     )
     return labels
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CROSS-document duplicate span detection — the ExactSubstr
+    shape of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (2021), re-expressed relationally instead of via
+    their suffix array: every word ``k``-gram is digested; digests
+    present in >= ``min_docs`` DISTINCT docs mark their start
+    positions duplicated; per doc, overlapping/adjacent duplicated
+    k-gram intervals merge into MAXIMAL spans via the island
+    (prefix-max) window. Returns one row per maximal span:
+    ``(doc_id, n_tokens, span_start, span_end, span_tokens)``,
+    positions 1-based inclusive.
+
+    Where the shingle/MinHash family answers "which DOCS are near
+    dups", this answers "which TOKEN RANGES are verbatim-shared" —
+    the memorization-removal primitive (boilerplate, licenses, quoted
+    chunks) that whole-doc dedup cannot express.
+
+    Scale shape: the only corpus-wide shuffle carries
+    ``(gh, doc_id, pos)`` longs — never text. For the default
+    ``min_docs=2`` the cross-doc test is ``min(doc_id) != max(doc_id)``
+    over the digest partition — a single window aggregate, no
+    countDistinct Expand and no second shuffle for a dup-set join.
+    The span merge shuffles only the HIT positions by doc.
+    """
+    from pyspark.sql import Window
+
+    sized = (
+        df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= k)
+    )
+    gram_h = F.expr(
+        "transform(sequence(1, size(toks) - %d), i -> %s)"
+        % (
+            k - 1,
+            spark_hex_to_long(f"md5(concat_ws(' ', slice(toks, i, {k})))", 15),
+        )
+    )
+    grams = sized.select(
+        "doc_id", "n_tokens", F.posexplode(gram_h).alias("p", "gh")
+    ).select("doc_id", "n_tokens", (F.col("p") + 1).alias("pos"), "gh")
+    if min_docs == 2:
+        wg = Window.partitionBy("gh")
+        hits = (
+            grams.withColumn("dmin", F.min("doc_id").over(wg))
+            .withColumn("dmax", F.max("doc_id").over(wg))
+            .filter(F.col("dmin") != F.col("dmax"))
+            .select("doc_id", "n_tokens", "pos")
+        )
+    else:
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+        )
+        hits = grams.join(dup.select("gh"), "gh", "semi").select(
+            "doc_id", "n_tokens", "pos"
+        )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("brk"),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "n_tokens", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -4575,3 +4575,91 @@ LLM_QUERIES["kmv_user_overlap"] = (
     "deterministic KMV/theta sketches: per-type distinct estimates + "
     "union/intersection algebra, estimates hash-checked bit-for-bit",
 )
+
+
+def cross_doc_dup_spans(spark, sf_dir):
+    """Per-doc rollup of operators.dedup.duplicate_spans (the Lee et
+    al. ExactSubstr shape, relational form): how many maximal
+    cross-document duplicated 8-gram spans each affected doc carries,
+    the token mass they cover, and integer-permille coverage. The
+    token-range complement to whole-doc dedup: this is what finds the
+    shared license header inside otherwise-unique docs."""
+    from ..operators.dedup import duplicate_spans
+
+    spans = duplicate_spans(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8)
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("span_tokens").alias("covered_tokens"),
+            F.max("span_tokens").alias("max_span_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.col("max_span_tokens").cast("long").alias("max_span_tokens"),
+            F.expr("CAST(covered_tokens AS BIGINT) * 1000 DIV n_tokens").alias(
+                "coverage_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CROSS_DOC_SPANS = f"""
+WITH base AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM base WHERE len(toks) >= 8
+),
+grams AS (
+  SELECT doc_id, n_tokens, i AS pos,
+         {sql_hex_to_long("md5(array_to_string(toks[i:i+7], ' '))", 15)} AS gh
+  FROM (SELECT doc_id, n_tokens, toks,
+               unnest(range(1, n_tokens - 6)) AS i
+        FROM sized)
+),
+hits AS (
+  SELECT doc_id, n_tokens, pos FROM (
+    SELECT doc_id, n_tokens, pos,
+           min(doc_id) OVER (PARTITION BY gh) AS dmin,
+           max(doc_id) OVER (PARTITION BY gh) AS dmax
+    FROM grams)
+  WHERE dmin <> dmax
+),
+flagged AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS brk
+  FROM (
+    SELECT doc_id, n_tokens, pos,
+           max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM hits)
+),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, n_tokens, island,
+         min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
+       CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens,
+       CAST(sum(e - s + 1) * 1000 // n_tokens AS BIGINT) AS coverage_permille
+FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id
+"""
+
+LLM_QUERIES["cross_doc_dup_spans"] = (
+    cross_doc_dup_spans,
+    ORACLE_CROSS_DOC_SPANS,
+    "Lee-et-al-style cross-doc duplicate span detection: shared 8-gram "
+    "digests -> maximal per-doc spans, digest-only corpus shuffle",
+)

@@ -35,6 +35,7 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 _NEW_OR_CHANGED_R3 = [
     # new in round 3, fourth wave:
     "kmv_user_overlap",
+    "cross_doc_dup_spans",
     # new in round 3, third wave (fixed-size mergeable structures):
     "bloom_prefilter_decontaminate",
     "bitmap_distinct_users",
