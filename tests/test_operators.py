@@ -1467,3 +1467,44 @@ def test_duplicate_spans_merge_vs_gap(spark):
     doc4 = {(r["span_start"], r["span_end"]) for r in spans if r["doc_id"] == 4}
     assert doc1 == {(1, 16)}
     assert doc4 == {(1, 8), (10, 17)}
+
+
+def test_prefix_filter_equals_naive_jaccard(spark):
+    """jaccard_pairs_prefix must reproduce the uncapped inverted-index
+    result exactly — pairs AND sizes — across thresholds, on a corpus
+    with heavy boilerplate overlap (the case the prefix filter prunes
+    hardest)."""
+    import random
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        shingle_sets,
+    )
+
+    rng = random.Random(17)
+    vocab = ["w%d" % i for i in range(30)]
+    boiler = "common header line shared by many documents in this corpus"
+    docs = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 25)))
+        text = (boiler + " " + body) if i % 2 == 0 else body
+        docs.append((i, text))
+    # planted near-dup pair
+    docs.append((100, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    docs.append((101, "alpha beta gamma delta epsilon zeta eta theta kappa"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = shingle_sets(df, "doc_id", "text", n=3)
+    for num, den in ((3, 5), (4, 5), (1, 2)):
+        naive = {
+            (r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"])
+            for r in jaccard_pairs(
+                sh, num, den, max_shingle_freq=None, persist=False
+            ).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"])
+            for r in jaccard_pairs_prefix(sh, num, den, persist=False).collect()
+        }
+        assert pref == naive, (num, den)
+    assert any(p[0] == 100 and p[1] == 101 for p in pref)

@@ -390,6 +390,127 @@ def _inter_size_udf():
     return inter_size_arrow
 
 
+def _verify_candidate_pairs(
+    sets: DataFrame,
+    candidates: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair list against the
+    per-doc digest-set table, WITHOUT re-shuffling that table: the
+    candidate ids (a post-filter sliver of the corpus) are broadcast as
+    a semi-join filter on ``sets``, and the small filtered slice is
+    broadcast into both verification joins. Intersections run in ONE
+    Arrow kernel (:func:`_inter_size_udf`) — a deterministic column
+    expression here would be inlined into the join condition AND the
+    output projection (double evaluation, measured 3-4x wall; see
+    NOTES.md). Shared by :func:`minhash_lsh_pairs` (LSH candidates)
+    and :func:`jaccard_pairs_prefix` (prefix-filter candidates)."""
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sets_f = sets.join(F.broadcast(cand_ids), "doc", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    inter_size_arrow = _inter_size_udf()
+    sa = sets_f.alias("sa")
+    sb = sets_f.alias("sb")
+    return (
+        candidates.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter_size_arrow("sa.hs", "sb.hs").alias("inter_size"),
+            (F.size("sa.hs") + F.size("sb.hs")).cast("long").alias("sum_sizes"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            (F.col("sum_sizes") - F.col("inter_size")).cast("long").alias("union_size"),
+        )
+        .filter(
+            F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
+        )
+    )
+
+
+def jaccard_pairs_prefix(
+    sets: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    persist: bool = True,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via PREFIX FILTERING — the
+    SSJoin/PPJoin family (Chaudhuri et al., ICDE'06; Xiao et al.,
+    TODS'11) — over :func:`shingle_sets` rows (``doc``, ``hs``).
+
+    :func:`jaccard_pairs` tames the inverted-index quadratic with a df
+    CAP, which CHANGES semantics whenever the cap binds. Prefix
+    filtering keeps exact semantics at scale instead: order the
+    digest universe rare-first (ascending document frequency, digest
+    tie-break); any pair with ``J >= num/den`` must collide inside
+    each doc's first ``n - ceil(t*n) + 1`` digests under that global
+    order, so the self-join touches ONLY those prefixes. The df^2
+    blow-up can't happen where it hurts — a ubiquitous boilerplate
+    shingle sits at the END of the order and never enters a prefix
+    unless a doc is almost entirely boilerplate. Size-ratio pruning
+    (``num * max(na, nb) <= den * min(na, nb)``) drops incompatible
+    pairs inside the join condition. Survivors get the same
+    candidate-filtered broadcast + Arrow-kernel verification as the
+    LSH path (:func:`_verify_candidate_pairs`) — exact, no recall
+    loss anywhere.
+
+    Shuffle ledger: df count (digest-keyed, longs), prefix ranking
+    (doc-keyed window — reuses the partitioning ``shingle_sets``
+    already produced), prefix self-join (prefix digests only), then
+    broadcast-only verification."""
+    from pyspark.sql import Window
+
+    if persist:
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = sets.select("doc", F.explode("hs").alias("h"))
+    dfreq = exploded.groupBy("h").agg(F.count("*").alias("dfreq"))
+    ranked = exploded.join(dfreq, "h").select(
+        "doc",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("doc").orderBy("dfreq", "h"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("doc")).alias("n_sh"),
+    )
+    # prefix length = n - ceil(t*n) + 1, all-integer
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh")
+        - F.expr(
+            f"CAST(({threshold_num} * n_sh + {threshold_den - 1}) "
+            f"DIV {threshold_den} AS INT)"
+        )
+        + 1
+    )
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("pa.h") == F.col("pb.h"))
+            & (F.col("pa.doc") < F.col("pb.doc"))
+            & (
+                F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh")) * threshold_num
+                <= F.least(F.col("pa.n_sh"), F.col("pb.n_sh")) * threshold_den
+            ),
+        )
+        .select(F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidate_pairs(sets, candidates, threshold_num, threshold_den)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -455,51 +576,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Verification without re-shuffling the digest-set table: the
-    # candidate docs are a sliver of the corpus post-LSH, so broadcast
-    # the candidate-id set as a semi-join FILTER on `sets` (the
-    # (doc, array) rows never hit an exchange) and broadcast the small
-    # filtered slice into both verification joins.
-    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
-    cand_ids = (
-        candidates.select(F.col("doc_a").alias("doc"))
-        .unionByName(candidates.select(F.col("doc_b").alias("doc")))
-        .distinct()
-    )
-    sets_f = sets.join(F.broadcast(cand_ids), "doc", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # Intersection sizes via ONE vectorized Arrow kernel rather than
-    # array_intersect column expressions: a deterministic expression
-    # here is pushed into the verification join CONDITION and then
-    # recomputed by the output projection — two JVM set-intersects per
-    # candidate. A Python UDF cannot be inlined into a join condition,
-    # so the threshold filter stays above and the intersect runs once
-    # (shared kernel: _inter_size_udf). Pure int64 — no cross-engine
-    # float concern.
-    inter_size_arrow = _inter_size_udf()
-
-    sa = sets_f.alias("sa")
-    sb = sets_f.alias("sb")
-    return (
-        candidates.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc"))
-        .select(
-            "doc_a",
-            "doc_b",
-            inter_size_arrow("sa.hs", "sb.hs").alias("inter_size"),
-            (F.size("sa.hs") + F.size("sb.hs")).cast("long").alias("sum_sizes"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "inter_size",
-            (F.col("sum_sizes") - F.col("inter_size")).cast("long").alias("union_size"),
-        )
-        .filter(
-            F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
-        )
-    )
+    # Verification: candidate-filtered broadcast + Arrow kernel
+    # (shared with jaccard_pairs_prefix — see _verify_candidate_pairs
+    # for why this shape, and why a UDF rather than array_intersect).
+    return _verify_candidate_pairs(sets, candidates, threshold_num, threshold_den)
 
 
 def minhash_lsh_pairs_against(

@@ -4663,3 +4663,26 @@ LLM_QUERIES["cross_doc_dup_spans"] = (
     "Lee-et-al-style cross-doc duplicate span detection: shared 8-gram "
     "digests -> maximal per-doc spans, digest-only corpus shuffle",
 )
+
+
+def jaccard_pairs_prefix_filter(spark, sf_dir):
+    """EXACT Jaccard self-join via PREFIX FILTERING
+    (operators.dedup.jaccard_pairs_prefix — the SSJoin/PPJoin shape):
+    rare-first global digest order, per-doc prefix of length
+    n - ceil(t*n) + 1, prefix-only self-join with size-ratio pruning,
+    Arrow-kernel verification. Same threshold and SAME oracle as
+    jaccard_pairs_exact — a hash match proves the prefix filter loses
+    no pair and adds none, while never joining on the frequent-digest
+    tail that makes the naive inverted index quadratic in boilerplate."""
+    from ..operators.dedup import jaccard_pairs_prefix
+
+    sh = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    return jaccard_pairs_prefix(sh, threshold_num=3, threshold_den=5)
+
+
+LLM_QUERIES["jaccard_pairs_prefix_filter"] = (
+    jaccard_pairs_prefix_filter,
+    _jaccard_oracle(3, 5),
+    "PPJoin-style prefix-filtered EXACT Jaccard join: rare-first "
+    "prefixes bound the candidate quadratic with zero semantic change",
+)
