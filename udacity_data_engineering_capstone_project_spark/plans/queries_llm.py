@@ -4686,3 +4686,114 @@ LLM_QUERIES["jaccard_pairs_prefix_filter"] = (
     "PPJoin-style prefix-filtered EXACT Jaccard join: rare-first "
     "prefixes bound the candidate quadratic with zero semantic change",
 )
+
+
+def span_dedup_clean_text(spark, sf_dir):
+    """APPLY cross-doc duplicate spans to the corpus: rebuild each
+    doc's text with every duplicated token range cut out (the
+    conservative remove-everywhere policy; keep-one-canonical is a
+    keeper-policy layer on top, as in dedup_exact). Emits per doc the
+    kept-token count and md5 of the reconstructed clean text — the
+    hash proves the whole span->position->filter->reassemble pipeline
+    byte-exact, including docs the spans never touch.
+
+    Scale: covered positions explode from SPANS (one row per maximal
+    span, not per duplicated gram), the anti-join is (doc, pos) longs,
+    and reassembly is one per-doc sort of kept tokens."""
+    from ..operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.posexplode(tokens_col("text")).alias("p", "tok"))
+        .select("doc_id", (F.col("p") + 1).alias("pos"), "tok")
+    )
+    covered = duplicate_spans(d, "doc_id", "text", k=8).select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+        .select(
+            "doc_id",
+            F.col("kept_tokens").cast("long").alias("kept_tokens"),
+            "clean_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPAN_CLEAN_TEXT = f"""
+WITH base AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM base WHERE len(toks) >= 8
+),
+grams AS (
+  SELECT doc_id, n_tokens, i AS pos,
+         {sql_hex_to_long("md5(array_to_string(toks[i:i+7], ' '))", 15)} AS gh
+  FROM (SELECT doc_id, n_tokens, toks,
+               unnest(range(1, n_tokens - 6)) AS i
+        FROM sized)
+),
+hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(doc_id) OVER (PARTITION BY gh) AS dmin,
+           max(doc_id) OVER (PARTITION BY gh) AS dmax
+    FROM grams)
+  WHERE dmin <> dmax
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS brk
+  FROM (
+    SELECT doc_id, pos,
+           max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM hits)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, island
+),
+covered AS (
+  SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans
+),
+alltoks AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM base)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM alltoks t LEFT JOIN covered c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS kept_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+LLM_QUERIES["span_dedup_clean_text"] = (
+    span_dedup_clean_text,
+    ORACLE_SPAN_CLEAN_TEXT,
+    "apply duplicate spans: cut covered ranges, reassemble clean text, "
+    "md5 proves the rebuild byte-exact per doc",
+)

@@ -37,6 +37,7 @@ _NEW_OR_CHANGED_R3 = [
     "kmv_user_overlap",
     "cross_doc_dup_spans",
     "jaccard_pairs_prefix_filter",
+    "span_dedup_clean_text",
     # new in round 3, third wave (fixed-size mergeable structures):
     "bloom_prefilter_decontaminate",
     "bitmap_distinct_users",
