@@ -547,3 +547,37 @@ def test_embedding_covariance_merge_is_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_kmv_sketch_filters_before_window_sort(spark):
+    """The KMV scale path must (a) broadcast the per-group threshold
+    table, (b) apply the hash filter BEFORE the row_number window sort
+    — so the per-group sort only ever sees the ~margin*k survivor
+    hashes, not every distinct hash."""
+    plan = _plan(spark, "kmv_user_overlap")
+    assert "BroadcastHashJoin" in plan
+    # threshold filter present (h < thr comparison survives to the
+    # physical plan as a join-output filter below the window's Sort)
+    assert re.search(r"(h#\d+L? < thr#\d+L?)", plan), plan[:2000]
+
+
+def test_cross_doc_spans_shuffles_digests_not_text(spark):
+    """duplicate_spans' corpus-wide exchange carries (gh, doc, pos)
+    longs only: no `text` or token-array column may appear in any
+    Exchange's output schema, and the min!=max window path must not
+    introduce a countDistinct Expand."""
+    plan = _plan(spark, "cross_doc_dup_spans")
+    assert "Expand" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_prefix_filter_joins_prefixes_not_full_index(spark):
+    """jaccard_pairs_prefix's self-join inputs must be prefix-FILTERED
+    (rn <= ...) — joining the full inverted index would reintroduce
+    the df^2 quadratic the operator exists to avoid. Verification must
+    stay broadcast (no sort-merge join anywhere)."""
+    plan = _plan(spark, "jaccard_pairs_prefix_filter")
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"rn#\d+( as bigint\))? <= ", plan), "prefix rn filter missing"
+    assert "inter_size_arrow" in plan  # Arrow verification kernel
