@@ -4581,9 +4581,13 @@ def cross_doc_dup_spans(spark, sf_dir):
     """Per-doc rollup of operators.dedup.duplicate_spans (the Lee et
     al. ExactSubstr shape, relational form): how many maximal
     cross-document duplicated 8-gram spans each affected doc carries,
-    the token mass they cover, and integer-permille coverage. The
-    token-range complement to whole-doc dedup: this is what finds the
-    shared license header inside otherwise-unique docs."""
+    the token mass they cover, and integer-permille coverage. Where
+    ``repeated_ngram_spans`` scores each doc with a repeated-WINDOW
+    fraction (a filter signal), this resolves actual SPAN BOUNDARIES
+    via interval merging — the actionable form that
+    ``span_dedup_clean_text`` then cuts out. The token-range
+    complement to whole-doc dedup: this is what finds the shared
+    license header inside otherwise-unique docs."""
     from ..operators.dedup import duplicate_spans
 
     spans = duplicate_spans(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8)
