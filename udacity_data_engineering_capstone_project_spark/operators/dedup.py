@@ -395,6 +395,7 @@ def _verify_candidate_pairs(
     candidates: DataFrame,
     threshold_num: int,
     threshold_den: int,
+    broadcast_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair list against the
     per-doc digest-set table, WITHOUT re-shuffling that table: the
@@ -405,22 +406,35 @@ def _verify_candidate_pairs(
     expression here would be inlined into the join condition AND the
     output projection (double evaluation, measured 3-4x wall; see
     NOTES.md). Shared by :func:`minhash_lsh_pairs` (LSH candidates)
-    and :func:`jaccard_pairs_prefix` (prefix-filter candidates)."""
+    and :func:`jaccard_pairs_prefix` (prefix-filter candidates).
+
+    Broadcast size guard (same contract as
+    :func:`minhash_lsh_pairs_against`, round-2 advice): the hints are
+    applied only while the candidate count stays under
+    ``broadcast_max_rows`` — a near-dup-DENSE corpus (candidate
+    blow-up) degrades to shuffle joins instead of blowing the
+    driver/executor broadcast limit. The count runs on the persisted
+    candidate table, which the joins materialize anyway."""
     candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    n_cand = candidates.count()
+
+    def _hint(d):
+        return F.broadcast(d) if n_cand <= broadcast_max_rows else d
+
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sets_f = sets.join(F.broadcast(cand_ids), "doc", "left_semi").persist(
+    sets_f = sets.join(_hint(cand_ids), "doc", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     inter_size_arrow = _inter_size_udf()
     sa = sets_f.alias("sa")
     sb = sets_f.alias("sb")
     return (
-        candidates.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc"))
+        candidates.join(_hint(sa), F.col("doc_a") == F.col("sa.doc"))
+        .join(_hint(sb), F.col("doc_b") == F.col("sb.doc"))
         .select(
             "doc_a",
             "doc_b",
@@ -474,8 +488,13 @@ def jaccard_pairs_prefix(
     if persist:
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     exploded = sets.select("doc", F.explode("hs").alias("h"))
-    dfreq = exploded.groupBy("h").agg(F.count("*").alias("dfreq"))
-    ranked = exploded.join(dfreq, "h").select(
+    # df via count-over-window rather than groupBy+join-back: one
+    # digest-keyed exchange instead of two (the aggregate is
+    # index-sized, so AQE could never broadcast the join anyway).
+    withdf = exploded.select(
+        "doc", "h", F.count("*").over(Window.partitionBy("h")).alias("dfreq")
+    )
+    ranked = withdf.select(
         "doc",
         "h",
         F.row_number()
