@@ -14,23 +14,27 @@ Replication rules (semantics-preserving at k-times scale):
   exactly the original fan-out — a join's matches per key do not
   change, only the number of keys, which is precisely what a bigger SF
   means.
-- documents.text: a PER-REPLICA tag token (same token for every doc
-  in replica r) is interleaved every 2nd word. Verbatim replication
-  would make every doc a k-way exact dup and blow the near-dup pair
-  count up quadratically (k^2 per group) — a different WORKLOAD, not
-  a bigger one. With a tag every 2 words, EVERY 3-word window
-  contains the tag, so all shingles are replica-qualified:
-  cross-replica Jaccard is exactly 0 (different replicas carry
-  different tags) while WITHIN a replica the tag is shared, so two
-  docs match a tagged shingle iff they share the underlying word
-  pair — base near-dup pairs SURVIVE inside each replica and the
-  true-pair count scales exactly k-fold (linear), the honest "k
-  times more of the same workload". Two earlier designs failed
-  opposite ways: every-4th-word tagging left 2/5 of shingles
-  untagged (cross-replica df inflated k-fold -> quadratic
-  inverted-index artifact), and per-(doc, replica) tags qualified
-  every shingle by doc id (ALL near-dup pairs destroyed -> the dedup
-  family had zero verification work to scale).
+- documents.text: every word gets a PER-REPLICA suffix (a bijective
+  per-replica vocabulary mapping, w -> w || 'xr<r>'). Verbatim
+  replication would make every doc a k-way exact dup and blow the
+  near-dup pair count up quadratically (k^2 per group) — a different
+  WORKLOAD, not a bigger one. A bijective word mapping is the
+  artifact-free construction: every n-gram is replica-qualified
+  (cross-replica Jaccard exactly 0), within-replica shingle identity
+  is untouched (two docs share a mapped shingle iff they shared the
+  original), so the per-replica shingle DF DISTRIBUTION is exactly
+  the base corpus's and base near-dup pairs survive exactly k-fold
+  (linear) — the honest "k times more of the same workload". Three
+  earlier designs failed in distinct ways: every-4th-word tag
+  interleave left 2/5 of shingles untagged (cross-replica df
+  inflated k-fold -> quadratic inverted-index artifact);
+  per-(doc, replica) tags qualified every shingle by doc id (ALL
+  near-dup pairs destroyed -> zero verification work to scale);
+  every-2nd-word tag interleave zeroed cross-replica overlap but
+  COLLAPSED 3-gram entropy to the 2 flanking words (the constant tag
+  adds none), which on a small-vocabulary corpus inflated
+  within-replica shingle df ~vocab-fold (sum df^2 grew 206x for 10x
+  docs — measured while probing the prefix-filter join, round 3).
 - embeddings.embedding: per-replica dimension ROTATION. A rotated
   vector is ~orthogonal to its source (random high-dim cosine), so
   ANN/SRP workloads see k-times more points, not k-times copies of
@@ -102,17 +106,15 @@ def replicate(spark, src: str, dest: str, k: int = 10, tables=None) -> None:
             for c in cols:
                 rep = rep.withColumn(c, F.col(c) + F.lit(r * off[domain_of[c]]))
             if t == "documents":
-                # interleave the PER-REPLICA tag every 2nd word: every
-                # 3-gram contains the tag (cross-replica Jaccard 0)
-                # but the tag is shared within the replica, so base
-                # near-dup pairs survive k-fold (see module docstring)
+                # bijective per-replica vocabulary mapping: every word
+                # carries the replica suffix, so cross-replica Jaccard
+                # is 0 while the within-replica shingle df distribution
+                # is EXACTLY the base corpus's (see module docstring)
                 rep = rep.withColumn(
                     "text",
                     F.expr(
-                        "array_join(flatten(transform("
-                        "  sequence(0, cast(size(split(text, ' ')) / 2 as int)),"
-                        f"  i -> concat(array('xrep{r}q'),"
-                        "              slice(split(text, ' '), i * 2 + 1, 2)))), ' ')"
+                        "array_join(transform(split(text, ' '),"
+                        f" w -> concat(w, 'xr{r}')), ' ')"
                     ),
                 )
             if t == "embeddings" and r > 0:

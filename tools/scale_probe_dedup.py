@@ -99,6 +99,11 @@ REGISTERED = [
     "simhash_fingerprints",
     "dedup_components",
     "incremental_dedup_probe",
+    # round-3 fourth wave
+    "kmv_user_overlap",
+    "cross_doc_dup_spans",
+    "span_dedup_clean_text",
+    "jaccard_pairs_prefix_filter",
 ]
 
 

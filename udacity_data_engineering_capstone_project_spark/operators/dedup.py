@@ -502,29 +502,65 @@ def jaccard_pairs_prefix(
         .alias("rn"),
         F.count("*").over(Window.partitionBy("doc")).alias("n_sh"),
     )
-    # prefix length = n - ceil(t*n) + 1, all-integer
-    prefix = ranked.filter(
+    num, den = threshold_num, threshold_den
+    # PROBING prefix: n - ceil(t*n) + 1; INDEXING prefix (shorter):
+    # n - ceil(2t/(1+t)*n) + 1 = n - ceil(2*num*n/(num+den)) + 1.
+    # PPJoin's asymmetric scheme: order docs by (set size, id); a pair
+    # at J >= t must collide between the LARGER side's probing prefix
+    # and the SMALLER side's indexing prefix, so the quadratic term is
+    # sum(probe_pf * index_pf) per digest — not probe_pf^2. All-integer.
+    probe = ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh")
+        - F.expr(f"CAST(({num} * n_sh + {den - 1}) DIV {den} AS INT)")
+        + 1
+    )
+    index = ranked.filter(
         F.col("rn")
         <= F.col("n_sh")
         - F.expr(
-            f"CAST(({threshold_num} * n_sh + {threshold_den - 1}) "
-            f"DIV {threshold_den} AS INT)"
+            f"CAST((2 * {num} * n_sh + {num + den - 1}) "
+            f"DIV {num + den} AS INT)"
         )
         + 1
     )
-    pa = prefix.alias("pa")
-    pb = prefix.alias("pb")
+    pa = probe.alias("pa")
+    pb = index.alias("pb")
+    # Join conditions, each exact-integer:
+    #  - index side strictly precedes probe side in (n_sh, doc) order;
+    #  - size-ratio pruning: na*num <= nb*den  (nb <= na by the order);
+    #  - POSITIONAL filter (Xiao et al.): the overlap reachable from
+    #    the matched positions, 1 + min(na-rna, nb-rnb), must meet the
+    #    required overlap alpha = ceil(num*(na+nb)/(num+den)); with an
+    #    integer ub the ceil comparison is ub*(num+den) >= num*(na+nb).
     candidates = (
         pa.join(
             pb,
             (F.col("pa.h") == F.col("pb.h"))
-            & (F.col("pa.doc") < F.col("pb.doc"))
             & (
-                F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh")) * threshold_num
-                <= F.least(F.col("pa.n_sh"), F.col("pb.n_sh")) * threshold_den
+                (F.col("pb.n_sh") < F.col("pa.n_sh"))
+                | (
+                    (F.col("pb.n_sh") == F.col("pa.n_sh"))
+                    & (F.col("pb.doc") < F.col("pa.doc"))
+                )
+            )
+            & (F.col("pa.n_sh") * num <= F.col("pb.n_sh") * den)
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("pa.n_sh") - F.col("pa.rn"),
+                        F.col("pb.n_sh") - F.col("pb.rn"),
+                    )
+                )
+                * (num + den)
+                >= num * (F.col("pa.n_sh") + F.col("pb.n_sh"))
             ),
         )
-        .select(F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b"))
+        .select(
+            F.least(F.col("pa.doc"), F.col("pb.doc")).alias("doc_a"),
+            F.greatest(F.col("pa.doc"), F.col("pb.doc")).alias("doc_b"),
+        )
         .distinct()
     )
     return _verify_candidate_pairs(sets, candidates, threshold_num, threshold_den)
