@@ -4699,39 +4699,46 @@ def span_dedup_clean_text(spark, sf_dir):
     keeper-policy layer on top, as in dedup_exact). Emits per doc the
     kept-token count and md5 of the reconstructed clean text — the
     hash proves the whole span->position->filter->reassemble pipeline
-    byte-exact, including docs the spans never touch.
+    byte-exact, including docs the spans never touch. Docs left with
+    zero tokens drop out (nothing to train on).
 
-    Scale: covered positions explode from SPANS (one row per maximal
-    span, not per duplicated gram), the anti-join is (doc, pos) longs,
-    and reassembly is one per-doc sort of kept tokens."""
+    Scale shape: spans per doc are FEW (maximal, merged), so they
+    aggregate into a small per-doc array and the actual cut is ONE
+    map-side pass over the corpus — a positional ``filter`` HOF with
+    an ``exists`` over the span array per token, all inside codegen.
+    No token explode, no (doc, pos, token) anti-join shuffle, and no
+    corpus-wide collect_list rebuild (the first implementation did
+    exactly that; its ObjectHashAggregate fell back to sort-based
+    aggregation at the 100x probe and went 27x slower from sf1 to
+    sf10 — see SCALE.md)."""
     from ..operators.dedup import duplicate_spans
 
     d = _t(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.posexplode(tokens_col("text")).alias("p", "tok"))
-        .select("doc_id", (F.col("p") + 1).alias("pos"), "tok")
-    )
-    covered = duplicate_spans(d, "doc_id", "text", k=8).select(
-        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
-    )
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    return (
-        kept.groupBy("doc_id")
+    spans = (
+        duplicate_spans(d, "doc_id", "text", k=8)
+        .groupBy("doc_id")
         .agg(
-            F.count("*").alias("kept_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"
-                    ),
-                )
-            ).alias("clean_md5"),
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
         )
+    )
+    kept = (
+        d.select("doc_id", tokens_col("text").alias("toks"))
+        .join(spans, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("kept_tokens").cast("long").alias("kept_tokens"),
-            "clean_md5",
+            F.expr(
+                "filter(toks, (t, i) -> NOT exists("
+                "  coalesce(spans, array()),"
+                "  s -> i + 1 >= s.span_start AND i + 1 <= s.span_end))"
+            ).alias("kept"),
+        )
+        .filter(F.size("kept") > 0)
+    )
+    return (
+        kept.select(
+            "doc_id",
+            F.size("kept").cast("long").alias("kept_tokens"),
+            F.md5(F.concat_ws(" ", "kept")).alias("clean_md5"),
         )
         .orderBy("doc_id")
     )
