@@ -12,9 +12,9 @@ to maximize driver-recorded coverage across rounds (VERDICT r1 #1):
   ``quality_filter_reasons`` (48 full green + 2 rows-only);
 - round 3 leads with this round's 28 new/changed queries, then the
   never-driver-recorded full-oracle queries (14 LLM + 12 SQL): the
-  window records the first 50, so the last 3 SQL entries
-  (tpch_q19_bands, lateral_topk_per_nation, grouping_sets_orders)
-  slip just past it and, with the 6 rows-only/diagnostic stragglers
+  window records the first 50, so the last 4 SQL entries
+  (tpch_q18_large, tpch_q19_bands, lateral_topk_per_nation,
+  grouping_sets_orders) slip just past it and, with the 6 rows-only/diagnostic stragglers
   and the re-record backfill, lead round 4.
 Every query not in the current window stays verified by
 ``tools/oracle_check.py`` (run per-round, see NOTES.md).
