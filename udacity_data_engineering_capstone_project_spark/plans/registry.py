@@ -10,12 +10,14 @@ to maximize driver-recorded coverage across rounds (VERDICT r1 #1):
 - round 1 recorded the 43 parity queries + the first 7 SQL queries;
 - round 2 recorded the new/changed queries + the LLM tier through
   ``quality_filter_reasons`` (48 full green + 2 rows-only);
-- round 3 leads with this round's 28 new/changed queries, then the
-  never-driver-recorded full-oracle queries (14 LLM + 12 SQL): the
-  window records the first 50, so the last 4 SQL entries
-  (tpch_q18_large, tpch_q19_bands, lateral_topk_per_nation,
-  grouping_sets_orders) slip just past it and, with the 6 rows-only/diagnostic stragglers
-  and the re-record backfill, lead round 4.
+- round 3 led with that round's 28 new/changed queries, then 22 of the
+  never-driver-recorded queries;
+- round 4 leads with the 16 queries STILL never driver-recorded after
+  r1+r2+r3 (VERDICT r3 #1 — the hand-kept rotation notes undercounted
+  these at 10; the true list is computed by ``tools/ledger.py``, which
+  unions every CORRECTNESS file against this registry and replaces
+  hand accounting), then round-4 new/changed queries, then re-records
+  of the oldest rows (round-1-only parity/SQL entries, oldest first).
 Every query not in the current window stays verified by
 ``tools/oracle_check.py`` (run per-round, see NOTES.md).
 """
@@ -34,6 +36,81 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 #: driver-recorded in r1/r2 (14 pushed out of r2's window, 12
 #: SQL-tier, 6 demoted rows-only); (3) remaining slots re-record the
 #: most load-bearing round-2 entries.
+#:
+#: Round-4 window (``tools/ledger.py`` output, not hand accounting —
+#: VERDICT r3 #1: the hand-kept notes undercounted the never-recorded
+#: tier at 10; the true list was 16): (1) the 16 queries never
+#: driver-recorded across r1+r2+r3 — 10 full-oracle, then 6
+#: rows-only/diagnostic; (2) queries new to or changed in round 4;
+#: (3) re-records of the oldest rows (round-1-only entries).
+_NEVER_RECORDED_R4 = [
+    # full-oracle tier (hash-match expected):
+    "tpch_q18_large",
+    "tpch_q19_bands",
+    "lateral_topk_per_nation",
+    "grouping_sets_orders",
+    "text_quality",
+    "mad_by_event_type",
+    "user_value_trend",
+    "incremental_user_totals",
+    "stream_dedup",
+    "stream_stream_join",
+    # rows-only/diagnostic tier (each pytest-pinned):
+    "stream_user_totals",
+    "kmeans_assign",
+    "ivf_trained_recall",
+    "shingle_df_hist",
+    "pagerank_near_dup",
+    "bpe_train_merges",
+]
+
+#: Queries new to or changed in round 4 — each needs a fresh
+#: driver-recorded row. Grown as the round progresses; the ledger
+#: script is the check that nothing falls through.
+_NEW_OR_CHANGED_R4 = [
+    "bpe_fertility",  # r3's one no_oracle row — see queries_llm for the fix
+]
+
+#: Re-record backfill: round-1-only rows, oldest first (VERDICT r3 #6
+#: names tpch_q4/q7/q8/q11 + the windows family as most load-bearing).
+_RERECORD_R4 = [
+    "tpch_q4_exists",
+    "tpch_q7_volume",
+    "tpch_q8_share",
+    "tpch_q11_having",
+    "tpch_q17_scalar",
+    "window_topk_per_group",
+    "window_value_functions",
+    "window_distribution_orders",
+    "rolling_window_orders",
+    "rollup_flag_status",
+    "cube_status_priority",
+    "salted_join_priority_revenue",
+    "star_join_agg",
+    "quality_checks",
+    "tpch_q1",
+    "tpch_q3_sql",
+    "tpch_q5_sql",
+    "median_price",
+    "asof_join_events",
+    "json_extract_agg",
+    "approx_distinct_check",
+    "collect_sorted_names",
+    "full_outer_nation_balance",
+    "intersect_except_buyers",
+    "join_semi_anti",
+    "map_funcs",
+    "unpivot_status",
+    "season_agg",
+    "order_gaps_surrogate",
+    "date_funcs",
+    "scalar_funcs",
+    "string_funcs",
+    "group_minmax_avg",
+    "distinct_counts",
+]
+
+#: ---- Round-3 ordering (superseded; kept for provenance) ----
 _NEW_OR_CHANGED_R3 = [
     # new in round 3, fourth wave:
     "kmv_user_overlap",
@@ -145,7 +222,14 @@ _PRIORITY_R3 = [
     *_RERECORD,
 ]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R3}
+_seen: set = set()
+_PRIORITY_R4 = [
+    n
+    for n in [*_NEVER_RECORDED_R4, *_NEW_OR_CHANGED_R4, *_RERECORD_R4]
+    if not (n in _seen or _seen.add(n))
+]
+
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R4}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
