@@ -250,28 +250,39 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
 
 def test_watermark_closure_oracles_have_no_boundary_sessions(spark, sf_dir):
     """Fixture-regen guard for the two watermark-closure full oracles
-    (stream_sessionize / stream_hourly_counts): no batch session end
-    or window end may land EXACTLY on the final watermark microsecond,
-    where Spark's emit-on-close (<=) and a regenerated fixture could
-    disagree. A failure here means regenerate or re-derive the oracle
+    (stream_sessionize / stream_hourly_counts): Spark derives the
+    watermark from MILLISECOND-truncated event-time stats, so the
+    engine's effective watermark is ``floor_ms(max_ts) - 1h`` while
+    the microsecond-precision oracles use ``max_ts - 1h``. Any batch
+    session end or window end inside the half-open truncation band
+    ``(floor_ms(max_ts) - 1h, max_ts - 1h]`` would be emitted by the
+    oracle but withheld by Spark (ADVICE r3 — checking only exact
+    equality at the upper bound missed the sub-millisecond residue
+    case). A failure here means regenerate or re-derive the oracle
     boundary, not a code bug."""
+    from datetime import timedelta
+
     from udacity_data_engineering_capstone_project_spark.operators.windows import sessionize
 
     ev = read_table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    wm = F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    wm_hi = max_ts - timedelta(hours=1)  # oracle watermark (inclusive)
+    wm_lo = max_ts.replace(
+        microsecond=(max_ts.microsecond // 1000) * 1000
+    ) - timedelta(hours=1)  # Spark's ms-truncated watermark (exclusive)
+    in_band = lambda c: (c > F.lit(wm_lo)) & (c <= F.lit(wm_hi))  # noqa: E731
     boundary_sessions = (
         sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
         .groupBy("user_id", "session_id")
         .agg((F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"))
-        .filter(F.col("session_end") == wm)
+        .filter(in_band(F.col("session_end")))
         .count()
     )
     assert boundary_sessions == 0
     boundary_windows = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .count()
-        .filter(F.col("w.end") == wm)
+        .filter(in_band(F.col("w.end")))
         .count()
     )
     assert boundary_windows == 0

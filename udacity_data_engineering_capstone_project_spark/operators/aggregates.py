@@ -377,6 +377,13 @@ def bitmap_rolling_distinct(
     repartitions by word (a fixed, tiny key space) and the final
     popcount-sum shuffles |days| x |words| rows — all post-reduction
     sizes.
+
+    Precondition: ``id_col`` is a NON-NEGATIVE integer id. The word
+    index is integer ``DIV 32`` (exact at any magnitude — the earlier
+    float ``/32`` lost exactness above 2^53 and truncated toward zero
+    where the DuckDB oracle floors, diverging for negative ids; ADVICE
+    r3). For negative ids Spark's ``DIV``/``%`` truncate while the
+    oracle's ``//`` floors, so negatives remain out of contract.
     """
     from pyspark.sql import Window
 
@@ -384,7 +391,7 @@ def bitmap_rolling_distinct(
     daily = (
         df.select(
             day.alias("day"),
-            (F.col(id_col) / 32).cast("long").alias("word"),
+            F.expr(f"({id_col}) DIV 32").alias("word"),
             F.expr(
                 f"shiftleft(CAST(1 AS BIGINT), CAST(({id_col}) % 32 AS INT))"
             ).alias("mask"),
@@ -561,12 +568,15 @@ def bitmap_retention(
     active only in one of the two days still contributes its new /
     churned mass. Days with no lagged counterpart report churned = 0
     and new = active (a cold start, not data loss).
+
+    Precondition: non-negative integer ids (see
+    :func:`bitmap_rolling_distinct` — word index is integer ``DIV 32``).
     """
     day = F.col(day_col).cast("date")
     daily = (
         df.select(
             day.alias("day"),
-            (F.col(id_col) / 32).cast("long").alias("word"),
+            F.expr(f"({id_col}) DIV 32").alias("word"),
             F.expr(
                 f"shiftleft(CAST(1 AS BIGINT), CAST(({id_col}) % 32 AS INT))"
             ).alias("mask"),

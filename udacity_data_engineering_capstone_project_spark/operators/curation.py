@@ -557,7 +557,10 @@ def bloom_bitset(
     )
     return (
         pos.select(
-            (F.col("pos") / 32).cast("long").alias("word"),
+            # integer DIV: pos is non-negative < m_bits by construction,
+            # but keep the bitmap word-index idiom exact everywhere
+            # (ADVICE r3 — float /32 loses exactness past 2^53).
+            F.expr("pos DIV 32").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
                 "mask"
             ),
@@ -598,7 +601,7 @@ def bloom_member_keys(
         )
         .select(
             "key",
-            (F.col("pos") / 32).cast("long").alias("word"),
+            F.expr("pos DIV 32").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
                 "mask"
             ),

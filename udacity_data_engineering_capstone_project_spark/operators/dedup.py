@@ -93,11 +93,18 @@ def _digest_expr(hash_family: str):
     ``md5`` (default) is reproducible in DuckDB — required for every
     oracle-checked query. ``xxhash64`` is the PRODUCTION fast path:
     the JVM-intrinsic hash with no hex-string detour is ~5x cheaper
-    per shingle, and because every downstream consumer (inverted
-    index, exact verification, MinHash banding) treats digests as
-    opaque equality keys, the emitted PAIRS are identical for any
-    collision-free family — pinned by
-    ``test_dedup_pairs_identical_across_hash_families``.
+    per shingle, and every downstream consumer (inverted index, exact
+    verification, MinHash banding) treats digests as opaque equality
+    keys. For the EXACT paths (``jaccard_pairs``, verification set
+    sizes) the emitted PAIRS are therefore identical for any
+    collision-free family. For the LSH path the guarantee is
+    PROBABILISTIC, not logical (ADVICE r3): MinHash signatures — and
+    hence band collisions — depend on the digest values, so a true
+    pair near the threshold (miss probability ~(1 - t^r)^b) can be
+    surfaced under one family and missed under another.
+    ``test_dedup_pairs_identical_across_hash_families`` pins equality
+    on THIS fixture, where no pair sits in the miss band — it is a
+    regression guard, not a recall theorem.
     """
     if hash_family == "md5":
         return F.expr(spark_hex_to_long("md5(shingle)", 15))
@@ -396,6 +403,7 @@ def _verify_candidate_pairs(
     threshold_num: int,
     threshold_den: int,
     broadcast_max_rows: int = 5_000_000,
+    broadcast_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair list against the
     per-doc digest-set table, WITHOUT re-shuffling that table: the
@@ -408,17 +416,22 @@ def _verify_candidate_pairs(
     NOTES.md). Shared by :func:`minhash_lsh_pairs` (LSH candidates)
     and :func:`jaccard_pairs_prefix` (prefix-filter candidates).
 
-    Broadcast size guard (same contract as
-    :func:`minhash_lsh_pairs_against`, round-2 advice): the hints are
-    applied only while the candidate count stays under
-    ``broadcast_max_rows`` — a near-dup-DENSE corpus (candidate
-    blow-up) degrades to shuffle joins instead of blowing the
-    driver/executor broadcast limit. The count runs on the persisted
-    candidate table, which the joins materialize anyway."""
+    Broadcast size guards: ``broadcast_max_rows`` bounds the
+    candidate-ID semi-join build side (scalar id rows, ~16 B each).
+    The digest-set slice broadcast into the verification joins is
+    guarded BY ESTIMATED BYTES, not rows (ADVICE r3 — a row guard is
+    ineffective for (doc, array<long>) relations whose size is rows x
+    per-doc set size): one aggregate over the persisted slice — which
+    the joins materialize anyway — measures ``sum(size(hs))`` and the
+    hint applies only while ``8*Σ|hs| + 32*rows <=
+    broadcast_max_bytes`` (default 512 MiB, comfortably under Spark's
+    8 GiB hard broadcast cap and typical executor memory). A
+    near-dup-DENSE corpus degrades to shuffle joins instead of blowing
+    the driver/executor broadcast limit."""
     candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     n_cand = candidates.count()
 
-    def _hint(d):
+    def _hint_ids(d):
         return F.broadcast(d) if n_cand <= broadcast_max_rows else d
 
     cand_ids = (
@@ -426,15 +439,24 @@ def _verify_candidate_pairs(
         .unionByName(candidates.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sets_f = sets.join(_hint(cand_ids), "doc", "left_semi").persist(
+    sets_f = sets.join(_hint_ids(cand_ids), "doc", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    stats = sets_f.select(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.sum(F.size("hs")), F.lit(0)).alias("tot_digests"),
+    ).first()
+    est_bytes = 8 * int(stats["tot_digests"]) + 32 * int(stats["n_rows"])
+
+    def _hint_sets(d):
+        return F.broadcast(d) if est_bytes <= broadcast_max_bytes else d
+
     inter_size_arrow = _inter_size_udf()
     sa = sets_f.alias("sa")
     sb = sets_f.alias("sb")
     return (
-        candidates.join(_hint(sa), F.col("doc_a") == F.col("sa.doc"))
-        .join(_hint(sb), F.col("doc_b") == F.col("sb.doc"))
+        candidates.join(_hint_sets(sa), F.col("doc_a") == F.col("sa.doc"))
+        .join(_hint_sets(sb), F.col("doc_b") == F.col("sb.doc"))
         .select(
             "doc_a",
             "doc_b",

@@ -69,6 +69,13 @@ _NEVER_RECORDED_R4 = [
 #: script is the check that nothing falls through.
 _NEW_OR_CHANGED_R4 = [
     "bpe_fertility",  # r3's one no_oracle row — see queries_llm for the fix
+    # ADVICE-r3 code changes (DIV word index; byte-aware broadcast guard):
+    "bitmap_distinct_users",
+    "bitmap_weekly_retention",
+    "stream_bitmap_distinct",
+    "minhash_pairs",
+    "jaccard_pairs_prefix_filter",
+    "incremental_dedup_probe",
 ]
 
 #: Re-record backfill: round-1-only rows, oldest first (VERDICT r3 #6

@@ -351,12 +351,16 @@ def bitmap_daily_distinct_stream(events: DataFrame) -> DataFrame:
     because OR-state is MONOTONE, ``bit_or`` over all emissions of a
     key equals its final state, so the reduced result is exactly the
     batch bitmap — callers finish with bit_count + a per-day sum
-    (see ``run_bitmap_distinct_batch``)."""
+    (see ``run_bitmap_distinct_batch``).
+
+    Precondition: non-negative integer user ids — the word index is
+    integer ``DIV 32`` (exact at any magnitude; see
+    ``operators.aggregates.bitmap_rolling_distinct``)."""
     return (
         events.withWatermark("ts", "1 hour")
         .select(
             "ts",
-            (F.col("user_id") / 32).cast("long").alias("word"),
+            F.expr("user_id DIV 32").alias("word"),
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
             ).alias("mask"),
