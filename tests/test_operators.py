@@ -1139,8 +1139,24 @@ def test_bpe_encode_matches_reference_impl(spark):
         n_sub = sum(encode(w) for w in ws)
         assert got[doc_id] == (len(ws), n_sub, n_sub * 100 // len(ws)), doc_id
     # merged symbols compress: fertility strictly below chars-per-word x100
-    assert got[0][1] < sum(len(w) for w in re.sub(r"[^a-z0-9 ]", " ",
-                           texts[0].lower()).split())
+    ws0 = re.sub(r"[^a-z0-9 ]", " ", texts[0].lower()).split()
+    assert got[0][1] < sum(len(w) for w in ws0)
+
+
+def test_pinned_bpe_merges_match_training(spark, sf_dir):
+    """Fixture-regen guard for the PINNED tokenizer (the constant that
+    makes ``bpe_fertility`` full-oracle-checkable): re-training at
+    sf0.001 must reproduce ``PINNED_BPE_MERGES`` exactly. A failure
+    means the documents fixture changed — re-pin the constant, don't
+    touch the trainer."""
+    from udacity_data_engineering_capstone_project_spark.operators.textops import (
+        PINNED_BPE_MERGES,
+        train_bpe_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = train_bpe_merges(docs, "text", n_merges=20)
+    assert got == PINNED_BPE_MERGES
 
 
 def test_bitmap_rolling_distinct_exact(spark, sf_dir):

@@ -1871,20 +1871,62 @@ def bpe_train_merges(spark, sf_dir):
 
 
 def bpe_fertility(spark, sf_dir):
-    """Tokenizer application: train 20 BPE merges on the corpus, then
-    encode every document through them and report per-doc subword
-    fertility (subwords per 100 words) — encode happens once per
-    DISTINCT word, docs pick counts up via a shuffle join on the word
-    key (operators/textops.bpe_encode). Deterministic but iterative
-    training upstream, so rows-only + pure-Python-equality pytest like
-    ``bpe_train_merges``."""
-    from ..operators.textops import bpe_encode, train_bpe_merges
+    """Tokenizer application with a PINNED merge table
+    (``textops.PINNED_BPE_MERGES`` — trained once at sf0.001 by
+    ``train_bpe_merges``, frozen, regen-guarded by pytest): encode
+    every document and report per-doc subword fertility (subwords per
+    100 words). Encode happens once per DISTINCT word in an Arrow
+    kernel; docs pick counts up via a shuffle join on the word key
+    (operators/textops.bpe_encode). FULL oracle (VERDICT r3 #2): one
+    BPE merge application is a left-to-right non-overlapping string
+    replace over a ``|``-delimited symbol string, so DuckDB replays
+    the entire encoder as 20 nested ``replace()`` calls and the
+    fertility numbers hash-match. Training itself stays covered by
+    ``bpe_train_merges`` (rows-only + reference-equality pytest)."""
+    from ..operators.textops import PINNED_BPE_MERGES, bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    merges = train_bpe_merges(docs, "text", n_merges=20)
-    return bpe_encode(docs, merges, "doc_id", "text").withColumnRenamed(
+    return bpe_encode(docs, list(PINNED_BPE_MERGES), "doc_id", "text").withColumnRenamed(
         "doc", "doc_id"
     )
+
+
+def _bpe_replay_duck(word_expr: str) -> str:
+    """DuckDB expression: encode ``word_expr`` through the pinned merge
+    table. Symbols are wrapped ``|sym|`` and concatenated, so the pair
+    (a, b) appears exactly as ``|a||b|`` and one merge rank is one
+    ``replace(s, '|a||b|', '|ab|')`` — same left-to-right
+    non-overlapping semantics as the Arrow kernel's scan. Tokens are
+    strictly ``[a-z0-9]+`` (textnorm), so ``|`` can't occur inside a
+    symbol and no false span can match."""
+    from ..operators.textops import PINNED_BPE_MERGES
+
+    s = f"regexp_replace({word_expr}, '(.)', '|\\1|', 'g')"
+    for _rank, a, b, _n in PINNED_BPE_MERGES:
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return s
+
+
+ORACLE_BPE_FERTILITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS w FROM documents
+),
+words AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+vocab AS (
+  SELECT w,
+         CAST((length(enc) - length(replace(enc, '|', ''))) // 2 AS BIGINT) AS n_sub
+  FROM (
+    SELECT w, {_bpe_replay_duck('w')} AS enc
+    FROM (SELECT DISTINCT w FROM words)
+  )
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.n_sub) AS BIGINT) AS n_subwords,
+       CAST(CAST(sum(v.n_sub) AS BIGINT) * 100 // count(*) AS BIGINT) AS fertility_x100
+FROM words JOIN vocab v USING (w)
+GROUP BY doc_id
+"""
 
 
 def pagerank_near_dup(spark, sf_dir):
@@ -3784,9 +3826,9 @@ LLM_QUERIES = {
     ),
     "bpe_fertility": (
         bpe_fertility,
-        None,
-        "BPE tokenizer application: per-doc subword fertility via "
-        "distinct-word encode (reference-equality pytest)",
+        ORACLE_BPE_FERTILITY,
+        "BPE tokenizer application (pinned merge table): per-doc "
+        "subword fertility; full oracle via nested-replace replay",
     ),
     "pagerank_near_dup": (
         pagerank_near_dup,
