@@ -7,19 +7,32 @@ Prints ONE JSON line:
 Each query is forced to full materialization with the noop sink (every
 output column computed, nothing collected to the driver), so timings
 measure the whole plan, not an agg-pruned shortcut.
+
+Noise protocol (VERDICT r3 #3 — three rounds burned verdict cycles on
+phantom sub-second regressions from host-load spikes): each query runs
+FIVE timed iterations; ``queries`` records the MIN (noise on a shared
+host is one-sided — GC pause, CPU steal — so the minimum estimates true
+steady-state cost), ``spread`` records [min, median, max] per query so
+a reader can see variance without a rerun, and the 1-minute load
+average is sampled BEFORE the JVM starts and recorded in the JSON. If
+the box is already loaded (load1 > $SPARK_GRAFT_LOAD_MAX, default 4.0)
+the run SCREAMS on stderr and sets ``"load_warning": true`` — numbers
+from such a run sampled a spike and should not be read as a trend.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Headline mix: scan-agg, star join, pivot, windows, sessionization,
-#: dedup (exact/Jaccard/MinHash/SimHash), ANN, text scoring.
+#: dedup (exact/Jaccard/MinHash/SimHash/PPJoin/spans), sketches, ANN,
+#: text scoring, bloom decontamination.
 HEADLINE = [
     "tpch_q1",
     "tpch_q3_sql",
@@ -47,7 +60,17 @@ HEADLINE = [
     "events_trailing_hour",
     "corpus_curation",
     "heavy_hitter_tokens",
+    # round-4 additions (VERDICT r3 #7): the wave-3/4 flagships, so
+    # their trend is tracked from here on. The headline total is
+    # re-baselined by these four rows — compare r4+ totals to r3's
+    # 26-query total PLUS these queries' own r4 rows.
+    "jaccard_pairs_prefix_filter",
+    "cross_doc_dup_spans",
+    "kmv_user_overlap",
+    "bloom_prefilter_decontaminate",
 ]
+
+N_ITERS = 5
 
 
 def main() -> None:
@@ -56,10 +79,22 @@ def main() -> None:
     # scaling probes, e.g. the dedup family at sf10
     subset = os.environ.get("SPARK_GRAFT_QUERIES")
     headline = subset.split(",") if subset else HEADLINE
+    n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", N_ITERS))
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "4.0"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+
+    load_start = os.getloadavg()[0]
+    load_warning = load_start > load_max
+    if load_warning:
+        print(
+            f"######## BENCH LOAD WARNING: load1={load_start:.2f} > "
+            f"{load_max} before JVM start — this run is sampling a host "
+            "spike; treat its numbers as an upper bound, not a trend.",
+            file=sys.stderr,
+        )
 
     from udacity_data_engineering_capstone_project_spark.plans.registry import query_fns
     from udacity_data_engineering_capstone_project_spark.session import get_spark
@@ -79,22 +114,29 @@ def main() -> None:
         fns[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
 
-    # two timed iterations per query, min recorded: timing noise on a
-    # shared host is one-sided (GC pause, CPU steal), so the minimum
-    # is the standard estimator of true steady-state cost
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in headline:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(n_iters):
             t0 = time.time()
             df = fns[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
+            samples.append(time.time() - t0)
             # drop this query's persisted intermediates so they don't
             # steal memory from (or get recomputed into) later queries
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        timings[name] = round(min(samples), 3)
+        spread[name] = [
+            round(min(samples), 3),
+            round(statistics.median(samples), 3),
+            round(max(samples), 3),
+        ]
+        print(
+            f"# {name}: min={spread[name][0]}s med={spread[name][1]}s "
+            f"max={spread[name][2]}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -104,6 +146,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "n_iters": n_iters,
+                "load_avg_1m_start": round(load_start, 2),
+                "load_avg_1m_end": round(os.getloadavg()[0], 2),
+                "load_warning": load_warning,
                 "sf": sf,
             }
         )
