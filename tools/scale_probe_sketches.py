@@ -48,10 +48,15 @@ if name == "bloom_auto":
     )
 
     def fn(spark, sf_dir):
+        import tempfile
+
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
         return bloom_decontaminate(
-            docs.filter(b < 80), docs.filter(b >= 90), m_bits=None
+            docs.filter(b < 80),
+            docs.filter(b >= 90),
+            m_bits=None,
+            materialize_dir=tempfile.mkdtemp(prefix="bloom_probe_"),
         )
 else:
     import __spark_entry__ as m

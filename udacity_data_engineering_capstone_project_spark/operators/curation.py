@@ -629,6 +629,7 @@ def bloom_decontaminate(
     m_bits: int | None = 1 << 14,
     k: int = 2,
     train_shingles: DataFrame | None = None,
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """:func:`benchmark_decontaminate` with a Bloom prefilter: the
     benchmark shingle digests build a fixed-size bitset
@@ -649,17 +650,25 @@ def bloom_decontaminate(
     benchmark|) digest set, and the exact-confirm join's probe side
     shrinks from every train shingle to the Bloom survivors (true
     matches + ~FP-rate of the rest). The (doc, h) shingle table is
-    consumed three times (probe, sizes, candidate re-join); pass a
-    MATERIALIZED one via ``train_shingles`` to pay the tokenize+md5
-    scan once — the 100x probe showed that scan dominating (SCALE.md;
-    persisting it here instead would cache-substitute into other
-    queries' plans in a shared session, so it is the caller's call).
+    consumed three times (probe, sizes, candidate re-join); the 100x
+    probe showed the repeated tokenize+md5 scan dominating (SCALE.md).
+    Two materialize-once escape hatches (VERDICT r3 #4): pass an
+    already-materialized table via ``train_shingles``, or set
+    ``materialize_dir`` to write the shingle table to a scratch
+    parquet ONCE and read the three consumers from the file. A FILE,
+    deliberately not ``persist()``: caching a shared-lineage subtree
+    in a shared session cache-substitutes into OTHER queries' plans
+    and knocks their dim joins off the broadcast path (the documented
+    trap, caught by the decontaminate plan guard); a parquet read cuts
+    lineage instead of aliasing it.
     """
-    train_sh = (
-        train_shingles
-        if train_shingles is not None
-        else hashed_shingle_table(train, id_col, text_col, n)
-    )
+    if train_shingles is not None:
+        train_sh = train_shingles
+    else:
+        train_sh = hashed_shingle_table(train, id_col, text_col, n)
+        if materialize_dir is not None:
+            train_sh.write.mode("overwrite").parquet(materialize_dir)
+            train_sh = train.sparkSession.read.parquet(materialize_dir)
     bench_h = hashed_shingle_table(benchmark, id_col, text_col, n).select("h").distinct()
     if m_bits is None:
         n_keys = bench_h.count()  # bounded driver state: one scalar

@@ -3945,7 +3945,15 @@ def bloom_prefilter_decontaminate(spark, sf_dir):
     candidate-sized sets only. Same result columns as
     ``decontaminate_overlap`` plus ``n_candidates`` (Bloom survivors,
     FPs included) — the oracle reproduces every bit of the filter, so
-    a hash match proves the prefilter is lossless."""
+    a hash match proves the prefilter is lossless.
+
+    The train-shingle table is materialized ONCE to a scratch parquet
+    (``materialize_dir`` — VERDICT r3 #4: its three consumers were
+    re-running the tokenize+md5 scan per broadcast, the dominant term
+    of the 100x probe; a file cuts lineage where ``persist`` would
+    cache-substitute into other queries' plans)."""
+    import tempfile
+
     from ..operators.curation import bloom_decontaminate
 
     docs = _t(spark, sf_dir, "documents")
@@ -3955,6 +3963,7 @@ def bloom_prefilter_decontaminate(spark, sf_dir):
         docs.filter(b >= 90),
         threshold_num=1,
         threshold_den=5,
+        materialize_dir=tempfile.mkdtemp(prefix="bloom_train_sh_"),
     )
 
 
