@@ -12,8 +12,12 @@ Noise protocol (VERDICT r3 #3 — three rounds burned verdict cycles on
 phantom sub-second regressions from host-load spikes): each query runs
 FIVE timed iterations; ``queries`` records the MIN (noise on a shared
 host is one-sided — GC pause, CPU steal — so the minimum estimates true
-steady-state cost), ``spread`` records [min, median, max] per query so
-a reader can see variance without a rerun, and the 1-minute load
+steady-state cost), the per-query [min, median, max] spread goes to a
+SIDE FILE (``.benchmarks/spread_latest.json``) and stderr — NOT the
+stdout JSON line (VERDICT r4 #2: embedding the 30-query spread dict
+grew the line past the driver's tail-capture window and decapitated
+it, leaving ``BENCH_r04.json`` with ``"parsed": null``; the
+machine-readable line must stay small and LAST) — and the 1-minute load
 average is sampled BEFORE the JVM starts and recorded in the JSON. If
 the box is already loaded (load1 > $SPARK_GRAFT_LOAD_MAX, default 4.0)
 the run SCREAMS on stderr and sets ``"load_warning": true`` — numbers
@@ -139,6 +143,12 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # full spread to a side file + stderr; stdout line stays compact
+    spread_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
+    os.makedirs(spread_dir, exist_ok=True)
+    with open(os.path.join(spread_dir, "spread_latest.json"), "w") as f:
+        json.dump({"spread": spread, "n_iters": n_iters, "sf": sf}, f, indent=1)
+    print(f"# spread written to {spread_dir}/spread_latest.json", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -146,7 +156,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
                 "n_iters": n_iters,
                 "load_avg_1m_start": round(load_start, 2),
                 "load_avg_1m_end": round(os.getloadavg()[0], 2),
