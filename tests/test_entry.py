@@ -18,8 +18,9 @@ def test_every_query_has_oracle_except_streaming(spark):
         # since round 3: append-mode emission == the batch twin filtered
         # to watermark-closed windows/sessions)
         "stream_user_totals",
-        "kmeans_assign",
-        "ivf_trained_recall",
+        # (kmeans_assign and ivf_trained_recall gained full oracles in
+        # round 5: the fixed-iteration Lloyd loop from deterministic
+        # seeds replayed in DuckDB as chained CTEs)
         # (hll_sketch_rollup and ann_pq_recall gained full oracles in
         # round 3: exact-anchor + tolerance-flag, and exact-re-rank
         # top-10 vs brute force, respectively)

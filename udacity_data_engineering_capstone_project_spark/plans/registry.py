@@ -43,6 +43,70 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 #: driver-recorded across r1+r2+r3 — 10 full-oracle, then 6
 #: rows-only/diagnostic; (2) queries new to or changed in round 4;
 #: (3) re-records of the oldest rows (round-1-only entries).
+#: Round-5 window (built from ``python tools/ledger.py --ages`` at the
+#: start of round 5 — all 164 queries have driver rows after r4, so the
+#: window is (1) queries new to or changed in round 5, then (2) the
+#: oldest-recorded rows, last_round ascending / name tie-break: the 23
+#: round-1-only rows the r4 backfill couldn't fit, then the oldest
+#: round-2 rows alphabetically through ``jaccard_pairs_exact``.
+_NEW_OR_CHANGED_R5 = [
+    # promoted from rows-only to full chained-CTE replay oracles (r5):
+    "kmeans_assign",
+    "ivf_trained_recall",
+    # verification-guard fusion (VERDICT r4 #4) changed these plans:
+    "minhash_pairs",
+    "jaccard_pairs_prefix_filter",
+    "incremental_dedup_probe",
+]
+_OLDEST_R5 = [
+    "cast_derive",
+    "daily_agg",
+    "date_dim",
+    "date_funcs",
+    "dedup_rows",
+    "distinct_counts",
+    "drop_columns",
+    "filter_compound",
+    "group_minmax_avg",
+    "join_inner_agg",
+    "join_left_agg",
+    "null_handling",
+    "order_gaps_surrogate",
+    "pivot_status",
+    "pruned_scan",
+    "range_join_tiers",
+    "rename_project",
+    "scalar_funcs",
+    "season_agg",
+    "spot_lookup",
+    "string_funcs",
+    "topk_orders",
+    "union_distinct_dates",
+    "ann_recall_sweep",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "asof_forward_tolerance",
+    "bm25_search_topk",
+    "canonical_docs",
+    "cohort_retention",
+    "corpus_split_stats",
+    "decontaminate_overlap",
+    "dedup_components",
+    "dedup_exact",
+    "doc_surprisal",
+    "embedding_near_dup",
+    "event_transitions",
+    "ewma_user_value",
+    "funnel_counts",
+    "fuzzy_name_pairs",
+    "gap_fill_daily",
+    "group_quantiles",
+    "iqr_outlier_orders",
+    "jaccard_pairs_capped",
+    "jaccard_pairs_exact",
+]
+
+#: ---- Round-4 ordering (superseded; kept for provenance) ----
 _NEVER_RECORDED_R4 = [
     # full-oracle tier (hash-match expected):
     "tpch_q18_large",
@@ -230,13 +294,13 @@ _PRIORITY_R3 = [
 ]
 
 _seen: set = set()
-_PRIORITY_R4 = [
+_PRIORITY_R5 = [
     n
-    for n in [*_NEVER_RECORDED_R4, *_NEW_OR_CHANGED_R4, *_RERECORD_R4]
+    for n in [*_NEW_OR_CHANGED_R5, *_OLDEST_R5]
     if not (n in _seen or _seen.add(n))
 ]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R4}
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R5}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
