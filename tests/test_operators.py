@@ -1524,3 +1524,24 @@ def test_prefix_filter_equals_naive_jaccard(spark):
         }
         assert pref == naive, (num, den)
     assert any(p[0] == 100 and p[1] == 101 for p in pref)
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    """Uniform 4-token doc: H = ln(4) nats (4 x x1e6-rounded quarter
+    contributions); constant doc: H = 0 and the low-diversity flag
+    fires; empty-ish doc drops out (no tokens)."""
+    from udacity_data_engineering_capstone_project_spark.operators.textops import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "spam spam spam spam"), (3, "!!!")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in token_entropy(docs).collect()}
+    import math
+
+    per_term = math.floor(0.25 * math.log(4) * 1e6 + 0.5)
+    assert rows[1].entropy_x1e6 == 4 * per_term
+    assert rows[1].is_low_entropy == 1  # ln(4)=1.386 < 3.0 nats
+    assert rows[2].entropy_x1e6 == 0 and rows[2].is_low_entropy == 1
+    assert rows[2].n_toks == 4
+    assert 3 not in rows

@@ -99,3 +99,37 @@ def test_bm25_plan_broadcasts_terms_and_stays_jvm(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)
+
+
+def test_rrf_fuse_math_and_ranking(spark):
+    """RRF: a doc ranked mid-list by BOTH legs outranks a doc that is
+    top-1 in one leg only (60+1=61 vs two mid contributions); exact
+    x1e6 values pin the 1/(k0+rank) arithmetic."""
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2), (1, 300, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    dense = spark.createDataFrame(
+        [(1, 200, 1), (1, 300, 2), (1, 400, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    out = {r.doc_id: (r.rank, r.rrf_x1e6) for r in rrf_fuse([lex, dense]).collect()}
+    # doc 200: 1/62 + 1/61 = .0327...; doc 300: 1/63 + 1/62; doc 100: 1/61
+    assert out[200][0] == 1 and out[300][0] == 2
+    assert out[100][0] == 3 and out[400][0] == 4  # 1/61 > 1/63
+    assert out[200][1] == round((1 / 62 + 1 / 61) * 1e6)
+    assert out[100][1] == round((1 / 61) * 1e6)
+
+
+def test_rrf_single_leg_passthrough_order(spark):
+    """One leg only: fusion preserves the leg's own order."""
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import rrf_fuse
+
+    leg = spark.createDataFrame(
+        [(7, 10, 1), (7, 11, 2), (7, 12, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    got = [r.doc_id for r in rrf_fuse([leg]).orderBy("rank").collect()]
+    assert got == [10, 11, 12]

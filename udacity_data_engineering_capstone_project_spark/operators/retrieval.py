@@ -194,3 +194,58 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("doc").alias(id_col), "rank", "token", "tfidf_x1e6")
     )
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
+    N retrieval legs — the standard hybrid-retrieval combiner (lexical
+    BM25 + dense ANN) for RAG / training-data retrieval stacks: each
+    leg contributes ``1/(k0 + rank)`` per (query, doc), summed across
+    legs, re-ranked. Rank-based (not score-based), so legs with
+    incomparable score scales fuse without calibration.
+
+    Each leg must expose (query_id, doc_id, rank). Determinism: every
+    contribution is one IEEE double division of small integers
+    (bit-identical across engines); a (query, doc) pair has at most
+    one row per leg, and the final ranking key is the x1e6-rounded
+    integer score with doc_id tie-break — no float comparison crosses
+    the engine boundary.
+
+    Scale shape: the union is leg-count x (queries x k) rows — tiny
+    relative to any corpus — so the fuse is a single small
+    (query, doc) aggregation; the heavy lifting stays inside the legs
+    (which keep their own broadcast/pruning plans).
+
+    Output: (query_id, rank, doc_id, rrf_x1e6).
+    """
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [leg.select("query_id", "doc_id", "rank") for leg in legs],
+    )
+    contrib = u.select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))).alias("c"),
+    )
+    fused = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("s"))
+        .withColumn(
+            "rrf_x1e6",
+            F.floor(F.col("s") * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_x1e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_x1e6")
+    )

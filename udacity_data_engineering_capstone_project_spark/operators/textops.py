@@ -978,3 +978,69 @@ def chunk_windows(
             ).alias("chunk_h"),
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low_entropy_nats_x1e6: int = 3_000_000,
+) -> DataFrame:
+    """Per-document unigram (token) Shannon entropy — the lexical-
+    diversity quality signal: boilerplate, keyword-stuffed, and
+    template pages have low entropy relative to their length, natural
+    prose sits near the corpus mode. Used alongside repetition ratios
+    in crawl-filter stacks (e.g. Gopher/C4-style rule sets keep a
+    diversity screen; see also repetition_scores in
+    operators/curation.py for the n-gram form).
+
+    ``H = -sum_t (tf_t/n) * ln(tf_t/n)`` (NATS — natural log, the one
+    transcendental with a proven cross-engine track record here: the
+    BM25 oracle's ln has hash-matched since round 2) over the doc's
+    OWN token distribution. Cross-engine float determinism uses the
+    BM25 recipe (operators/retrieval.py module docstring): each term's
+    contribution is x1e6-rounded to a BIGINT BEFORE the per-doc sum,
+    so the only float math is one div + one ln + one mul per
+    (doc, token) and the summation order can't matter.
+
+    Scale shape: one (doc, token) aggregation (map-side combine
+    applies), one doc-keyed aggregation; no broadcasts, no UDFs, no
+    corpus-wide state — embarrassingly partitionable at any size.
+
+    Output: (doc_id, n_toks, entropy_x1e6, is_low_entropy) where the
+    flag marks ``H < low_entropy_nats_x1e6/1e6`` nats (default 3.0
+    nats ~= 4.3 bits — below the natural-prose band for docs of this
+    fixture's length).
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != F.lit(""))
+    tf = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("token"))
+        .groupBy("doc", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = tf.groupBy("doc").agg(F.sum("tf").alias("n_toks"))
+    contrib = (
+        tf.join(n, "doc")
+        .withColumn("p", F.col("tf") / F.col("n_toks"))
+        .withColumn(
+            "c_x1e6",
+            F.floor(
+                -(F.col("p") * F.log(F.col("p"))) * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        contrib.groupBy("doc")
+        .agg(
+            F.first("n_toks").alias("n_toks"),
+            F.sum("c_x1e6").alias("entropy_x1e6"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_toks",
+            "entropy_x1e6",
+            (F.col("entropy_x1e6") < F.lit(low_entropy_nats_x1e6))
+            .cast("int")
+            .alias("is_low_entropy"),
+        )
+    )

@@ -5014,3 +5014,114 @@ LLM_QUERIES["span_dedup_clean_text"] = (
     "apply duplicate spans: cut covered ranges, reassemble clean text, "
     "md5 proves the rebuild byte-exact per doc",
 )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: hybrid retrieval fusion + lexical-diversity quality
+
+
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical leg + dense cosine leg, fused by
+    reciprocal-rank fusion (operators/retrieval.rrf_fuse) — the
+    standard two-tower retrieval stack for RAG / targeted training-data
+    selection. The probe query ids (1,2,3) address BOTH the text
+    queries (BM25_PROBE_QUERIES) and the query vectors (vec_id 1..3),
+    so each query fuses a lexical and a dense top-10 over its own id.
+    Each leg keeps its own scale plan (broadcast-filtered postings;
+    broadcast queries + JVM cosine); the fuse itself touches only
+    legs x queries x k rows."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        BM25_PROBE_QUERIES, "query_id int, qtext string"
+    )
+    lex = bm25_topk(docs, queries, k=10).select("query_id", "doc_id", "rank")
+    dense = brute_force_topk(
+        emb.filter(F.col("vec_id").isin([1, 2, 3])), emb, k=10
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex, dense], k0=60, k=10)
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank FROM ({ORACLE_BM25})
+),
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id, rank FROM (
+    SELECT CAST(q.query_id AS INT) AS query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS_QC} DESC, c.neighbor_id) AS rank
+    FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id IN (1, 2, 3)) q,
+         (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings) c
+    WHERE c.neighbor_id <> q.query_id
+  ) WHERE rank <= 10
+),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(floor(sum(1.0 / (60 + rank)) * 1000000 + 0.5) AS BIGINT)
+           AS rrf_x1e6
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_x1e6 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_x1e6 DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+LLM_QUERIES["hybrid_rrf_retrieval"] = (
+    hybrid_rrf_retrieval,
+    ORACLE_HYBRID_RRF,
+    "retrieval: BM25 + dense legs fused by reciprocal-rank fusion "
+    "(SIGIR'09), x1e6 fixed-point ranking",
+)
+
+
+def token_entropy_quality(spark, sf_dir):
+    """Per-doc unigram Shannon entropy (nats) + low-diversity flag —
+    the lexical-diversity screen of crawl-filter stacks (see
+    operators/textops.token_entropy for the scale shape and the
+    per-term fixed-point rounding that makes the float sum
+    engine-order-proof)."""
+    from ..operators.textops import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_ENTROPY = f"""
+WITH tf AS (
+  SELECT doc, token, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id AS doc, unnest({_TOKS_DUCK}) AS token FROM documents
+  ) WHERE token <> '' GROUP BY doc, token
+),
+n AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS n_toks FROM tf GROUP BY doc),
+contrib AS (
+  SELECT t.doc, n.n_toks,
+         CAST(floor(
+           -((t.tf / CAST(n.n_toks AS DOUBLE))
+             * ln(t.tf / CAST(n.n_toks AS DOUBLE))) * 1000000
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+  FROM tf t JOIN n USING (doc)
+)
+SELECT doc AS doc_id, n_toks,
+       CAST(sum(c) AS BIGINT) AS entropy_x1e6,
+       CAST(CAST(sum(c) AS BIGINT) < 3000000 AS INT) AS is_low_entropy
+FROM contrib GROUP BY doc, n_toks
+"""
+
+LLM_QUERIES["token_entropy_quality"] = (
+    token_entropy_quality,
+    ORACLE_TOKEN_ENTROPY,
+    "text: per-doc unigram entropy (nats, x1e6 per-term fixed point) "
+    "+ low-diversity flag",
+)

@@ -50,6 +50,9 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 #: round-1-only rows the r4 backfill couldn't fit, then the oldest
 #: round-2 rows alphabetically through ``jaccard_pairs_exact``.
 _NEW_OR_CHANGED_R5 = [
+    # new queries (r5):
+    "hybrid_rrf_retrieval",
+    "token_entropy_quality",
     # promoted from rows-only to full chained-CTE replay oracles (r5):
     "kmeans_assign",
     "ivf_trained_recall",
@@ -102,8 +105,8 @@ _OLDEST_R5 = [
     "gap_fill_daily",
     "group_quantiles",
     "iqr_outlier_orders",
-    "jaccard_pairs_capped",
-    "jaccard_pairs_exact",
+    # (jaccard_pairs_capped / jaccard_pairs_exact slipped out of the
+    # 50-row window when the two new r5 queries took its head)
 ]
 
 #: ---- Round-4 ordering (superseded; kept for provenance) ----
