@@ -581,3 +581,27 @@ def test_prefix_filter_joins_prefixes_not_full_index(spark):
     assert "SortMergeJoin" not in plan
     assert re.search(r"rn#\d+( as bigint\))? <= ", plan), "prefix rn filter missing"
     assert "inter_size_arrow" in plan  # Arrow verification kernel
+
+
+def test_token_entropy_is_jvm_only_two_aggregations(spark):
+    """The entropy scan must stay inside whole-stage codegen: no
+    Python evals anywhere (the div/ln/floor fixed-point math is all
+    built-in), and exactly two hash-aggregation pairs — the
+    (doc, token) tf and the per-doc sum — so map-side partial
+    aggregation applies to both."""
+    plan = _plan(spark, "token_entropy_quality")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_hybrid_rrf_legs_keep_their_broadcasts(spark):
+    """Fusion must not degrade the legs' scale plans: the BM25 leg's
+    term/df/stats broadcasts and the dense leg's query broadcast all
+    survive composition (>=3 hinted broadcasts), and the corpus never
+    sort-merge-joins on token."""
+    plan = _plan(spark, "hybrid_rrf_retrieval")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3
+    assert "SortMergeJoin [token" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
