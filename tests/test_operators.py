@@ -1545,3 +1545,25 @@ def test_token_entropy_uniform_and_degenerate(spark):
     assert rows[2].entropy_x1e6 == 0 and rows[2].is_low_entropy == 1
     assert rows[2].n_toks == 4
     assert 3 not in rows
+
+
+def test_per_source_entropy_buckets_quartile_containment(spark, sf_dir):
+    """Relative-filter invariants on the fixture: buckets partition
+    each source's docs, and strict-quartile bucketing bounds tail and
+    head at <=25% each (ties land in middle)."""
+    from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+        per_source_entropy_buckets,
+    )
+
+    rows = per_source_entropy_buckets(spark, sf_dir).collect()
+    assert rows and {r.bucket for r in rows} <= {"head", "middle", "tail"}
+    from collections import Counter
+
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, Counter())[r.bucket] += 1
+    for src, cnt in per_src.items():
+        n = sum(cnt.values())
+        assert cnt["tail"] <= n / 4 + 1, src
+        assert cnt["head"] <= n / 4 + 1, src
+        assert cnt["middle"] >= n / 2 - 2, src

@@ -5125,3 +5125,64 @@ LLM_QUERIES["token_entropy_quality"] = (
     "text: per-doc unigram entropy (nats, x1e6 per-term fixed point) "
     "+ low-diversity flag",
 )
+
+
+def per_source_entropy_buckets(spark, sf_dir):
+    """CCNet-style RELATIVE quality filtering (Wenzek et al., LREC'20
+    filter corpora per-language by perplexity terciles, not by one
+    global threshold): bucket every doc against its OWN source's
+    entropy quartiles — head (> p75), middle, tail (< p25) — so a
+    boilerplate-heavy source can't dominate the global tail. Two-level
+    aggregation pattern: per-doc entropy scan -> tiny per-source
+    quantile table -> broadcast back; the corpus shuffles once (the
+    entropy aggregation), never for the quantile join. Quartile
+    fractions are exact binary rationals over BIGINT entropy values,
+    so Spark ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit
+    (the group_quantiles precedent). At 100 TB swap the exact
+    percentile for percentile_approx / histogram_quantile_rollup —
+    same trade documented there."""
+    from ..operators.textops import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = token_entropy(docs).select("doc_id", "entropy_x1e6")
+    j = ent.join(docs.select("doc_id", "source"), "doc_id")
+    q = j.groupBy("source").agg(
+        F.expr("percentile(entropy_x1e6, 0.25)").alias("p25"),
+        F.expr("percentile(entropy_x1e6, 0.75)").alias("p75"),
+    )
+    return j.join(F.broadcast(q), "source").select(
+        "doc_id",
+        "source",
+        "entropy_x1e6",
+        F.when(F.col("entropy_x1e6") < F.col("p25"), "tail")
+        .when(F.col("entropy_x1e6") > F.col("p75"), "head")
+        .otherwise("middle")
+        .alias("bucket"),
+    )
+
+
+ORACLE_SOURCE_ENTROPY_BUCKETS = f"""
+WITH ent AS (SELECT doc_id, entropy_x1e6 FROM ({ORACLE_TOKEN_ENTROPY})),
+j AS (
+  SELECT d.doc_id, d.source, e.entropy_x1e6
+  FROM ent e JOIN documents d USING (doc_id)
+),
+q AS (
+  SELECT source,
+         quantile_cont(entropy_x1e6, 0.25) AS p25,
+         quantile_cont(entropy_x1e6, 0.75) AS p75
+  FROM j GROUP BY source
+)
+SELECT j.doc_id, j.source, j.entropy_x1e6,
+       CASE WHEN j.entropy_x1e6 < q.p25 THEN 'tail'
+            WHEN j.entropy_x1e6 > q.p75 THEN 'head'
+            ELSE 'middle' END AS bucket
+FROM j JOIN q USING (source)
+"""
+
+LLM_QUERIES["per_source_entropy_buckets"] = (
+    per_source_entropy_buckets,
+    ORACLE_SOURCE_ENTROPY_BUCKETS,
+    "curation: CCNet-style relative filtering — per-source entropy "
+    "quartile buckets, broadcast quantile join-back",
+)
