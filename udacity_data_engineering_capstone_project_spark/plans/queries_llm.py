@@ -5186,3 +5186,121 @@ LLM_QUERIES["per_source_entropy_buckets"] = (
     "curation: CCNet-style relative filtering — per-source entropy "
     "quartile buckets, broadcast quantile join-back",
 )
+
+
+def distinctive_terms_by_source(spark, sf_dir):
+    """Top-5 DISTINCTIVE tokens per source by log-odds z-score with an
+    informative Dirichlet prior (Monroe/Colaresi/Quinn, "Fightin'
+    Words", Political Analysis 2008) — the standard corpus-comparison
+    statistic for mixture auditing ("what is source X actually full
+    of?"), better-behaved than raw TF-IDF at both frequency extremes.
+
+    For token w in source s vs the REST of the corpus::
+
+        delta = ln((y_s+a)/(n_s+a*V-y_s-a)) - ln((y_r+a)/(n_r+a*V-y_r-a))
+        z     = delta / sqrt(1/(y_s+a) + 1/(y_r+a))
+
+    Scale shape: one (source, token) count aggregation; per-source
+    totals and the two corpus scalars (n_all, V) attach via broadcast
+    1-row/tiny joins; per-token corpus counts attach via one
+    token-keyed join of two aggregates of the SAME exploded scan.
+    Ranking key is the x1e6-rounded z (BM25 ln recipe) with token
+    tie-break, so engine ulps can't reorder the top-5.
+
+    Output: (source, rank, token, z_x1e6)."""
+    a = 0.5
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(tokens_col("text"), lambda t: t != F.lit(""))
+    exploded = docs.select("source", F.explode(toks).alias("token"))
+    sc = exploded.groupBy("source", "token").agg(F.count("*").alias("y_s"))
+    tot_s = sc.groupBy("source").agg(F.sum("y_s").alias("n_s"))
+    tot_w = sc.groupBy("token").agg(F.sum("y_s").alias("y_all"))
+    scalars = sc.select(
+        F.sum("y_s").alias("n_all"), F.countDistinct("token").alias("v")
+    )
+    z = (
+        sc.join(F.broadcast(tot_s), "source")
+        .join(tot_w, "token")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("y_r", F.col("y_all") - F.col("y_s"))
+        .withColumn("n_r", F.col("n_all") - F.col("n_s"))
+        .withColumn("prior", F.lit(a) * F.col("v"))
+        .withColumn(
+            "delta",
+            F.log(
+                (F.col("y_s") + F.lit(a))
+                / (F.col("n_s") + F.col("prior") - F.col("y_s") - F.lit(a))
+            )
+            - F.log(
+                (F.col("y_r") + F.lit(a))
+                / (F.col("n_r") + F.col("prior") - F.col("y_r") - F.lit(a))
+            ),
+        )
+        .withColumn(
+            "z_x1e6",
+            F.floor(
+                F.col("delta")
+                / F.sqrt(
+                    F.lit(1.0) / (F.col("y_s") + F.lit(a))
+                    + F.lit(1.0) / (F.col("y_r") + F.lit(a))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("z_x1e6").desc(), F.col("token").asc()
+    )
+    return (
+        z.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "token", "z_x1e6")
+    )
+
+
+ORACLE_DISTINCTIVE_TERMS = f"""
+WITH exploded AS (
+  SELECT source, token FROM (
+    SELECT source, unnest({_TOKS_DUCK}) AS token FROM documents
+  ) WHERE token <> ''
+),
+sc AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS y_s
+  FROM exploded GROUP BY source, token
+),
+tot_s AS (SELECT source, CAST(sum(y_s) AS BIGINT) AS n_s FROM sc GROUP BY source),
+tot_w AS (SELECT token, CAST(sum(y_s) AS BIGINT) AS y_all FROM sc GROUP BY token),
+scalars AS (
+  SELECT CAST(sum(y_s) AS BIGINT) AS n_all,
+         CAST(count(DISTINCT token) AS BIGINT) AS v
+  FROM sc
+),
+z AS (
+  SELECT sc.source, sc.token,
+         CAST(floor(
+           (ln((sc.y_s + CAST(0.5 AS DOUBLE))
+               / (t.n_s + CAST(0.5 AS DOUBLE) * s.v - sc.y_s - CAST(0.5 AS DOUBLE)))
+            - ln((w.y_all - sc.y_s + CAST(0.5 AS DOUBLE))
+                 / (s.n_all - t.n_s + CAST(0.5 AS DOUBLE) * s.v
+                    - (w.y_all - sc.y_s) - CAST(0.5 AS DOUBLE))))
+           / sqrt(CAST(1.0 AS DOUBLE) / (sc.y_s + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE) / (w.y_all - sc.y_s + CAST(0.5 AS DOUBLE)))
+           * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z_x1e6
+  FROM sc JOIN tot_s t USING (source)
+          JOIN tot_w w USING (token)
+          CROSS JOIN scalars s
+)
+SELECT source, CAST(rank AS INT) AS rank, token, z_x1e6 FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY z_x1e6 DESC, token) AS rank
+  FROM z
+) WHERE rank <= 5
+"""
+
+LLM_QUERIES["distinctive_terms_by_source"] = (
+    distinctive_terms_by_source,
+    ORACLE_DISTINCTIVE_TERMS,
+    "analytics: Monroe log-odds (informative Dirichlet prior) "
+    "distinctive tokens per source, x1e6 fixed-point z ranking",
+)
