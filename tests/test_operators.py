@@ -1567,3 +1567,22 @@ def test_per_source_entropy_buckets_quartile_containment(spark, sf_dir):
         assert cnt["tail"] <= n / 4 + 1, src
         assert cnt["head"] <= n / 4 + 1, src
         assert cnt["middle"] >= n / 2 - 2, src
+
+
+def test_distinctive_terms_monroe_semantics(spark, sf_dir):
+    """Log-odds z ranking invariants on the fixture: 5 rows per source
+    (ranks 1..5), and every source's top token has a POSITIVE z
+    (a token can't be maximally distinctive of a source while being
+    under-represented in it)."""
+    from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+        distinctive_terms_by_source,
+    )
+
+    rows = distinctive_terms_by_source(spark, sf_dir).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        assert sorted(x.rank for x in rs) == [1, 2, 3, 4, 5], src
+        top = min(rs, key=lambda x: x.rank)
+        assert top.z_x1e6 > 0, src

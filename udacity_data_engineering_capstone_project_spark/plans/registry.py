@@ -54,6 +54,7 @@ _NEW_OR_CHANGED_R5 = [
     "hybrid_rrf_retrieval",
     "token_entropy_quality",
     "per_source_entropy_buckets",
+    "distinctive_terms_by_source",
     # promoted from rows-only to full chained-CTE replay oracles (r5):
     "kmeans_assign",
     "ivf_trained_recall",
@@ -104,9 +105,9 @@ _OLDEST_R5 = [
     "funnel_counts",
     "fuzzy_name_pairs",
     "gap_fill_daily",
-    "group_quantiles",
-    # (iqr_outlier_orders / jaccard_pairs_capped / jaccard_pairs_exact
-    # slipped out of the 50-row window as new r5 queries took its head)
+    # (group_quantiles / iqr_outlier_orders / jaccard_pairs_capped /
+    # jaccard_pairs_exact slipped out of the 50-row window as new r5
+    # queries took its head)
 ]
 
 #: ---- Round-4 ordering (superseded; kept for provenance) ----
