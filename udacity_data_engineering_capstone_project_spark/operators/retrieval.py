@@ -54,14 +54,33 @@ def postings(
     ``dl`` (document token length) rides along from a pre-explode
     ``size()`` so downstream scoring never needs a second corpus scan.
     One shuffle, keyed on (doc, token).
+
+    The token array is materialized in ITS OWN projection
+    (:func:`_doc_token_arrays`) before the size/explode pair — writing
+    ``select(size(toks_expr), explode(toks_expr))`` directly puts the
+    size() Project ABOVE the Generate, re-running the whole regex +
+    split + interpreted-filter tokenization once per EXPLODED row
+    (~|doc| times per doc; measured 3.9 s vs 0.2 s on 270k postings at
+    sf0.1, round 5). With the array as a named column, CollapseProject
+    keeps the two Projects apart (the alias is referenced twice and is
+    not cheap), so tokenization runs once per doc below the Generate.
     """
-    toks = F.filter(tokens_col(text_col), lambda t: t != F.lit(""))
-    exploded = docs.select(
-        F.col(id_col).alias("doc"),
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("token"),
+    exploded = _doc_token_arrays(docs, id_col, text_col).select(
+        "doc",
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("token"),
     )
     return exploded.groupBy("token", "doc", "dl").agg(F.count("*").alias("tf"))
+
+
+def _doc_token_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, toks) with the normalized token array materialized as a
+    column — the explode-safe base for any consumer that needs BOTH
+    the array (size, slicing) and its elements (see postings())."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != F.lit(""))
+    return docs.select(F.col(id_col).alias("doc"), toks.alias("toks"))
 
 
 def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -105,11 +124,12 @@ def bm25_topk(
     )
     # Filter the exploded corpus down to query terms BEFORE any
     # aggregation — broadcast keeps the corpus side shuffle-free here.
-    toks = F.filter(tokens_col(text_col), lambda t: t != F.lit(""))
-    exploded = docs.select(
-        F.col(id_col).alias("doc"),
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("token"),
+    # Tokenize via the materialized-array base (see postings(): an
+    # inline size/explode pair re-tokenizes once per exploded row).
+    exploded = _doc_token_arrays(docs, id_col, text_col).select(
+        "doc",
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("token"),
     )
     hits = exploded.join(
         F.broadcast(terms.select("token").distinct()), "token", "inner"

@@ -62,6 +62,9 @@ _NEW_OR_CHANGED_R5 = [
     "minhash_pairs",
     "jaccard_pairs_prefix_filter",
     "incremental_dedup_probe",
+    # tokenize-once-below-Generate fix (r5) changed these plans:
+    "bm25_search_topk",
+    "tfidf_doc_keywords",
 ]
 _OLDEST_R5 = [
     "cast_derive",
