@@ -72,6 +72,11 @@ HEADLINE = [
     "cross_doc_dup_spans",
     "kmv_user_overlap",
     "bloom_prefilter_decontaminate",
+    # round-5 additions: the r5 flagships (hybrid retrieval got the
+    # tokenize-once fix; the two entropy queries share its scan shape)
+    "hybrid_rrf_retrieval",
+    "token_entropy_quality",
+    "distinctive_terms_by_source",
 ]
 
 N_ITERS = 5
