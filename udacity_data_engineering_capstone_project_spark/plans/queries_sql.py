@@ -509,3 +509,142 @@ SQL_QUERIES = {
         "arbitrary GROUPING SETS + grouping() flags, one Expand",
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Round 5: TPC-H q2/q16/q20 on a DERIVED partsupp.
+#
+# The fixture ships no partsupp table (NOTES.md; q21 additionally needs
+# l_commitdate/l_receiptdate and stays infeasible). These three queries
+# run the REAL TPC-H query shapes over a partsupp synthesized
+# DETERMINISTICALLY from part x supplier inside the query itself — 4
+# candidate suppliers per part chosen by md5 (functions/hashing
+# cross-engine recipe), availqty/supplycost from independent digest
+# slices — so the identical CTE text evaluates bit-for-bit in Spark
+# AND in the DuckDB oracle, and the hash gate covers the full query
+# shape (min-cost correlated lookup, distinct-supplier counts,
+# correlated availability threshold). Loudly-documented adaptations:
+# the data is synthetic-but-deterministic (not TPC-H-generated), and
+# columns the fixture lacks (s_address/s_phone/s_comment, p_mfgr,
+# q16's s_comment complaints exclusion) are dropped from outputs.
+
+from ..functions.hashing import sql_hex_to_long as _hx
+
+_PS_H0 = _hx("substr(dig, 1, 8)", 8)    # supplier pick
+_PS_H1 = _hx("substr(dig, 9, 8)", 8)    # availqty
+_PS_H2 = _hx("substr(dig, 17, 8)", 8)   # supplycost cents
+
+#: shared-dialect derived-partsupp CTE block ({str_t} = STRING/VARCHAR)
+_PARTSUPP_CTES = f"""
+pdig AS (
+  SELECT p_partkey, i,
+         md5(CAST(p_partkey AS {{str_t}}) || ':' || CAST(i AS {{str_t}})) AS dig
+  FROM part
+  CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1
+              UNION ALL SELECT 2 UNION ALL SELECT 3) r
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_supp FROM supplier),
+snum AS (
+  SELECT s_suppkey,
+         CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS srn
+  FROM supplier
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST(min(availqty0) AS BIGINT) AS ps_availqty,
+         CAST(min(cost0) AS BIGINT) AS ps_supplycost_cents
+  FROM (
+    SELECT d.p_partkey AS ps_partkey,
+           s.s_suppkey AS ps_suppkey,
+           1 + ({_PS_H1} % 9999) AS availqty0,
+           1 + ({_PS_H2} % 1000000) AS cost0
+    FROM pdig d
+    CROSS JOIN ns
+    JOIN snum s ON s.srn = 1 + ({_PS_H0} % ns.n_supp)
+  ) cand
+  GROUP BY ps_partkey, ps_suppkey
+)"""
+
+_SACCT = sql_round_fixed("s_acctbal", 2)
+
+#: Q2-shaped: min-supplycost supplier per qualifying part in a region.
+_Q2 = (
+    "WITH "
+    + _PARTSUPP_CTES
+    + f""",
+mincost AS (
+  SELECT ps_partkey, min(ps_supplycost_cents) AS min_cost
+  FROM partsupp GROUP BY ps_partkey
+)
+SELECT {_SACCT} AS s_acctbal_r, s_name, n_name, p_partkey,
+       ps_supplycost_cents
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN mincost  ON mincost.ps_partkey = partsupp.ps_partkey
+            AND ps_supplycost_cents = min_cost
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size <= 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+ORDER BY s_acctbal_r DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+)
+
+#: Q16-shaped: distinct-supplier counts per (brand, type, size) band.
+_Q16 = (
+    "WITH "
+    + _PARTSUPP_CTES
+    + """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+)
+
+#: Q20-shaped: suppliers holding surplus stock of target parts —
+#: correlated scalar threshold (availqty > half the year's shipped
+#: quantity) decorrelated by Catalyst into an aggregate join.
+#: l_quantity values are integer-valued doubles, so sum() is exact in
+#: any order and 0.5 * sum is an exact binary rational — deterministic
+#: across engines without rounding.
+_Q20 = (
+    "WITH "
+    + _PARTSUPP_CTES
+    + """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp ps
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND ps_availqty > (
+      SELECT 0.5 * sum(l_quantity) FROM lineitem
+      WHERE l_partkey = ps.ps_partkey AND l_suppkey = ps.ps_suppkey
+        AND l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate <  DATE '1998-01-01'))
+ORDER BY s_name, n_name
+"""
+)
+
+SQL_QUERIES["tpch_q2_mincost"] = (
+    _sql_query(_Q2.format(str_t="STRING")),
+    _Q2.format(str_t="VARCHAR"),
+    "Q2 on derived partsupp: per-part min-supplycost supplier in a region",
+)
+SQL_QUERIES["tpch_q16_supplier_counts"] = (
+    _sql_query(_Q16.format(str_t="STRING")),
+    _Q16.format(str_t="VARCHAR"),
+    "Q16 on derived partsupp: distinct suppliers per (brand, type, size)",
+)
+SQL_QUERIES["tpch_q20_surplus"] = (
+    _sql_query(_Q20.format(str_t="STRING")),
+    _Q20.format(str_t="VARCHAR"),
+    "Q20 on derived partsupp: correlated availability threshold",
+)

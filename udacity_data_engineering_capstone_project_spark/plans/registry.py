@@ -55,6 +55,9 @@ _NEW_OR_CHANGED_R5 = [
     "token_entropy_quality",
     "per_source_entropy_buckets",
     "distinctive_terms_by_source",
+    "tpch_q2_mincost",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_surplus",
     # promoted from rows-only to full chained-CTE replay oracles (r5):
     "kmeans_assign",
     "ivf_trained_recall",
@@ -105,12 +108,11 @@ _OLDEST_R5 = [
     "embedding_near_dup",
     "event_transitions",
     "ewma_user_value",
-    "funnel_counts",
-    "fuzzy_name_pairs",
-    "gap_fill_daily",
-    # (group_quantiles / iqr_outlier_orders / jaccard_pairs_capped /
+    # (funnel_counts / fuzzy_name_pairs / gap_fill_daily /
+    # group_quantiles / iqr_outlier_orders / jaccard_pairs_capped /
     # jaccard_pairs_exact slipped out of the 50-row window as new r5
-    # queries took its head)
+    # queries took its head; all stay verified by the full per-round
+    # oracle gate)
 ]
 
 #: ---- Round-4 ordering (superseded; kept for provenance) ----
