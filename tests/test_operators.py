@@ -1586,3 +1586,40 @@ def test_distinctive_terms_monroe_semantics(spark, sf_dir):
         assert sorted(x.rank for x in rs) == [1, 2, 3, 4, 5], src
         top = min(rs, key=lambda x: x.rank)
         assert top.z_x1e6 > 0, src
+
+
+def test_derived_partsupp_deterministic_and_bounded(spark, sf_dir):
+    """The md5-synthesized partsupp behind tpch_q2/q16/q20 must be a
+    FUNCTION of the fixture: two runs byte-identical, (part, supp)
+    pairs unique, at most 4 suppliers per part, every ps_suppkey a
+    real supplier key."""
+    from udacity_data_engineering_capstone_project_spark.plans.registry import query_fns
+
+    fn = query_fns()["tpch_q16_supplier_counts"]
+    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+    # inspect the CTE directly through the q2 plan's source views
+    from udacity_data_engineering_capstone_project_spark.plans.queries_sql import (
+        _PARTSUPP_CTES,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    ps = spark.sql(
+        "WITH " + _PARTSUPP_CTES.format(str_t="STRING") + " SELECT * FROM partsupp"
+    )
+    n = ps.count()
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == n
+    from pyspark.sql import functions as F
+
+    per_part = ps.groupBy("ps_partkey").count().agg(F.max("count")).first()[0]
+    assert per_part <= 4
+    orphan = (
+        ps.join(
+            spark.table("supplier"),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        ).count()
+    )
+    assert orphan == 0
