@@ -133,3 +133,38 @@ def test_rrf_single_leg_passthrough_order(spark):
     )
     got = [r.doc_id for r in rrf_fuse([leg]).orderBy("rank").collect()]
     assert got == [10, 11, 12]
+
+
+def test_trigram_match_equals_naive_like(spark):
+    """Trigram pruning must be lossless: verified matches == the naive
+    contains() scan, including a pattern with no matches and one
+    shorter than... exactly 3 chars (single trigram)."""
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import trigram_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick BROWN dogs!"),
+            (3, "slow red fox"),
+            (4, "qu ick brown"),  # has trigrams of 'quick'? no — split by space
+        ],
+        "doc_id long, text string",
+    )
+    pats = spark.createDataFrame(
+        [(1, "quick brown"), (2, "red fox"), (3, "zebra"), (4, "own")],
+        "pattern_id int, pattern string",
+    )
+    got = {(r.pattern_id, r.doc_id) for r in trigram_match(docs, pats).collect()}
+    import re
+
+    def norm(t):
+        return re.sub("[^a-z0-9]+", " ", t.lower()).strip()
+
+    want = {
+        (pid, did)
+        for pid, pat in [(1, "quick brown"), (2, "red fox"), (3, "zebra"), (4, "own")]
+        for did, txt in [(1, "the quick brown fox"), (2, "quick BROWN dogs!"),
+                         (3, "slow red fox"), (4, "qu ick brown")]
+        if norm(pat) in norm(txt)
+    }
+    assert got == want

@@ -269,3 +269,70 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "rrf_x1e6")
     )
+
+
+def trigram_match(
+    docs: DataFrame,
+    patterns: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring search through a character-trigram inverted index —
+    the pg_trgm / code-search plan shape: a LIKE '%pattern%' scan over
+    a 100 TB corpus is a full read, but a doc can only contain the
+    pattern if it contains EVERY one of the pattern's character
+    trigrams, so the index prunes candidates to a bucket-join and the
+    expensive exact containment check (``instr``) runs on the sliver.
+
+    ``patterns``: (pattern_id, pattern), each pattern >= 3 chars after
+    the same lowercase normalization applied to documents.
+
+    Dataflow: one explode to distinct (doc, trigram) postings (built
+    once, amortized across queries at scale), broadcast of the
+    pattern-trigram list, candidate = docs matching ALL trigrams of a
+    pattern (count == n_tris — a semi-join AND), then exact instr
+    verification against the candidates' text only. Output:
+    (pattern_id, doc_id) verified matches — identical to the LIKE
+    scan's answer (trigram pruning is lossless for literal patterns).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    base = docs.select(F.col(id_col).alias("doc"), norm.alias("norm"))
+    tris = base.select(
+        "doc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(norm) - 2, 0)),"
+                " i -> substr(norm, i, 3))"
+            )
+        ).alias("tri"),
+    ).distinct()
+
+    pnorm = F.trim(
+        F.regexp_replace(F.lower(F.col("pattern")), "[^a-z0-9]+", " ")
+    )
+    p = patterns.select(F.col("pattern_id"), pnorm.alias("pat"))
+    ptris = p.select(
+        "pattern_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(pat) - 2, 0)),"
+                " i -> substr(pat, i, 3))"
+            )
+        ).alias("tri"),
+    ).distinct()
+    n_tris = ptris.groupBy("pattern_id").agg(F.count("*").alias("n_tris"))
+
+    candidates = (
+        tris.join(F.broadcast(ptris), "tri")
+        .groupBy("pattern_id", "doc")
+        .agg(F.count("*").alias("n_hit"))
+        .join(F.broadcast(n_tris), "pattern_id")
+        .filter(F.col("n_hit") == F.col("n_tris"))
+        .select("pattern_id", "doc")
+    )
+    return (
+        candidates.join(base, "doc")
+        .join(F.broadcast(p), "pattern_id")
+        .filter(F.instr(F.col("norm"), F.col("pat")) > 0)
+        .select("pattern_id", F.col("doc").alias(id_col))
+    )

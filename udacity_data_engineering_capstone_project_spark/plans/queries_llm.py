@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import spark_hex_to_long, sql_hex_to_long, sql_md5_long
 from ..functions.rounding import round_fixed, sql_round_fixed
-from ..functions.textnorm import sql_tokens, tokens_col
+from ..functions.textnorm import sql_norm_text, sql_tokens, tokens_col
 from ..operators.dedup import (
     connected_components,
     exact_dedup,
@@ -5303,4 +5303,44 @@ LLM_QUERIES["distinctive_terms_by_source"] = (
     ORACLE_DISTINCTIVE_TERMS,
     "analytics: Monroe log-odds (informative Dirichlet prior) "
     "distinctive tokens per source, x1e6 fixed-point z ranking",
+)
+
+
+TRIGRAM_PROBE_PATTERNS = [
+    (1, "fast table"),
+    (2, "merge batch"),
+    (3, "window table"),
+]
+
+
+def trigram_search_like(spark, sf_dir):
+    """Substring (LIKE '%pat%') search served through a char-trigram
+    inverted index (operators/retrieval.trigram_match — the pg_trgm /
+    code-search plan): candidates are docs containing ALL pattern
+    trigrams (index bucket-join + count), exact instr() verification
+    runs only on that sliver. A hash match against the naive full-scan
+    LIKE oracle proves the pruning LOSSLESS."""
+    from ..operators.retrieval import trigram_match
+
+    docs = _t(spark, sf_dir, "documents")
+    pats = spark.createDataFrame(
+        TRIGRAM_PROBE_PATTERNS, "pattern_id int, pattern string"
+    )
+    return trigram_match(docs, pats)
+
+
+_NORM_DOC_DUCK = sql_norm_text("text", "duckdb")
+
+ORACLE_TRIGRAM_SEARCH = f"""
+WITH pats(pattern_id, pattern) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in TRIGRAM_PROBE_PATTERNS)})
+SELECT p.pattern_id, d.doc_id
+FROM documents d, pats p
+WHERE contains({_NORM_DOC_DUCK}, p.pattern)
+"""
+
+LLM_QUERIES["trigram_search_like"] = (
+    trigram_search_like,
+    ORACLE_TRIGRAM_SEARCH,
+    "retrieval: trigram-index substring search, lossless vs the "
+    "full-scan LIKE oracle",
 )
