@@ -1623,3 +1623,21 @@ def test_derived_partsupp_deterministic_and_bounded(spark, sf_dir):
         ).count()
     )
     assert orphan == 0
+
+
+def test_cluster_topic_terms_shape_and_grouping(spark, sf_dir):
+    """Cluster labeling invariants: ranks 1..5 per emitted cluster,
+    clusters are a subset of 0..7, top token per cluster has z > 0."""
+    from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+        cluster_topic_terms,
+    )
+
+    rows = cluster_topic_terms(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        assert 0 <= r.cluster <= 7
+        per.setdefault(r.cluster, []).append(r)
+    assert per, "no clusters emitted"
+    for cl, rs in per.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1)), cl
+        assert min(rs, key=lambda x: x.rank).z_x1e6 > 0, cl

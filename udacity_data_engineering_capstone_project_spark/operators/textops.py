@@ -1044,3 +1044,70 @@ def token_entropy(
             .alias("is_low_entropy"),
         )
     )
+
+
+def log_odds_distinctive(
+    tokens: DataFrame,
+    group_col: str = "grp",
+    k: int = 5,
+    a: float = 0.5,
+) -> DataFrame:
+    """Top-``k`` distinctive tokens per group by log-odds z-score with
+    an informative Dirichlet prior (Monroe/Colaresi/Quinn, Political
+    Analysis 2008) — each group vs the REST of the corpus. Shared core
+    of ``distinctive_terms_by_source`` (groups = sources) and
+    ``cluster_topic_terms`` (groups = k-means clusters).
+
+    Input: one (group, token) row per token OCCURRENCE. Scale shape:
+    one (group, token) count aggregation; per-group totals and the two
+    corpus scalars attach via broadcast/1-row joins; per-token corpus
+    counts via one token-keyed join of two aggregates of the same
+    counts. Ranking key is the x1e6-rounded z (the BM25 ln recipe)
+    with token tie-break — engine ulps can't reorder the top-k.
+
+    Output: (group_col, rank, token, z_x1e6)."""
+    sc = tokens.groupBy(group_col, "token").agg(F.count("*").alias("y_s"))
+    tot_s = sc.groupBy(group_col).agg(F.sum("y_s").alias("n_s"))
+    tot_w = sc.groupBy("token").agg(F.sum("y_s").alias("y_all"))
+    scalars = sc.select(
+        F.sum("y_s").alias("n_all"), F.countDistinct("token").alias("v")
+    )
+    z = (
+        sc.join(F.broadcast(tot_s), group_col)
+        .join(tot_w, "token")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("y_r", F.col("y_all") - F.col("y_s"))
+        .withColumn("n_r", F.col("n_all") - F.col("n_s"))
+        .withColumn("prior", F.lit(a) * F.col("v"))
+        .withColumn(
+            "delta",
+            F.log(
+                (F.col("y_s") + F.lit(a))
+                / (F.col("n_s") + F.col("prior") - F.col("y_s") - F.lit(a))
+            )
+            - F.log(
+                (F.col("y_r") + F.lit(a))
+                / (F.col("n_r") + F.col("prior") - F.col("y_r") - F.lit(a))
+            ),
+        )
+        .withColumn(
+            "z_x1e6",
+            F.floor(
+                F.col("delta")
+                / F.sqrt(
+                    F.lit(1.0) / (F.col("y_s") + F.lit(a))
+                    + F.lit(1.0) / (F.col("y_r") + F.lit(a))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("z_x1e6").desc(), F.col("token").asc()
+    )
+    return (
+        z.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", "token", "z_x1e6")
+    )

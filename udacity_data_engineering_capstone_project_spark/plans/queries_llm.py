@@ -1178,9 +1178,11 @@ def _lloyd_ctes(k: int, iters: int, dim: int = 64) -> list[str]:
     return ctes
 
 
-def _kmeans_assign_oracle(k: int = 8, iters: int = 5, dim: int = 64) -> str:
-    """Full DuckDB replay of kmeans_assign: smallest-k-ids init (list
-    position = cluster id), then :func:`_lloyd_ctes`."""
+def _kmeans_asg_ctes(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """CTE chain (comma-joined, no WITH) whose last relation is
+    ``asg{iters}``: smallest-k-ids init (list position = cluster id),
+    then :func:`_lloyd_ctes` — shared by the kmeans_assign oracle and
+    the cluster-grouped Monroe oracle."""
     ctes = [
         "c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""cent0 AS (
@@ -1189,9 +1191,14 @@ def _kmeans_assign_oracle(k: int = 8, iters: int = 5, dim: int = 64) -> str:
   ) WHERE rn <= {k})""",
         *_lloyd_ctes(k, iters, dim),
     ]
+    return ",\n".join(ctes)
+
+
+def _kmeans_assign_oracle(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Full DuckDB replay of kmeans_assign (see :func:`_kmeans_asg_ctes`)."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + _kmeans_asg_ctes(k, iters, dim)
         + f"\nSELECT vec_id, CAST(cl AS INT) AS cluster FROM asg{iters}"
     )
 
@@ -5207,69 +5214,28 @@ def distinctive_terms_by_source(spark, sf_dir):
     Ranking key is the x1e6-rounded z (BM25 ln recipe) with token
     tie-break, so engine ulps can't reorder the top-5.
 
-    Output: (source, rank, token, z_x1e6)."""
-    a = 0.5
+    Output: (source, rank, token, z_x1e6). Core shared with
+    cluster_topic_terms via operators/textops.log_odds_distinctive."""
+    from ..operators.textops import log_odds_distinctive
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(tokens_col("text"), lambda t: t != F.lit(""))
     exploded = docs.select("source", F.explode(toks).alias("token"))
-    sc = exploded.groupBy("source", "token").agg(F.count("*").alias("y_s"))
-    tot_s = sc.groupBy("source").agg(F.sum("y_s").alias("n_s"))
-    tot_w = sc.groupBy("token").agg(F.sum("y_s").alias("y_all"))
-    scalars = sc.select(
-        F.sum("y_s").alias("n_all"), F.countDistinct("token").alias("v")
-    )
-    z = (
-        sc.join(F.broadcast(tot_s), "source")
-        .join(tot_w, "token")
-        .crossJoin(F.broadcast(scalars))
-        .withColumn("y_r", F.col("y_all") - F.col("y_s"))
-        .withColumn("n_r", F.col("n_all") - F.col("n_s"))
-        .withColumn("prior", F.lit(a) * F.col("v"))
-        .withColumn(
-            "delta",
-            F.log(
-                (F.col("y_s") + F.lit(a))
-                / (F.col("n_s") + F.col("prior") - F.col("y_s") - F.lit(a))
-            )
-            - F.log(
-                (F.col("y_r") + F.lit(a))
-                / (F.col("n_r") + F.col("prior") - F.col("y_r") - F.lit(a))
-            ),
-        )
-        .withColumn(
-            "z_x1e6",
-            F.floor(
-                F.col("delta")
-                / F.sqrt(
-                    F.lit(1.0) / (F.col("y_s") + F.lit(a))
-                    + F.lit(1.0) / (F.col("y_r") + F.lit(a))
-                )
-                * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("bigint"),
-        )
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.col("z_x1e6").desc(), F.col("token").asc()
-    )
-    return (
-        z.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("source", "rank", "token", "z_x1e6")
-    )
+    return log_odds_distinctive(exploded, group_col="source", k=5)
 
 
-ORACLE_DISTINCTIVE_TERMS = f"""
-WITH exploded AS (
-  SELECT source, token FROM (
-    SELECT source, unnest({_TOKS_DUCK}) AS token FROM documents
-  ) WHERE token <> ''
-),
+def _monroe_sql(gtok_ctes: str, group_out: str, k: int = 5) -> str:
+    """Log-odds z top-k SQL over a CTE chain that must end by defining
+    ``gtok`` with columns (grp, token), one row per occurrence —
+    shared by the source-grouped and cluster-grouped oracles (the
+    exact DuckDB twin of operators/textops.log_odds_distinctive)."""
+    return f"""
+WITH {gtok_ctes},
 sc AS (
-  SELECT source, token, CAST(count(*) AS BIGINT) AS y_s
-  FROM exploded GROUP BY source, token
+  SELECT grp, token, CAST(count(*) AS BIGINT) AS y_s
+  FROM gtok GROUP BY grp, token
 ),
-tot_s AS (SELECT source, CAST(sum(y_s) AS BIGINT) AS n_s FROM sc GROUP BY source),
+tot_s AS (SELECT grp, CAST(sum(y_s) AS BIGINT) AS n_s FROM sc GROUP BY grp),
 tot_w AS (SELECT token, CAST(sum(y_s) AS BIGINT) AS y_all FROM sc GROUP BY token),
 scalars AS (
   SELECT CAST(sum(y_s) AS BIGINT) AS n_all,
@@ -5277,7 +5243,7 @@ scalars AS (
   FROM sc
 ),
 z AS (
-  SELECT sc.source, sc.token,
+  SELECT sc.grp, sc.token,
          CAST(floor(
            (ln((sc.y_s + CAST(0.5 AS DOUBLE))
                / (t.n_s + CAST(0.5 AS DOUBLE) * s.v - sc.y_s - CAST(0.5 AS DOUBLE)))
@@ -5287,16 +5253,26 @@ z AS (
            / sqrt(CAST(1.0 AS DOUBLE) / (sc.y_s + CAST(0.5 AS DOUBLE))
                   + CAST(1.0 AS DOUBLE) / (w.y_all - sc.y_s + CAST(0.5 AS DOUBLE)))
            * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z_x1e6
-  FROM sc JOIN tot_s t USING (source)
+  FROM sc JOIN tot_s t USING (grp)
           JOIN tot_w w USING (token)
           CROSS JOIN scalars s
 )
-SELECT source, CAST(rank AS INT) AS rank, token, z_x1e6 FROM (
-  SELECT *, row_number() OVER (PARTITION BY source
+SELECT grp AS {group_out}, CAST(rank AS INT) AS rank, token, z_x1e6 FROM (
+  SELECT *, row_number() OVER (PARTITION BY grp
             ORDER BY z_x1e6 DESC, token) AS rank
   FROM z
-) WHERE rank <= 5
+) WHERE rank <= {k}
 """
+
+
+ORACLE_DISTINCTIVE_TERMS = _monroe_sql(
+    f"""gtok AS (
+  SELECT grp, token FROM (
+    SELECT source AS grp, unnest({_TOKS_DUCK}) AS token FROM documents
+  ) WHERE token <> ''
+)""",
+    "source",
+)
 
 LLM_QUERIES["distinctive_terms_by_source"] = (
     distinctive_terms_by_source,
@@ -5343,4 +5319,48 @@ LLM_QUERIES["trigram_search_like"] = (
     ORACLE_TRIGRAM_SEARCH,
     "retrieval: trigram-index substring search, lossless vs the "
     "full-scan LIKE oracle",
+)
+
+
+def cluster_topic_terms(spark, sf_dir):
+    """What is each embedding CLUSTER about? — the corpus-cartography
+    pass (cluster-then-label, the SemDeDup/ k-means map-of-the-corpus
+    companion): spherical k-means assignments (same deterministic
+    trainer as kmeans_assign) joined to the documents' tokens, then
+    Monroe log-odds distinctive terms per CLUSTER
+    (operators/textops.log_odds_distinctive — shared with the
+    source-grouped twin). Oracle replays the full Lloyd loop as
+    chained CTEs and the z ranking relationally; output is all-integer
+    ranks + x1e6 z, token tie-broken."""
+    from ..operators.similarity import kmeans_cosine
+    from ..operators.textops import log_odds_distinctive
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    assigned = kmeans_cosine(emb, "vec_id", "embedding", k=8, iters=5)
+    toks = F.filter(tokens_col("text"), lambda t: t != F.lit(""))
+    gtok = (
+        docs.join(assigned, docs.doc_id == assigned.vec_id)
+        .select(F.col("cluster"), F.explode(toks).alias("token"))
+    )
+    return log_odds_distinctive(gtok, group_col="cluster", k=5)
+
+
+ORACLE_CLUSTER_TOPICS = _monroe_sql(
+    _kmeans_asg_ctes()
+    + f""",
+gtok AS (
+  SELECT grp, token FROM (
+    SELECT CAST(a.cl AS INT) AS grp, unnest({_TOKS_DUCK}) AS token
+    FROM documents d JOIN asg5 a ON d.doc_id = a.vec_id
+  ) WHERE token <> ''
+)""",
+    "cluster",
+)
+
+LLM_QUERIES["cluster_topic_terms"] = (
+    cluster_topic_terms,
+    ORACLE_CLUSTER_TOPICS,
+    "analytics: k-means cluster labeling via Monroe log-odds "
+    "distinctive tokens (full training-loop replay oracle)",
 )
