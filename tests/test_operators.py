@@ -1641,3 +1641,32 @@ def test_cluster_topic_terms_shape_and_grouping(spark, sf_dir):
     for cl, rs in per.items():
         assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1)), cl
         assert min(rs, key=lambda x: x.rank).z_x1e6 > 0, cl
+
+
+def test_int8_quantize_stats_known_vector(spark):
+    """Exact quantization math on planted vectors: scale = max|v|/127;
+    a vector holding exact multiples of its scale reconstructs with
+    zero error; a worst-case half-step dim shows max_err ~= scale/2."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        int8_quantize_stats,
+    )
+
+    rows = {
+        r.vec_id: r
+        for r in int8_quantize_stats(
+            spark.createDataFrame(
+                [
+                    (1, [127.0, -63.5, 0.0, 63.5]),   # multiples of scale=1? max=127 -> scale=1.0; -63.5 rounds to -63 -> err .5
+                    (2, [12.7, 6.35, -12.7, 0.0]),    # scale=0.1
+                ],
+                "vec_id long, embedding array<double>",
+            )
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1.scale_x1e9 == 1_000_000_000  # scale exactly 1.0
+    # -63.5 -> floor(-63.5+0.5)=-63 -> err = -0.5 exactly
+    assert r1.max_err_x1e9 == 500_000_000
+    r2 = rows[2]
+    assert r2.scale_x1e9 == 100_000_000  # 12.7/127 = 0.1
+    assert r2.max_err_x1e9 <= 50_000_000  # bounded by scale/2

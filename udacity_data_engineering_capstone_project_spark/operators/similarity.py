@@ -898,3 +898,52 @@ def ivf_topk_from_index(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def int8_quantize_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the storage
+    codec that shrinks an embedding store 4x (float32) / 8x (float64)
+    before ANN serving: ``scale = max|v| / 127``, ``code_i =
+    floor(v_i/scale + 0.5)`` in [-127, 127], and the numbers a
+    deployment decides with: the reconstruction MSE and max abs error
+    per vector.
+
+    All JVM higher-order functions (no Python), and every compared
+    output is fixed-point BIGINT with the per-term-round-then-
+    integer-sum recipe, so dim-order and engine ulps can't move
+    hashes. Map-only — no shuffle, no state; at 100 TB this is a
+    pure scan (the Arrow-kernel variant is the same closure shape as
+    cosine_arrow_udf if the HOF interpreter ever shows up in a
+    profile).
+
+    Output: (vec_id, scale_x1e9, max_err_x1e9, mse_x1e12)."""
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("vid"), "cv"
+    )
+    mx = F.array_max(F.expr("transform(cv, x -> abs(x))"))
+    scale = F.greatest(mx, F.lit(1e-30)) / F.lit(127.0)
+    q = c.withColumn("scale", scale)
+    # per-dim: code = floor(x/scale + 0.5); err = x - code*scale
+    err = (
+        "transform(cv, x -> x - floor(x / scale + 0.5D) * scale)"
+    )
+    return q.select(
+        F.col("vid").alias(id_col),
+        F.floor(F.col("scale") * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("scale_x1e9"),
+        F.array_max(
+            F.expr(
+                f"transform({err}, e -> CAST(floor(abs(e) * 1e9 + 0.5D) AS BIGINT))"
+            )
+        ).alias("max_err_x1e9"),
+        F.expr(
+            f"aggregate(transform({err}, "
+            "e -> CAST(floor(e * e * 1e12 + 0.5D) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        ).alias("mse_sum_x1e12"),
+    )

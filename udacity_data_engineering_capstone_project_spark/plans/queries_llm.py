@@ -5364,3 +5364,119 @@ LLM_QUERIES["cluster_topic_terms"] = (
     "analytics: k-means cluster labeling via Monroe log-odds "
     "distinctive tokens (full training-loop replay oracle)",
 )
+
+
+def source_dup_overlap_matrix(spark, sf_dir):
+    """Cross-source duplication overlap matrix — the corpus diagnostic
+    behind mixture double-counting ("how much of source A also shows
+    up in B?"): per unordered source pair, how many distinct
+    min-shingle fingerprints (1-hash MinHash, the cheap likely-dup
+    key from operators/textops.fingerprint; the fixture has zero
+    EXACT cross-source dups, so the full-text digest variant is
+    degenerate) appear in BOTH, plus each side's distinct-fingerprint
+    count so the reader gets containment ratios. Scale shape: the
+    per-doc fingerprint aggregation (map-side combining), one
+    (source, fp) distinct, then a fingerprint-keyed self-join
+    restricted to src_a < src_b — the join carries only distinct
+    fingerprints, never documents, and the output is
+    |sources|^2-bounded."""
+    from ..operators.textops import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(docs, "doc_id", "text", n=3).select(
+        "doc_id", "min_shingle_fp"
+    )
+    sd = (
+        docs.select("doc_id", "source")
+        .join(fp, "doc_id")
+        .select("source", F.col("min_shingle_fp").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    counts = sd.groupBy("source").agg(F.count("*").alias("n_fp"))
+    a = sd.alias("a")
+    b = sd.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(F.broadcast(counts.withColumnRenamed("source", "src_a")
+                   .withColumnRenamed("n_fp", "n_a")), "src_a")
+        .join(F.broadcast(counts.withColumnRenamed("source", "src_b")
+              .withColumnRenamed("n_fp", "n_b")), "src_b")
+        .select("src_a", "src_b", "n_shared", "n_a", "n_b")
+    )
+
+
+ORACLE_SOURCE_DUP_OVERLAP = f"""
+WITH {_SHINGLES_CTE},
+docfp AS (SELECT doc, min(md5(shingle)) AS fp FROM sh GROUP BY doc),
+sd AS (
+  SELECT DISTINCT d.source, f.fp
+  FROM documents d JOIN docfp f ON f.doc = d.doc_id
+  WHERE f.fp IS NOT NULL
+),
+counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fp FROM sd GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sd a JOIN sd b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b, p.n_shared,
+       ca.n_fp AS n_a, cb.n_fp AS n_b
+FROM pairs p
+JOIN counts ca ON ca.source = p.src_a
+JOIN counts cb ON cb.source = p.src_b
+"""
+
+LLM_QUERIES["source_dup_overlap_matrix"] = (
+    source_dup_overlap_matrix,
+    ORACLE_SOURCE_DUP_OVERLAP,
+    "dedup analytics: cross-source likely-dup overlap matrix "
+    "(min-shingle fingerprint keyed, doc-free join)",
+)
+
+
+def int8_quant_error(spark, sf_dir):
+    """Per-vector int8 quantization audit (see
+    operators/similarity.int8_quantize_stats): scale + reconstruction
+    max-error and squared-error sum, all fixed-point — the go/no-go
+    numbers for serving a 4-8x-compressed embedding store."""
+    from ..operators.similarity import int8_quantize_stats
+
+    return int8_quantize_stats(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_INT8_QUANT = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT vec_id, cv,
+         greatest(list_max(list_transform(cv, x -> abs(x))), CAST(1e-30 AS DOUBLE))
+           / CAST(127.0 AS DOUBLE) AS scale
+  FROM c
+),
+e AS (
+  SELECT vec_id, scale,
+         list_transform(cv, x -> x - floor(x / scale + CAST(0.5 AS DOUBLE)) * scale) AS err
+  FROM s
+)
+SELECT vec_id,
+       CAST(floor(scale * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS scale_x1e9,
+       CAST(list_max(list_transform(err,
+            e2 -> CAST(floor(abs(e2) * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS BIGINT)
+         AS max_err_x1e9,
+       CAST(list_sum(list_transform(err,
+            e2 -> CAST(floor(e2 * e2 * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS BIGINT)
+         AS mse_sum_x1e12
+FROM e
+"""
+
+LLM_QUERIES["int8_quant_error"] = (
+    int8_quant_error,
+    ORACLE_INT8_QUANT,
+    "similarity: symmetric int8 embedding quantization audit "
+    "(scale + reconstruction error, fixed-point)",
+)
