@@ -363,3 +363,26 @@ def test_csv_dropmalformed_mode(spark, tmp_path):
         .csv(str(p))
     )
     assert {(r.id, r.v) for r in strict.collect()} == {(1, "a"), (2, "c")}
+
+
+def test_hashrange_pyds_partitions_and_values(spark):
+    """Custom Python DataSource contract: all n rows arrive across the
+    requested partitions, i is a complete range, and h matches the
+    local md5 recipe for spot rows."""
+    from udacity_data_engineering_capstone_project_spark.sources.pyds import (
+        _hash14,
+        register_hashrange,
+    )
+
+    register_hashrange(spark)
+    df = (
+        spark.read.format("hashrange")
+        .option("n", 257)
+        .option("parts", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.i: r.h for r in df.collect()}
+    assert sorted(rows) == list(range(257))
+    for i in (0, 1, 100, 256):
+        assert rows[i] == _hash14(i)

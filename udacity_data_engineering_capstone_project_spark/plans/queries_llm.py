@@ -5480,3 +5480,102 @@ LLM_QUERIES["int8_quant_error"] = (
     "similarity: symmetric int8 embedding quantization audit "
     "(scale + reconstruction error, fixed-point)",
 )
+
+
+def variant_props_rollup(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured props (the OPEN
+    binary-encoded semistructured type, successor to string-JSON
+    reprocessing): ``parse_json`` ONCE into a variant column, typed
+    ``variant_get`` extractions (int k, odd/even bucket), rollup per
+    (event_type, parity). Contrast with json_extract_agg
+    (get_json_object = per-path string re-parse): the variant parse
+    happens once per row and every later extraction is a binary
+    field lookup — the right shape when many fields are pulled from
+    the same payload at 100 TB. All-integer output."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+    )
+    return (
+        v.filter(F.col("k").isNotNull())
+        .withColumn("k_parity", (F.col("k") % 2).cast("int"))
+        .groupBy("event_type", "k_parity")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT event_type,
+       CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS INT) AS k_parity,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type, k_parity
+"""
+
+LLM_QUERIES["variant_props_rollup"] = (
+    variant_props_rollup,
+    ORACLE_VARIANT_PROPS,
+    "semistructured: Spark 4 VARIANT parse-once / typed variant_get "
+    "rollup (vs string-JSON re-parse)",
+)
+
+
+def custom_pyds_scan(spark, sf_dir):
+    """Read through the Spark 4 Python Data Source API
+    (sources/pyds.HashRangeDataSource — a deterministic md5-hash range
+    generator standing in for a service-backed custom connector), then
+    aggregate per hash bucket. The oracle recomputes every generated
+    value relationally (same md5 recipe), so a hash match verifies the
+    full custom-source path: schema handoff, partition planning (8
+    parallel ranges), executor-side reads, value fidelity."""
+    from ..sources.pyds import register_hashrange
+
+    register_hashrange(spark)
+    df = (
+        spark.read.format("hashrange")
+        .option("n", 20000)
+        .option("parts", 8)
+        .load()
+    )
+    return (
+        df.withColumn("bucket", (F.col("h") % 10).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("h") % 9973).alias("sum_mod"),
+            F.min("i").alias("min_i"),
+            F.max("i").alias("max_i"),
+        )
+    )
+
+
+ORACLE_CUSTOM_PYDS = f"""
+WITH g AS (
+  SELECT CAST(r.range AS BIGINT) AS i,
+         {sql_hex_to_long("md5('r' || CAST(r.range AS VARCHAR))", 14)} AS h
+  FROM range(0, 20000) r
+)
+SELECT CAST(h % 10 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(h % 9973) AS BIGINT) AS sum_mod,
+       CAST(min(i) AS BIGINT) AS min_i,
+       CAST(max(i) AS BIGINT) AS max_i
+FROM g GROUP BY bucket
+"""
+
+LLM_QUERIES["custom_pyds_scan"] = (
+    custom_pyds_scan,
+    ORACLE_CUSTOM_PYDS,
+    "sources: Spark 4 Python Data Source API custom connector "
+    "(deterministic hash-range generator, value-fidelity oracle)",
+)
