@@ -5579,3 +5579,77 @@ LLM_QUERIES["custom_pyds_scan"] = (
     "sources: Spark 4 Python Data Source API custom connector "
     "(deterministic hash-range generator, value-fidelity oracle)",
 )
+
+
+def event_pattern_counts(spark, sf_dir):
+    """Sequential-pattern detection over per-user event journeys — the
+    MATCH_RECOGNIZE-flavored op (row-pattern matching, SQL:2016) that
+    Spark lacks natively, expressed relationally: encode each user's
+    ts-ordered event types as a journey STRING (one char per event,
+    deterministic total order via array_sort on (ts, event_id)), then
+    count regex occurrences of the business patterns — conversions
+    ``cv*p`` (click, any views, purchase) and error bursts ``e+`` —
+    plus the first-purchase position. Greedy non-overlapping regex
+    semantics agree between Java regex and RE2, and every output is
+    an integer. Scale shape: one per-user aggregation; journeys are
+    |user's events| chars (bounded by per-user activity, not corpus
+    size), and the regex pass is map-side over the aggregated rows."""
+    ev = _t(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    j = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "user_id",
+            F.concat_ws("", F.expr("transform(es, x -> x.ch)")).alias("j"),
+        )
+    )
+    return j.select(
+        "user_id",
+        F.length("j").cast("long").alias("n_events"),
+        F.size(F.expr("regexp_extract_all(j, 'cv*p', 0)"))
+        .cast("long")
+        .alias("n_conversions"),
+        F.size(F.expr("regexp_extract_all(j, 'e+', 0)"))
+        .cast("long")
+        .alias("n_error_bursts"),
+        F.instr(F.col("j"), "p").cast("long").alias("first_purchase_pos"),
+    )
+
+
+ORACLE_EVENT_PATTERNS = f"""
+WITH enc AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              ELSE 'e' END AS ch
+  FROM {EVENTS_US} AS events
+),
+j AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS j
+  FROM enc GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(j) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(j, 'cv*p')) AS BIGINT) AS n_conversions,
+       CAST(len(regexp_extract_all(j, 'e+')) AS BIGINT) AS n_error_bursts,
+       CAST(instr(j, 'p') AS BIGINT) AS first_purchase_pos
+FROM j
+"""
+
+LLM_QUERIES["event_pattern_counts"] = (
+    event_pattern_counts,
+    ORACLE_EVENT_PATTERNS,
+    "sequence analytics: MATCH_RECOGNIZE-flavored journey-string "
+    "pattern counting (conversions, error bursts)",
+)
