@@ -1066,7 +1066,16 @@ def log_odds_distinctive(
     with token tie-break — engine ulps can't reorder the top-k.
 
     Output: (group_col, rank, token, z_x1e6)."""
-    sc = tokens.groupBy(group_col, "token").agg(F.count("*").alias("y_s"))
+    from pyspark.storagelevel import StorageLevel
+
+    # the (group, token) counts feed FOUR consumers (group totals,
+    # token totals, corpus scalars, the z join) — without a persist the
+    # whole upstream (explode, or the k-means assignment UDF in the
+    # cluster-grouped caller) re-executes once per consumer (plan audit
+    # round 5: py=6 evals on cluster_topic_terms before this)
+    sc = tokens.groupBy(group_col, "token").agg(
+        F.count("*").alias("y_s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot_s = sc.groupBy(group_col).agg(F.sum("y_s").alias("n_s"))
     tot_w = sc.groupBy("token").agg(F.sum("y_s").alias("y_all"))
     scalars = sc.select(

@@ -5380,18 +5380,24 @@ def source_dup_overlap_matrix(spark, sf_dir):
     restricted to src_a < src_b — the join carries only distinct
     fingerprints, never documents, and the output is
     |sources|^2-bounded."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.textops import fingerprint
 
     docs = _t(spark, sf_dir, "documents")
     fp = fingerprint(docs, "doc_id", "text", n=3).select(
         "doc_id", "min_shingle_fp"
     )
+    # persisted: referenced by the self-join (twice) and the counts
+    # (twice) — without it the shingle fingerprint aggregation runs 4x
+    # (plan audit round 5: 13 shuffles before this)
     sd = (
         docs.select("doc_id", "source")
         .join(fp, "doc_id")
         .select("source", F.col("min_shingle_fp").alias("fp"))
         .filter(F.col("fp").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = sd.groupBy("source").agg(F.count("*").alias("n_fp"))
     a = sd.alias("a")
