@@ -1670,3 +1670,38 @@ def test_int8_quantize_stats_known_vector(spark):
     r2 = rows[2]
     assert r2.scale_x1e9 == 100_000_000  # 12.7/127 = 0.1
     assert r2.max_err_x1e9 <= 50_000_000  # bounded by scale/2
+
+
+def test_event_pattern_counts_crafted_journeys(spark, monkeypatch, tmp_path):
+    """Pattern semantics on hand-built journeys: greedy non-overlapping
+    'cv*p' conversions, 'e+' bursts, first-purchase position."""
+    import datetime as dt
+
+    rows = []
+    # user 1: c v v p c p  -> conversions: 'cvvp' + 'cp' = 2; no errors
+    for i, t in enumerate("cvvpcp"):
+        rows.append((i, dt.datetime(2024, 1, 1, 0, i), 1,
+                     {"c": "click", "v": "view", "p": "purchase"}[t], 1.0, None))
+    # user 2: e e c e  -> 2 error bursts ('ee', 'e'), 0 conversions
+    for i, t in enumerate("eece"):
+        rows.append((10 + i, dt.datetime(2024, 1, 1, 1, i), 2,
+                     {"c": "click", "e": "error"}[t], 1.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+
+    from udacity_data_engineering_capstone_project_spark.plans import queries_llm as q
+
+    # point the query's table loader at the crafted events dir
+    monkeypatch.setattr(
+        q, "_t", lambda spark, sf_dir, name: spark.read.parquet(path)
+    )
+    out = {r.user_id: r for r in q.event_pattern_counts(spark, "ignored").collect()}
+    assert out[1].n_conversions == 2
+    assert out[1].n_error_bursts == 0
+    assert out[1].first_purchase_pos == 4  # 'cvvp' -> p at position 4
+    assert out[2].n_conversions == 0
+    assert out[2].n_error_bursts == 2
+    assert out[2].first_purchase_pos == 0
