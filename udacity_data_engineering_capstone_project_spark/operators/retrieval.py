@@ -287,13 +287,30 @@ def trigram_match(
     ``patterns``: (pattern_id, pattern), each pattern >= 3 chars after
     the same lowercase normalization applied to documents.
 
-    Dataflow: one explode to distinct (doc, trigram) postings (built
-    once, amortized across queries at scale), broadcast of the
-    pattern-trigram list, candidate = docs matching ALL trigrams of a
-    pattern (count == n_tris — a semi-join AND), then exact instr
-    verification against the candidates' text only. Output:
-    (pattern_id, doc_id) verified matches — identical to the LIKE
-    scan's answer (trigram pruning is lossless for literal patterns).
+    Dataflow: explode to (doc, trigram) rows, join the BROADCAST
+    pattern-trigram list FIRST — only postings matching some pattern
+    trigram (a |pattern trigrams| / |trigram space| sliver) ever reach
+    a shuffle — then candidate = docs matching ALL trigrams of a
+    pattern (countDistinct == n_tris), then exact instr verification
+    against the candidates' text only. Output: (pattern_id, doc_id)
+    verified matches — identical to the LIKE scan's answer (trigram
+    pruning is lossless for literal patterns).
+
+    The ALL-trigrams check is a map-side BITMAP AND: each pattern
+    trigram carries a bit position (≤ 62 trigrams per pattern — a
+    literal search string, enforced), matched postings become
+    ``(pattern, doc, 1<<bit)`` and ``bit_or`` partial aggregation
+    collapses them to ONE int64 row per (pattern, doc) BEFORE the
+    shuffle; a candidate is complete iff ``bit_count(mask) ==
+    n_tris``. Two earlier versions were probed off this shape at 100x
+    (SCALE.md, round 5): a corpus-wide ``distinct()`` of the index
+    before the join (shuffles the whole index: 38 s vs 3.4 s at
+    sf0.1-equivalent work), then a post-join ``countDistinct`` (the
+    two-phase distinct rewrite still shuffles every distinct matched
+    triple — on a low-entropy corpus whose trigrams are unselective,
+    that is again nearly the whole index). A persisted-index
+    deployment would amortize the build instead; this operator is the
+    query-time path.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
     base = docs.select(F.col(id_col).alias("doc"), norm.alias("norm"))
@@ -305,29 +322,50 @@ def trigram_match(
                 " i -> substr(norm, i, 3))"
             )
         ).alias("tri"),
-    ).distinct()
+    )
 
     pnorm = F.trim(
         F.regexp_replace(F.lower(F.col("pattern")), "[^a-z0-9]+", " ")
     )
     p = patterns.select(F.col("pattern_id"), pnorm.alias("pat"))
-    ptris = p.select(
-        "pattern_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(pat) - 2, 0)),"
-                " i -> substr(pat, i, 3))"
+    ptris = (
+        p.select(
+            "pattern_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(pat) - 2, 0)),"
+                    " i -> substr(pat, i, 3))"
+                )
+            ).alias("tri"),
+        )
+        .distinct()
+        .withColumn(
+            "bit",
+            F.row_number().over(
+                Window.partitionBy("pattern_id").orderBy("tri")
             )
-        ).alias("tri"),
-    ).distinct()
+            - 1,
+        )
+    )
     n_tris = ptris.groupBy("pattern_id").agg(F.count("*").alias("n_tris"))
+    over = [r.pattern_id for r in n_tris.filter(F.col("n_tris") > 62).collect()]
+    if over:
+        raise ValueError(
+            f"patterns {over} have > 62 distinct trigrams; "
+            "the int64 bitmap AND needs <= 62 (split the pattern)"
+        )
 
     candidates = (
         tris.join(F.broadcast(ptris), "tri")
+        .select(
+            "pattern_id",
+            "doc",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("m"),
+        )
         .groupBy("pattern_id", "doc")
-        .agg(F.count("*").alias("n_hit"))
+        .agg(F.expr("bit_or(m)").alias("mask"))
         .join(F.broadcast(n_tris), "pattern_id")
-        .filter(F.col("n_hit") == F.col("n_tris"))
+        .filter(F.bit_count("mask") == F.col("n_tris"))
         .select("pattern_id", "doc")
     )
     return (
