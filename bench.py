@@ -73,10 +73,14 @@ HEADLINE = [
     "kmv_user_overlap",
     "bloom_prefilter_decontaminate",
     # round-5 additions: the r5 flagships (hybrid retrieval got the
-    # tokenize-once fix; the two entropy queries share its scan shape)
+    # tokenize-once fix; the two entropy queries share its scan shape;
+    # trigram search carries the bitmap-AND fix found at the 100x
+    # probe; cluster topics carries the full k-means training loop)
     "hybrid_rrf_retrieval",
     "token_entropy_quality",
     "distinctive_terms_by_source",
+    "trigram_search_like",
+    "cluster_topic_terms",
 ]
 
 N_ITERS = 5
