@@ -1705,3 +1705,33 @@ def test_event_pattern_counts_crafted_journeys(spark, monkeypatch, tmp_path):
     assert out[2].n_conversions == 0
     assert out[2].n_error_bursts == 2
     assert out[2].first_purchase_pos == 0
+
+
+def test_aqp_estimate_covers_exact_total(spark, sf_dir):
+    """The deterministic 1%-sample estimate must land within 3x its
+    own reported confidence half-width of the EXACT full-scan revenue
+    (the sample is a pure function of the data, so this is a fixed,
+    repeatable outcome — not a flaky statistical assertion)."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+        aqp_revenue_estimate,
+        _t,
+    )
+
+    est = {r.l_returnflag: r for r in aqp_revenue_estimate(spark, sf_dir).collect()}
+    exact = {
+        r.l_returnflag: r.total
+        for r in _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "total"
+            )
+        )
+        .collect()
+    }
+    assert est and set(est) == set(exact)
+    for flag, r in est.items():
+        err = abs(r.est_rev_x100 / 100.0 - exact[flag])
+        assert err <= 3 * (r.ci_half_x100 / 100.0) + 1.0, (flag, err, r)

@@ -5659,3 +5659,97 @@ LLM_QUERIES["event_pattern_counts"] = (
     "sequence analytics: MATCH_RECOGNIZE-flavored journey-string "
     "pattern counting (conversions, error bursts)",
 )
+
+
+def aqp_revenue_estimate(spark, sf_dir):
+    """Approximate query processing (sampling-based estimate WITH an
+    error bar — the BlinkDB/quickstats pattern): estimate total
+    lineitem revenue per returnflag from a DETERMINISTIC 1% sample
+    (md5-rank on the primary key, so the "random" sample is a pure
+    function of the data and the oracle replays it exactly), and
+    report the +-1.96-sigma confidence half-width scaled from sample
+    variance. Revenue terms are 4-decimal-exact (2-dec price x 2-dec
+    discount), so sample sums run in EXACT x1e4/x1e8 integer space —
+    the only float ops are the final sqrt and divisions, x1e2-rounded
+    identically in both engines. One pushed-filter scan of 1% of the
+    fact table; the estimate column can be compared against the exact
+    full-scan answer by the reader (tpch_q1's sum_disc_price)."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = F.expr(
+        spark_hex_to_long(
+            "md5(CAST(l_orderkey AS STRING) || ':' || "
+            "CAST(l_linenumber AS STRING))",
+            8,
+        )
+    )
+    s = li.filter(h % 100 == 0).select(
+        "l_returnflag",
+        # revenue in exact x1e4 fixed point: price has 2 decimals,
+        # (1 - discount) has 2 decimals
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("rev_x1e4"),
+    )
+    # variance runs at WHOLE-DOLLAR granularity (integer DIV) so the
+    # sum of squares stays exact int64 up to ~1e9 sample rows — the
+    # x1e4 squares overflowed at a few hundred rows (ANSI caught it);
+    # the ESTIMATE keeps full x1e4 precision. Coarsening the error
+    # bar's input by <1 dollar/row is immaterial to a 1.96-sigma CI.
+    s = s.withColumn("rev_d", F.expr("rev_x1e4 DIV 10000"))
+    g = s.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_sample"),
+        F.sum("rev_x1e4").alias("sum_x1e4"),
+        F.sum("rev_d").alias("sum_d"),
+        F.sum(F.col("rev_d") * F.col("rev_d")).alias("sumsq_d"),
+    )
+    # estimate = 100 * sample_sum; var from dollar-granular moments
+    est = (F.col("sum_x1e4") * 100 / F.lit(1e4))
+    half = (
+        F.lit(1.96)
+        * F.sqrt(
+            F.col("sumsq_d")
+            - F.col("sum_d") * F.col("sum_d") / F.col("n_sample")
+        )
+        * F.lit(100.0)
+    )
+    return g.select(
+        "l_returnflag",
+        "n_sample",
+        F.floor(est * 100 + F.lit(0.5)).cast("bigint").alias("est_rev_x100"),
+        F.floor(half * 100 + F.lit(0.5)).cast("bigint").alias("ci_half_x100"),
+    )
+
+
+ORACLE_AQP_REVENUE = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev_x1e4
+  FROM lineitem
+  WHERE {sql_hex_to_long("md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))", 8)} % 100 = 0
+),
+g AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_sample,
+         CAST(sum(rev_x1e4) AS BIGINT) AS sum_x1e4,
+         CAST(sum(rev_x1e4 // 10000) AS BIGINT) AS sum_d,
+         CAST(sum((rev_x1e4 // 10000) * (rev_x1e4 // 10000)) AS BIGINT) AS sumsq_d
+  FROM s GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_sample,
+       CAST(floor((sum_x1e4 * 100 / 1e4) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS est_rev_x100,
+       CAST(floor(CAST(1.96 AS DOUBLE)
+            * sqrt(sumsq_d - CAST(sum_d AS DOUBLE) * sum_d / n_sample)
+            * CAST(100.0 AS DOUBLE) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS ci_half_x100
+FROM g
+"""
+
+LLM_QUERIES["aqp_revenue_estimate"] = (
+    aqp_revenue_estimate,
+    ORACLE_AQP_REVENUE,
+    "AQP: deterministic 1%-sample revenue estimate with 1.96-sigma "
+    "half-width, exact-integer sample sums",
+)
