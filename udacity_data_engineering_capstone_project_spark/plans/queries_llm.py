@@ -5753,3 +5753,66 @@ LLM_QUERIES["aqp_revenue_estimate"] = (
     "AQP: deterministic 1%-sample revenue estimate with 1.96-sigma "
     "half-width, exact-integer sample sums",
 )
+
+
+def join_key_skew_audit(spark, sf_dir):
+    """Join-key skew diagnostics — the measurement that decides
+    between a plain shuffle join, AQE skew splitting, and the salted
+    join (salted_join_priority_revenue): per-key row counts on the
+    fact side's join key, the global key count / max / x1e6 share of
+    the heaviest keys, and the max/avg skew ratio. Top-10 keys by
+    (count desc, key) so the output is tiny and deterministic at any
+    scale; the heavy lifting is ONE map-side-combining count
+    aggregation of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    tot = per_key.select(
+        F.sum("n").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("o_custkey"))
+    return (
+        per_key.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "o_custkey",
+            "n",
+            F.expr("n * 1000000 DIV total_rows").alias("share_x1e6"),
+            F.expr("max_n * n_keys * 100 DIV total_rows").alias(
+                "skew_ratio_x100"
+            ),
+            "n_keys",
+        )
+    )
+
+
+ORACLE_JOIN_KEY_SKEW = """
+WITH per_key AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_n
+  FROM per_key
+)
+SELECT CAST(rank AS INT) AS rank, o_custkey, n,
+       CAST(n * 1000000 // total_rows AS BIGINT) AS share_x1e6,
+       CAST(max_n * n_keys * 100 // total_rows AS BIGINT) AS skew_ratio_x100,
+       n_keys
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, o_custkey) AS rank
+  FROM per_key
+) CROSS JOIN tot
+WHERE rank <= 10
+"""
+
+LLM_QUERIES["join_key_skew_audit"] = (
+    join_key_skew_audit,
+    ORACLE_JOIN_KEY_SKEW,
+    "ops diagnostics: join-key skew audit (top heavy keys, share, "
+    "max/avg ratio) — the salted-join decision input",
+)

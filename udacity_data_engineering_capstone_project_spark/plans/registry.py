@@ -66,6 +66,7 @@ _NEW_OR_CHANGED_R5 = [
     "custom_pyds_scan",
     "event_pattern_counts",
     "aqp_revenue_estimate",
+    "join_key_skew_audit",
     # promoted from rows-only to full chained-CTE replay oracles (r5):
     "kmeans_assign",
     "ivf_trained_recall",
@@ -109,7 +110,6 @@ _OLDEST_R5 = [
     "canonical_docs",
     "cohort_retention",
     "corpus_split_stats",
-    "decontaminate_overlap",
     # (embedding_near_dup / event_transitions / ewma_user_value / funnel_counts / fuzzy_name_pairs / gap_fill_daily /
     # group_quantiles / iqr_outlier_orders / jaccard_pairs_capped /
     # jaccard_pairs_exact slipped out of the 50-row window as new r5
