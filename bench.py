@@ -99,6 +99,24 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # Fixed-work CPU canary: this host shows invisible slowdowns that
+    # loadavg does NOT catch (round 5: the same commit measured 30.3 s
+    # then 51.8 s headline two hours apart, loadavg 0.05 both times —
+    # hypervisor-level steal). min-of-3 of a fixed numpy matmul burst
+    # gives readers a per-run machine-speed constant to normalize
+    # against (BLAS uses all cores, so co-tenant steal shows up here
+    # just as it does in executor threads). Read it as a RATIO between
+    # runs, not an absolute: a run whose canary is 2x another run's
+    # carries roughly that factor in every query number (0.22 s was
+    # measured during the round-5 slow episode; compare future runs
+    # against their own neighbors).
+    import numpy as _np
+
+    _a = _np.random.default_rng(7).random((1000, 1000))
+    canary = min(
+        __import__("timeit").timeit(lambda: _a @ _a, number=10) for _ in range(3)
+    )
+
     load_start = os.getloadavg()[0]
     load_warning = load_start > load_max
     if load_warning:
@@ -169,6 +187,7 @@ def main() -> None:
                 "load_avg_1m_start": round(load_start, 2),
                 "load_avg_1m_end": round(os.getloadavg()[0], 2),
                 "load_warning": load_warning,
+                "cpu_canary_s": round(canary, 3),
                 "sf": sf,
             }
         )
