@@ -24,8 +24,9 @@ def test_every_query_has_oracle_except_streaming(spark):
         # (hll_sketch_rollup and ann_pq_recall gained full oracles in
         # round 3: exact-anchor + tolerance-flag, and exact-re-rank
         # top-10 vs brute force, respectively)
-        # iterative float fixpoint: rows-only, numpy-equality pytest
-        "pagerank_near_dup",
+        # (pagerank_near_dup gained a full oracle in round 6: the
+        # power loop reruns in x1e12 integer fixed point and the
+        # DuckDB oracle replays all 10 iterations as chained CTEs)
         # iterative merge loop: rows-only, reference-equality pytest
         "bpe_train_merges",
         # (bpe_fertility gained a full oracle in round 4: pinned merge

@@ -607,6 +607,41 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
 
 
+def test_pagerank_fixedpoint_matches_integer_replay(spark):
+    """The x1e12 fixed-point PageRank must match an EXACT pure-Python
+    integer replay bit for bit (that replay is what the DuckDB oracle
+    reproduces as chained CTEs), and sit within one truncation ulp per
+    round of the float path."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        pagerank_fixedpoint,
+    )
+
+    E = [(0, 1), (0, 2), (1, 0), (2, 0), (1, 2), (2, 3)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    iters, num, den, S = 12, 85, 100, 10**12
+    got = {
+        r.node: r.rank
+        for r in pagerank_fixedpoint(edges, iters=iters).collect()
+    }
+
+    n = 4
+    deg = {0: 2, 1: 2, 2: 2}
+    base = S // n
+    r = {i: base for i in range(n)}
+    for _ in range(iters):
+        inc = {i: 0 for i in range(n)}
+        for s, t in E:
+            inc[t] += r[s] // deg[s]
+        dang = sum(v for k, v in r.items() if k not in deg)
+        r = {
+            i: ((den - num) * base + num * (dang // n) + num * inc[i]) // den
+            for i in range(n)
+        }
+    assert got == r, (got, r)
+    # ranks still sum to ~1.0 up to truncation loss
+    assert abs(sum(got.values()) / S - 1.0) < 1e-9
+
+
 def test_bpe_merges_match_reference_impl(spark):
     """The distributed BPE trainer must learn exactly the merge table a
     sequential reference implementation learns (same tie-breaks)."""

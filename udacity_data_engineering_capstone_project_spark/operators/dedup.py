@@ -915,6 +915,91 @@ def pagerank(
     return ranks
 
 
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """:func:`pagerank` in ALL-INTEGER x1e12 fixed point — every
+    arithmetic step is int64 add / multiply / integer-DIV, so the
+    10-iteration power loop is bit-reproducible across engines and a
+    DuckDB oracle can replay it as chained CTEs (the Lloyd-loop
+    promotion recipe from round 5, VERDICT r5 next-steps #5; the float
+    twin above stays rows-only because parallel float summation is
+    order-sensitive).
+
+    Update rule per node (d = damping_num/damping_den, n = |nodes|,
+    S = ``scale``)::
+
+        contrib   = rank DIV out_deg                  (per out-edge)
+        rank' = ((den-num) * (S DIV n)
+                 + num * (dangling_mass DIV n)
+                 + num * sum(incoming contrib)) DIV den
+
+    Integer truncation loses mass (~1 unit per DIV, i.e. ~1e-12 of
+    total per node per round — immaterial next to the 1e-9 reporting
+    grain) but loses it IDENTICALLY in every engine, which is the
+    point. Headroom: num * S = 8.5e13 << 2^63.
+
+    Same dataflow and scale shape as :func:`pagerank`: per round one
+    join + one keyed aggregate, the 1-row dangling aggregate kept in
+    the plan as a broadcast crossJoin, ``localCheckpoint`` truncating
+    lineage. Output: (node, rank) with rank ~ x1e12 fixed point.
+    """
+    num, den = damping_num, damping_den
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    base = scale // n_nodes
+    ranks = nodes.select(
+        "node", F.lit(base).cast("long").alias("rank")
+    ).localCheckpoint()
+    for _ in range(iters):
+        per_src = ranks.join(deg, ranks.node == deg.src, "inner").select(
+            F.col("node").alias("s"),
+            F.expr("rank DIV out_deg").alias("contrib"),
+        )
+        contribs = (
+            e.join(per_src, e.src == F.col("s"))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        dangling = ranks.join(deg, ranks.node == deg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dangling_m")
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == F.col("node2"), "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(
+                    f"(CAST({(den - num) * base} AS BIGINT)"
+                    f" + {num} * (dangling_m DIV {n_nodes})"
+                    f" + {num} * coalesce(incoming, CAST(0 AS BIGINT))"
+                    f") DIV {den}"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
 def soft_dedup_weights(
     df: DataFrame,
     components: DataFrame,
