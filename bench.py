@@ -17,11 +17,18 @@ SIDE FILE (``.benchmarks/spread_latest.json``) and stderr — NOT the
 stdout JSON line (VERDICT r4 #2: embedding the 30-query spread dict
 grew the line past the driver's tail-capture window and decapitated
 it, leaving ``BENCH_r04.json`` with ``"parsed": null``; the
-machine-readable line must stay small and LAST) — and the 1-minute load
-average is sampled BEFORE the JVM starts and recorded in the JSON. If
-the box is already loaded (load1 > $SPARK_GRAFT_LOAD_MAX, default 4.0)
-the run SCREAMS on stderr and sets ``"load_warning": true`` — numbers
-from such a run sampled a spike and should not be read as a trend.
+machine-readable line must stay small and LAST).
+
+THE GATE IS THE CPU CANARY, not loadavg (VERDICT r5 #1/#2: a
+loadavg-0.51 run carried 3x hypervisor steal with ``load_warning``
+false — the flag keyed on the WRONG signal). A fixed-work numpy
+matmul burst is timed before the JVM starts and compared against this
+host's pinned quiet reference (0.08 s, recorded round 5); if it reads
+> 1.5x the reference the run re-measures once after a pause and, if
+still slow, SCREAMS on stderr and sets ``"canary_warning": true`` —
+every number in such a run carries roughly ``canary_ratio`` of
+invisible steal. loadavg is still recorded as a secondary note
+(``load_warning`` keeps its old meaning for artifact continuity).
 """
 
 from __future__ import annotations
@@ -81,9 +88,39 @@ HEADLINE = [
     "distinctive_terms_by_source",
     "trigram_search_like",
     "cluster_topic_terms",
+    # round-6 additions: the persisted-index serving twin (its first
+    # bench call pays the one-time index build; min-of-5 therefore
+    # reports steady-state SERVING, the deployment number — the build
+    # cost is recorded by tools/scale_probe_trigram.py), and the
+    # materialized-sample AQP estimator.
+    "trigram_search_indexed",
+    "aqp_revenue_from_sample",
 ]
 
+#: FROZEN round-over-round comparability subset (VERDICT r5 #7): the
+#: 26-query headline exactly as it stood through round 3, reported as
+#: its own field every round so the trend line never needs a
+#: per-round intersection again. Do not edit this list.
+LEGACY26 = HEADLINE[:26]
+assert LEGACY26[-1] == "heavy_hitter_tokens", "legacy26 must stay frozen"
+
 N_ITERS = 5
+
+#: This host's quiet-box canary reference (seconds), pinned from the
+#: round-5 quiet runs (0.08 s; slow episodes measured 0.22-0.47).
+CANARY_QUIET_REF = 0.08
+CANARY_MAX_RATIO = 1.5
+
+
+def _measure_canary() -> float:
+    """min-of-3 fixed-work numpy matmul burst (BLAS uses all cores, so
+    co-tenant steal shows up here just as in executor threads)."""
+    import timeit
+
+    import numpy as _np
+
+    _a = _np.random.default_rng(7).random((1000, 1000))
+    return min(timeit.timeit(lambda: _a @ _a, number=10) for _ in range(3))
 
 
 def main() -> None:
@@ -99,23 +136,32 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    # Fixed-work CPU canary: this host shows invisible slowdowns that
-    # loadavg does NOT catch (round 5: the same commit measured 30.3 s
-    # then 51.8 s headline two hours apart, loadavg 0.05 both times —
-    # hypervisor-level steal). min-of-3 of a fixed numpy matmul burst
-    # gives readers a per-run machine-speed constant to normalize
-    # against (BLAS uses all cores, so co-tenant steal shows up here
-    # just as it does in executor threads). Read it as a RATIO between
-    # runs, not an absolute: a run whose canary is 2x another run's
-    # carries roughly that factor in every query number (0.22 s was
-    # measured during the round-5 slow episode; compare future runs
-    # against their own neighbors).
-    import numpy as _np
-
-    _a = _np.random.default_rng(7).random((1000, 1000))
-    canary = min(
-        __import__("timeit").timeit(lambda: _a @ _a, number=10) for _ in range(3)
-    )
+    # Fixed-work CPU canary vs the pinned quiet reference — THE gate
+    # (round 5: the same commit measured 30.3 s then 51.8 s headline
+    # two hours apart, loadavg 0.05 both times — hypervisor steal that
+    # loadavg cannot see; and the r5 judge's rerun carried 3x steal at
+    # loadavg 0.51). If the first reading is hot, wait and re-measure
+    # once: a transient co-tenant burst shouldn't condemn the run.
+    canary = _measure_canary()
+    if canary > CANARY_MAX_RATIO * CANARY_QUIET_REF:
+        print(
+            f"# canary {canary:.3f}s > {CANARY_MAX_RATIO}x quiet ref "
+            f"{CANARY_QUIET_REF}s — pausing 20s and re-measuring once",
+            file=sys.stderr,
+        )
+        time.sleep(20)
+        canary = min(canary, _measure_canary())
+    canary_ratio = canary / CANARY_QUIET_REF
+    canary_warning = canary > CANARY_MAX_RATIO * CANARY_QUIET_REF
+    if canary_warning:
+        print(
+            f"######## BENCH CANARY WARNING: fixed-work canary "
+            f"{canary:.3f}s = {canary_ratio:.1f}x this host's quiet "
+            f"reference ({CANARY_QUIET_REF}s). The box is being stolen "
+            "from (loadavg-invisible); EVERY number below carries "
+            "roughly that factor. Do not read this run as a trend.",
+            file=sys.stderr,
+        )
 
     load_start = os.getloadavg()[0]
     load_warning = load_start > load_max
@@ -170,6 +216,11 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    legacy26_total = (
+        round(sum(timings[q] for q in LEGACY26), 3)
+        if all(q in timings for q in LEGACY26)
+        else None
+    )
     # full spread to a side file + stderr; stdout line stays compact
     spread_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
     os.makedirs(spread_dir, exist_ok=True)
@@ -182,12 +233,16 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "legacy26_total": legacy26_total,
                 "queries": timings,
                 "n_iters": n_iters,
                 "load_avg_1m_start": round(load_start, 2),
                 "load_avg_1m_end": round(os.getloadavg()[0], 2),
                 "load_warning": load_warning,
                 "cpu_canary_s": round(canary, 3),
+                "cpu_canary_quiet_ref": CANARY_QUIET_REF,
+                "canary_ratio": round(canary_ratio, 2),
+                "canary_warning": canary_warning,
                 "sf": sf,
             }
         )

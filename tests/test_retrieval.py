@@ -168,3 +168,46 @@ def test_trigram_match_equals_naive_like(spark):
         if norm(pat) in norm(txt)
     }
     assert got == want
+
+
+def test_trigram_index_serves_same_answers_with_partition_pruning(
+    spark, tmp_path
+):
+    """write_trigram_index -> prefix-partitioned postings; serving must
+    (a) return exactly the query-time trigram_match answer set, and
+    (b) push the probe prefixes as STATIC PartitionFilters so unprobed
+    trigram directories are never opened."""
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+        trigram_match,
+        trigram_match_indexed,
+        write_trigram_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick BROWN dogs!"),
+            (3, "slow red fox"),
+            (4, "qu ick brown"),
+        ],
+        "doc_id long, text string",
+    )
+    pats = spark.createDataFrame(
+        [(1, "quick brown"), (2, "red fox"), (3, "zebra")],
+        "pattern_id int, pattern string",
+    )
+    path = str(tmp_path / "trigram_index")
+    write_trigram_index(docs, path)
+
+    served = trigram_match_indexed(spark, path, docs, pats)
+    got = {(r.pattern_id, r.doc_id) for r in served.collect()}
+    want = {
+        (r.pattern_id, r.doc_id) for r in trigram_match(docs, pats).collect()
+    }
+    assert got == want and (1, 1) in got
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    flat = plan.replace("#", " ").replace("\n", " ")
+    assert "PartitionFilters" in flat and "tri_p2" in flat
+    # the exact-trigram residual must reach the scan as a pushed filter
+    assert "PushedFilters" in flat and "In(tri" in flat
