@@ -49,6 +49,69 @@ _MERGED: dict = {**PARITY_QUERIES, **SQL_QUERIES, **LLM_QUERIES}
 #: oldest-recorded rows, last_round ascending / name tie-break: the 23
 #: round-1-only rows the r4 backfill couldn't fit, then the oldest
 #: round-2 rows alphabetically through ``jaccard_pairs_exact``.
+#: Round-6 window (built from ``python tools/ledger.py --ages`` at the
+#: start of round 6, per NOTES.md round-6 guidance and VERDICT r5 #4):
+#: (1) queries new to or changed in round 6; (2) the 40 rows whose only
+#: driver record is round 2 (alphabetical — the r2-only remainder the
+#: r5 head displaced); (3) remaining slots go to the oldest r3 rows.
+_NEW_OR_CHANGED_R6 = [
+    "tpch_q21_waiting",  # new: the last TPC-H shape, derived-dates CTE
+    "pagerank_near_dup",  # promoted: x1e12 fixed point, chained-CTE oracle
+    "trigram_search_indexed",  # new: persisted-index serving twin
+    "aqp_revenue_from_sample",  # new: materialized-sample estimator
+]
+_OLDEST_R6 = [
+    # last driver row r2 (age 3), alphabetical:
+    "canonical_docs",
+    "cohort_retention",
+    "corpus_split_stats",
+    "decontaminate_overlap",
+    "dedup_components",
+    "dedup_exact",
+    "doc_surprisal",
+    "embedding_near_dup",
+    "event_transitions",
+    "ewma_user_value",
+    "funnel_counts",
+    "fuzzy_name_pairs",
+    "gap_fill_daily",
+    "group_quantiles",
+    "iqr_outlier_orders",
+    "jaccard_pairs_capped",
+    "jaccard_pairs_exact",
+    "lang_id",
+    "lang_id_ngram",
+    "map_entries_pivot",
+    "minhash_band_sweep",
+    "mixture_sample_stats",
+    "near_dup_triangles",
+    "ntile_deciles",
+    "orders_drift_diff",
+    "pii_redaction_stats",
+    "pit_interval_join",
+    "pmi_collocations",
+    "profile_orders",
+    "quality_filter_reasons",
+    "repetition_scores",
+    "scd2_user_status",
+    "sequence_packing",
+    "simhash_fingerprints",
+    "stream_static_join",
+    "text_punct_stopword",
+    "udtf_flatten_props",
+    "upsert_user_snapshot",
+    "weighted_doc_sample",
+    "weighted_group_sample",
+    # last driver row r3 (age 2), alphabetical, filling the window:
+    "ann_hard_negatives",
+    "ann_pq_recall",
+    "array_vector_stats",
+    "bloom_prefilter_decontaminate",
+    "cms_token_estimates",
+    "containment_pairs_directed",
+]
+
+#: ---- Round-5 ordering (superseded; kept for provenance) ----
 _NEW_OR_CHANGED_R5 = [
     # new queries (r5):
     "hybrid_rrf_retrieval",
@@ -305,13 +368,13 @@ _PRIORITY_R3 = [
 ]
 
 _seen: set = set()
-_PRIORITY_R5 = [
+_PRIORITY_R6 = [
     n
-    for n in [*_NEW_OR_CHANGED_R5, *_OLDEST_R5]
+    for n in [*_NEW_OR_CHANGED_R6, *_OLDEST_R6]
     if not (n in _seen or _seen.add(n))
 ]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R5}
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R6}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
