@@ -6030,3 +6030,80 @@ LLM_QUERIES["join_key_skew_audit"] = (
     "ops diagnostics: join-key skew audit (top heavy keys, share, "
     "max/avg ratio) — the salted-join decision input",
 )
+
+
+def pipeline_observed_metrics(spark, sf_dir):
+    """Zero-extra-scan pipeline observability (DataFrame.observe /
+    Observation, Spark 3.3+): production ETL needs row counts, sums
+    and null rates of what a job ACTUALLY scanned — as the job runs,
+    not as a second audit query that re-reads 100 TB and can silently
+    diverge from what the job saw. ``observe`` attaches aggregate
+    metrics to the single existing pass; the executors fold them into
+    per-task partial aggregates alongside the real work, the driver
+    holds exactly one metrics row, and the downstream transformation
+    is untouched.
+
+    Here the "real work" is a returnflag rollup of high-discount
+    lineitems; the observation rides the same scan and reports the
+    PRE-FILTER truth (row count, exact x100 price sum, null-flag
+    count) the filter then hides from the output — precisely the
+    numbers a quality gate needs to decide "did we read what we
+    expected". Output: one row fusing observed scan metrics with the
+    work result's summary. Oracle recomputes both from the table —
+    the observed path must agree exactly with the recompute, which is
+    the audit guarantee being claimed."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "price_x100_sum"
+        ),
+        F.sum(
+            F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_null_flag"),
+    )
+    work = (
+        observed.filter(F.col("l_discount") > 0.05)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = work.collect()  # bounded: |returnflag| groups; triggers the pass
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_scanned"]),
+                int(m["price_x100_sum"]),
+                int(m["n_null_flag"]),
+                len(rows),
+                int(sum(r.n for r in rows)),
+            )
+        ],
+        "n_scanned bigint, price_x100_sum bigint, n_null_flag bigint, "
+        "n_work_groups bigint, n_work_rows bigint",
+    )
+
+
+ORACLE_PIPELINE_OBSERVED = """
+SELECT CAST(count(*) AS BIGINT) AS n_scanned,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_x100_sum,
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_flag,
+       CAST(count(DISTINCT CASE WHEN l_discount > 0.05 THEN l_returnflag END)
+            AS BIGINT) AS n_work_groups,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_work_rows
+FROM lineitem
+"""
+
+LLM_QUERIES["pipeline_observed_metrics"] = (
+    pipeline_observed_metrics,
+    ORACLE_PIPELINE_OBSERVED,
+    "ops: DataFrame.observe scan metrics riding the job's own pass "
+    "(no second audit scan), fused with the work result summary",
+)

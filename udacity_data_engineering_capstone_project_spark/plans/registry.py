@@ -59,6 +59,7 @@ _NEW_OR_CHANGED_R6 = [
     "pagerank_near_dup",  # promoted: x1e12 fixed point, chained-CTE oracle
     "trigram_search_indexed",  # new: persisted-index serving twin
     "aqp_revenue_from_sample",  # new: materialized-sample estimator
+    "pipeline_observed_metrics",  # new: observe() scan metrics
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -108,7 +109,8 @@ _OLDEST_R6 = [
     "array_vector_stats",
     "bloom_prefilter_decontaminate",
     "cms_token_estimates",
-    "containment_pairs_directed",
+    # (containment_pairs_directed displaced when pipeline_observed_
+    # metrics joined the head; the window stays exactly 50 rows)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
