@@ -6107,3 +6107,99 @@ LLM_QUERIES["pipeline_observed_metrics"] = (
     "ops: DataFrame.observe scan metrics riding the job's own pass "
     "(no second audit scan), fused with the work result summary",
 )
+
+
+def bitext_mining_pairs(spark, sf_dir):
+    """Cross-lingual bitext mining (the CCMatrix / LASER margin
+    recipe, scaled down to the fixture): for every source-language
+    document, find its best aligned target-language document by
+    embedding cosine and score the alignment by MARGIN — best minus
+    runner-up — because an absolute cosine threshold cannot separate
+    "true translation" from "dense semantic neighborhood" (a hub
+    vector scores high against everything; its margin is tiny). The
+    mined (src, tgt, margin) pairs are the raw material of parallel
+    training corpora.
+
+    Shape: de-docs (the small side, broadcast) x en-docs via exact
+    cosine — the honest small-fixture baseline; at 100 TB the
+    candidate generation step swaps to the banded-SRP / trained-IVF
+    paths already shipped (operators/similarity), margin scoring
+    unchanged. Cosines are 4-decimal-rounded BEFORE ranking and the
+    margin is a difference of x1e4 integers, so rank order and every
+    output value are bit-stable across engines. Top-2 is folded from
+    the rank window with max(CASE) — one window pass, no self-join."""
+    from ..operators.similarity import _with_double_vec
+    from ..functions.vectors import cosine_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = _t(spark, sf_dir, "embeddings")
+    sides = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "embedding"
+    )
+    q = _with_double_vec(sides.filter(F.col("lang") == "de"), "embedding", "qv").select(
+        F.col("doc_id").alias("src_doc"), "qv"
+    )
+    c = _with_double_vec(sides.filter(F.col("lang") == "en"), "embedding", "cv").select(
+        F.col("doc_id").alias("tgt_doc"), "cv"
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "src_doc",
+        "tgt_doc",
+        cosine_cols(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src_doc").orderBy(
+        F.col("cos_sim").desc(), F.col("tgt_doc")
+    )
+    top2 = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    x1e4 = lambda col: F.floor(col * 1e4 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (
+        top2.groupBy("src_doc")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("tgt_doc"))).alias("tgt_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("cos_sim"))).alias("cos_sim"),
+            (
+                F.max(F.when(F.col("rn") == 1, x1e4(F.col("cos_sim"))))
+                - F.max(F.when(F.col("rn") == 2, x1e4(F.col("cos_sim"))))
+            ).alias("margin_x1e4"),
+        )
+        .select("src_doc", "tgt_doc", "cos_sim", "margin_x1e4")
+    )
+
+
+_COS_BT = sql_round_fixed("list_cosine_similarity(q.qv, c.cv)", 4)
+
+ORACLE_BITEXT_MINING = f"""
+WITH q AS (
+  SELECT d.doc_id AS src_doc, e.embedding::DOUBLE[] AS qv
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.lang = 'de'
+),
+c AS (
+  SELECT d.doc_id AS tgt_doc, e.embedding::DOUBLE[] AS cv
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en'
+),
+s AS (
+  SELECT src_doc, tgt_doc, {_COS_BT} AS cos_sim FROM q, c
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY src_doc
+                               ORDER BY cos_sim DESC, tgt_doc) AS rn
+  FROM s
+)
+SELECT src_doc,
+       max(CASE WHEN rn = 1 THEN tgt_doc END) AS tgt_doc,
+       max(CASE WHEN rn = 1 THEN cos_sim END) AS cos_sim,
+       CAST(max(CASE WHEN rn = 1 THEN CAST(floor(cos_sim * 1e4 + 0.5) AS BIGINT) END)
+            - max(CASE WHEN rn = 2 THEN CAST(floor(cos_sim * 1e4 + 0.5) AS BIGINT) END)
+            AS BIGINT) AS margin_x1e4
+FROM r WHERE rn <= 2
+GROUP BY src_doc
+"""
+
+LLM_QUERIES["bitext_mining_pairs"] = (
+    bitext_mining_pairs,
+    ORACLE_BITEXT_MINING,
+    "curation: cross-lingual bitext mining with CCMatrix margin "
+    "scoring (best minus runner-up on x1e4 cosines)",
+)

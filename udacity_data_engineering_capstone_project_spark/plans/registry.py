@@ -60,6 +60,7 @@ _NEW_OR_CHANGED_R6 = [
     "trigram_search_indexed",  # new: persisted-index serving twin
     "aqp_revenue_from_sample",  # new: materialized-sample estimator
     "pipeline_observed_metrics",  # new: observe() scan metrics
+    "bitext_mining_pairs",  # new: cross-lingual margin mining
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -108,9 +109,9 @@ _OLDEST_R6 = [
     "ann_pq_recall",
     "array_vector_stats",
     "bloom_prefilter_decontaminate",
-    "cms_token_estimates",
-    # (containment_pairs_directed displaced when pipeline_observed_
-    # metrics joined the head; the window stays exactly 50 rows)
+    # (cms_token_estimates and containment_pairs_directed displaced
+    # when pipeline_observed_metrics and bitext_mining_pairs joined
+    # the head; the window stays exactly 50 rows)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
