@@ -215,6 +215,24 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # End-of-run canary: steal that starts MID-RUN is invisible to the
+    # pre-JVM reading (observed round 6: a canary-1.15 run carried a
+    # multi-minute steal episode that tripled three adjacent queries;
+    # isolated re-runs on a quiet box matched round 5 exactly). Either
+    # reading hot -> the artifact is flagged.
+    canary_end = _measure_canary()
+    canary_worst = max(canary, canary_end)
+    canary_ratio = canary_worst / CANARY_QUIET_REF
+    if not canary_warning and canary_end > CANARY_MAX_RATIO * CANARY_QUIET_REF:
+        canary_warning = True
+        print(
+            f"######## BENCH CANARY WARNING (end-of-run): {canary_end:.3f}s "
+            f"= {canary_end / CANARY_QUIET_REF:.1f}x quiet ref — steal "
+            "arrived mid-run; per-query minima in the affected stretch "
+            "are inflated.",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     legacy26_total = (
         round(sum(timings[q] for q in LEGACY26), 3)
@@ -240,6 +258,7 @@ def main() -> None:
                 "load_avg_1m_end": round(os.getloadavg()[0], 2),
                 "load_warning": load_warning,
                 "cpu_canary_s": round(canary, 3),
+                "cpu_canary_end_s": round(canary_end, 3),
                 "cpu_canary_quiet_ref": CANARY_QUIET_REF,
                 "canary_ratio": round(canary_ratio, 2),
                 "canary_warning": canary_warning,
