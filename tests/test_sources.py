@@ -386,3 +386,50 @@ def test_hashrange_pyds_partitions_and_values(spark):
     assert sorted(rows) == list(range(257))
     for i in (0, 1, 100, 256):
         assert rows[i] == _hash14(i)
+
+
+def test_targeted_delete_rewrites_only_affected_files(spark, tmp_path):
+    """Copy-on-write deletion: only part-files containing a target key
+    are rewritten; rows gone, everything else byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        targeted_delete,
+    )
+
+    path = str(tmp_path / "docs")
+    # 8 files, keys clustered so targets live in exactly 2 files
+    df = spark.range(0, 800).select(F.col("id").alias("doc_id"))
+    df.repartitionByRange(8, "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.parquet(path)
+    before = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.startswith("part-")
+    }
+    targets = spark.createDataFrame([(5,), (7,), (205,)], "doc_id long")
+
+    stats = targeted_delete(spark, path, targets, "doc_id")
+    assert stats["rows_deleted"] == 3
+    assert stats["files_rewritten"] == 2
+    assert stats["files_total"] == 8
+
+    after = spark.read.parquet(path)
+    assert after.count() == 797
+    assert after.filter(F.col("doc_id").isin([5, 7, 205])).count() == 0
+    # the 6 untouched files are still there, untouched
+    survivors = [
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-")
+    ]
+    assert len(survivors) == 6
+    for f in survivors:
+        assert before[f] == os.path.getmtime(os.path.join(path, f))
+
+    # idempotent: re-running deletes nothing and rewrites nothing
+    stats2 = targeted_delete(spark, path, targets, "doc_id")
+    assert stats2["rows_deleted"] == 0 and stats2["files_rewritten"] == 0

@@ -255,3 +255,82 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def targeted_delete(
+    spark,
+    path: str,
+    targets: DataFrame,
+    key_col: str,
+) -> dict:
+    """Right-to-be-forgotten / takedown deletion over an immutable
+    parquet dataset: remove every row whose ``key_col`` appears in
+    ``targets`` by rewriting ONLY the part-files that actually contain
+    a target row — the copy-on-write shape transactional table formats
+    (Delta/Iceberg/Hudi) use, self-contained here on plain parquet.
+
+    Why not ``read -> filter -> overwrite``: at 100 TB that rewrites
+    the entire dataset to delete a handful of rows. Deletes cluster
+    (a user's docs, one ingest batch), so the affected-file set is a
+    sliver; everything else is untouched bytes.
+
+    Dataflow: one pruned scan of (key, input_file_name) semi-joined to
+    the broadcast target keys yields the affected file list (driver
+    state: file PATHS only, bounded by the file count); those files
+    are re-read as their own dataset, anti-joined on the key, and
+    rewritten into fresh uniquely-named part-files; only then are the
+    old files deleted. A crash before the swap leaves the dataset
+    over-complete (delete re-runnable), never corrupt.
+
+    Returns {"files_total", "files_rewritten", "rows_deleted"}.
+    """
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    t = F.broadcast(targets.select(F.col(key_col).cast("long").alias("__k")).distinct())
+    base = spark.read.parquet(path)
+    tagged = base.select(
+        F.col(key_col).cast("long").alias("__k"),
+        F.input_file_name().alias("__file"),
+    )
+    hit = tagged.join(t, "__k")
+    affected = [r["__file"] for r in hit.select("__file").distinct().collect()]
+    n_deleted = hit.count()
+    all_files = [
+        r["__file"]
+        for r in tagged.select("__file").distinct().collect()
+    ]
+    if not affected:
+        return {
+            "files_total": len(all_files),
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+
+    kept = (
+        spark.read.parquet(*affected)
+        .join(t, F.col(key_col).cast("long") == F.col("__k"), "left_anti")
+    )
+    tmp_out = os.path.join(path, f"_rewrite_{uuid.uuid4().hex[:12]}")
+    kept.write.mode("overwrite").parquet(tmp_out)
+    # move rewritten parts up beside the survivors, then drop originals
+    for name in os.listdir(tmp_out):
+        if name.startswith("part-"):
+            os.replace(
+                os.path.join(tmp_out, name),
+                os.path.join(path, f"deleted-{uuid.uuid4().hex[:8]}-{name}"),
+            )
+    for f in affected:
+        local = f.replace("file://", "")
+        if os.path.exists(local):
+            os.remove(local)
+    import shutil
+
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    return {
+        "files_total": len(all_files),
+        "files_rewritten": len(affected),
+        "rows_deleted": int(n_deleted),
+    }
