@@ -676,16 +676,16 @@ SQL_QUERIES["tpch_q20_surplus"] = (
 # of this repo's SQL-surface tier, included so a reference user gets
 # the full 22/22 TPC-H shapes on the same engine.
 
-_Q21_LATE = f"""
+_Q21_LATE = """
 lx AS (
   SELECT l_orderkey, l_suppkey,
-         {{ship_day}} + (({_hx("substr(ldig, 1, 8)", 8)}) % 91) - 30 AS commit_day,
-         {{ship_day}} + 1 + (({_hx("substr(ldig, 9, 8)", 8)}) % 30) AS receipt_day
+         {ship_day} + (({hx1}) % 91) - 30 AS commit_day,
+         {ship_day} + 1 + (({hx2}) % 30) AS receipt_day
   FROM (
     SELECT l_orderkey, l_linenumber, l_suppkey,
            CAST(l_shipdate AS DATE) AS ship_d,
-           md5(CAST(l_orderkey AS {{str_t}}) || ':' ||
-               CAST(l_linenumber AS {{str_t}})) AS ldig
+           md5(CAST(l_orderkey AS {str_t}) || ':' ||
+               CAST(l_linenumber AS {str_t})) AS ldig
     FROM lineitem
   ) t
 )"""
@@ -723,13 +723,25 @@ LIMIT 100
 """
 )
 
+from ..functions.hashing import spark_hex_to_long as _shx
+
+#: Spark side takes the ``conv()`` hex fast path (bit-identical to the
+#: polynomial — the aqp_revenue_estimate precedent; the instr/substr
+#: polynomial recomputes md5 per term and Spark's CTE inlining pays it
+#: in THREE branches of q21: measured 11.5 s -> see commit for the
+#: post-fix number at sf0.1). DuckDB has no conv(), so the oracle
+#: keeps the shared polynomial.
 _Q21_SPARK = _Q21.format(
     str_t="STRING",
     ship_day="datediff(ship_d, DATE '1970-01-01')",
+    hx1=_shx("substr(ldig, 1, 8)", 8),
+    hx2=_shx("substr(ldig, 9, 8)", 8),
 )
 _Q21_DUCK = _Q21.format(
     str_t="VARCHAR",
     ship_day="datediff('day', DATE '1970-01-01', ship_d)",
+    hx1=_hx("substr(ldig, 1, 8)", 8),
+    hx2=_hx("substr(ldig, 9, 8)", 8),
 )
 
 SQL_QUERIES["tpch_q21_waiting"] = (
