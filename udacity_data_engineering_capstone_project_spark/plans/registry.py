@@ -61,6 +61,7 @@ _NEW_OR_CHANGED_R6 = [
     "aqp_revenue_from_sample",  # new: materialized-sample estimator
     "pipeline_observed_metrics",  # new: observe() scan metrics
     "bitext_mining_pairs",  # new: cross-lingual margin mining
+    "bpe_train_merges",  # promoted: chained-CTE training-loop oracle
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -108,10 +109,10 @@ _OLDEST_R6 = [
     "ann_hard_negatives",
     "ann_pq_recall",
     "array_vector_stats",
-    "bloom_prefilter_decontaminate",
-    # (cms_token_estimates and containment_pairs_directed displaced
-    # when pipeline_observed_metrics and bitext_mining_pairs joined
-    # the head; the window stays exactly 50 rows)
+    # (cms_token_estimates, containment_pairs_directed and
+    # bloom_prefilter_decontaminate displaced as
+    # pipeline_observed_metrics, bitext_mining_pairs and the promoted
+    # bpe_train_merges joined the head; the window stays exactly 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
