@@ -27,10 +27,11 @@ def test_every_query_has_oracle_except_streaming(spark):
         # (pagerank_near_dup gained a full oracle in round 6: the
         # power loop reruns in x1e12 integer fixed point and the
         # DuckDB oracle replays all 10 iterations as chained CTEs)
-        # iterative merge loop: rows-only, reference-equality pytest
-        "bpe_train_merges",
         # (bpe_fertility gained a full oracle in round 4: pinned merge
-        # table replayed in DuckDB via nested replaces — c62bb08)
+        # table replayed in DuckDB via nested replaces — c62bb08;
+        # bpe_train_merges followed in round 6: the full 20-round
+        # training loop replays as chained materialized CTEs over
+        # |-delimited symbol strings)
     }
     assert len(qs) >= 39
 

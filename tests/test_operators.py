@@ -1060,6 +1060,37 @@ def test_semantic_dedup_within_cluster_only(spark):
                    3: (False, None), 4: (False, None)}
 
 
+def test_semantic_dedup_trained_keeps_farthest_from_centroid(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        semantic_dedup_trained,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),      # planted group A
+        (2, [0.0, 0.0, 1.0, 0.0]),      # planted group B (id 2 so the
+        (3, [0.999, 0.001, 0.0, 0.0]),  # first-k init seeds both groups)
+        (4, [0.8, 0.6, 0.0, 0.0]),      # group A, below threshold
+        (5, [0.0, 0.0, 0.7, 0.7]),      # group B, below threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup_trained(
+            df, k=2, iters=3, threshold=0.95
+        ).collect()
+    }
+    # 1 and 3 are the only semantic-dup pair; 4 and 5 sit below the
+    # threshold against everything in their clusters
+    assert [out[i].dropped for i in (2, 4, 5)] == [0, 0, 0]
+    assert sorted([out[1].dropped, out[3].dropped]) == [0, 1]
+    kept, gone = (1, 3) if out[3].dropped else (3, 1)
+    # the paper's rule: the survivor is FARTHER from its centroid
+    assert out[kept].c2c_r <= out[gone].c2c_r
+    # clusters actually separated: A together, B together, A != B
+    assert out[1].cluster == out[3].cluster == out[4].cluster
+    assert out[2].cluster == out[5].cluster != out[1].cluster
+
+
 def test_hard_negatives_excludes_same_label(spark):
     from udacity_data_engineering_capstone_project_spark.operators.similarity import (
         hard_negatives,

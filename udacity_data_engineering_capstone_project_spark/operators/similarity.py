@@ -541,6 +541,7 @@ def kmeans_cosine(
     k: int = 8,
     iters: int = 5,
     init: str = "first-k",
+    return_model: bool = False,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's iterations, cosine assignment) —
     the trainer for IVF centroids (:func:`ivf_topk` takes any centroid
@@ -559,7 +560,10 @@ def kmeans_cosine(
     iteration; lineage stays flat because each round starts from
     literal centroid arrays, not the previous round's plan.
 
-    Output: (vec_id, cluster) final assignments.
+    Output: (vec_id, cluster) final assignments; with
+    ``return_model=True``, the tuple (assignments, centroids) where
+    ``centroids`` is the k x dim list the FINAL assignment was computed
+    against (the pre-update table — what a serving layer would ship).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -589,7 +593,9 @@ def kmeans_cosine(
         return assign
 
     assigned = None
+    used = centroids
     for _ in range(iters):
+        used = centroids
         assigned = c.select("vid", "cv", assign_udf(centroids)("cv").alias("cluster"))
         new_rows = (
             assigned.select("cluster", F.posexplode("cv").alias("pos", "val"))
@@ -608,7 +614,10 @@ def kmeans_cosine(
         # empty clusters keep their previous centroid
         centroids = [updated.get(j, centroids[j]) for j in range(k)]
 
-    return assigned.select(F.col("vid").alias(id_col), "cluster")
+    out = assigned.select(F.col("vid").alias(id_col), "cluster")
+    if return_model:
+        return out, [list(u) for u in used]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -946,4 +955,102 @@ def int8_quantize_stats(
             "e -> CAST(floor(e * e * 1e12 + 0.5D) AS BIGINT)), "
             "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
         ).alias("mse_sum_x1e12"),
+    )
+
+
+def semantic_dedup_trained(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then dropping within each
+    cluster any item whose cosine to a LOWER-ranked clustermate meets
+    the threshold — rank = cosine-to-centroid ascending, so the kept
+    representative of every duplicate group is the one FARTHEST from
+    its centroid, the paper's keep-low-centroid-similarity rule.
+
+    This is the scale story for embedding dedup when all-pairs (even
+    LSH-bucketed) is too much: the paper runs k = 110 000 clusters on
+    LAION so each cluster is a few thousand items and the quadratic
+    term is bounded per cluster. Shape here is exactly that contract:
+    one k-means training pass (broadcast-argmax assignment, one
+    (cluster, dim) shuffle per iteration — the kmeans_assign plan),
+    then ONE self-join co-partitioned on the cluster id, never a
+    corpus-wide pair explosion. Pairwise cosine runs once per
+    candidate pair in the shared Arrow kernel (cosine_arrow_udf —
+    a column-expression fold would be inlined into the join and
+    evaluated twice; the PPJoin lesson).
+
+    Determinism for the cross-engine oracle: ranks order by the
+    ROUNDED (4 dp) centroid cosine with id tie-break, the drop rule is
+    a plain EXISTS over (same cluster, earlier rank, rounded pairwise
+    cosine >= threshold) — no greedy chain, so DuckDB replays it as
+    one window + one join over the Lloyd-replay CTE chain
+    (plans/queries_llm._kmeans_asg_ctes). The fixture's synthetic
+    embeddings carry their similarity mass near ~0.5 (real text
+    embeddings near-dup at ~0.95, the paper's eps), so the acceptance
+    query thresholds at 0.45; the operator takes eps as a parameter.
+
+    Output: (id, cluster, c2c_r, dropped) for EVERY input row —
+    dropped is 0/1 so the result doubles as the keep-list filter.
+    """
+    assigned, cents = kmeans_cosine(
+        corpus, id_col, vec_col, k, iters, return_model=True
+    )
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(j, list(cents[j])) for j in range(len(cents))],
+        "cluster int, u array<double>",
+    )
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("vid"), "cv"
+    )
+    m = (
+        assigned.withColumnRenamed(id_col, "vid")
+        .join(c, "vid")
+        .join(F.broadcast(cent_df), "cluster")
+        .select(
+            "vid",
+            "cluster",
+            "cv",
+            cosine_cols(F.col("cv"), F.col("u")).alias("c2c_r"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("c2c_r").asc(), F.col("vid"))
+    ranked = m.withColumn("rk", F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cos_r_arrow = cosine_arrow_udf()
+    x = ranked.select(
+        "cluster", F.col("cv").alias("cva"), F.col("rk").alias("rka")
+    )
+    y = ranked.select(
+        "cluster",
+        F.col("vid").alias("id_drop"),
+        F.col("cv").alias("cvb"),
+        F.col("rk").alias("rkb"),
+    )
+    dropped = (
+        x.join(y, "cluster")
+        .filter(F.col("rka") < F.col("rkb"))
+        .select("id_drop", cos_r_arrow(F.col("cva"), F.col("cvb")).alias("cos_r"))
+        .filter(F.col("cos_r") >= F.lit(threshold))
+        .select("id_drop")
+        .distinct()
+        .withColumn("d", F.lit(1))
+    )
+    return (
+        ranked.join(
+            dropped.withColumnRenamed("id_drop", "vid"), "vid", "left"
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            "c2c_r",
+            F.coalesce(F.col("d"), F.lit(0)).cast("int").alias("dropped"),
+        )
     )

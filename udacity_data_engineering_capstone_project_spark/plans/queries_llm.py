@@ -1309,6 +1309,71 @@ def kmeans_assign(spark, sf_dir):
     )
 
 
+def semantic_dedup_flags(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the same
+    deterministic k-means as ``kmeans_assign`` (k=8, 5 iterations,
+    smallest-id init), then within each cluster drop any vector whose
+    rounded cosine to a LOWER-ranked clustermate (rank =
+    centroid-cosine ascending, id tie-break) reaches the threshold —
+    keep-farthest-from-centroid, the paper's rule. The quadratic term
+    is per-cluster by construction (the paper's k=110k-clusters
+    recipe), so no corpus-wide pair join exists in the plan
+    (operators/similarity.semantic_dedup_trained). Complements
+    ``semantic_dedup_clusters``, which prunes CALLER-provided clusters
+    with the min-id anchor rule — this one trains the clustering
+    in-plan and ranks keepers by centroid distance, the full paper
+    pipeline. FULL oracle: the Lloyd
+    replay CTE chain shared with kmeans_assign, plus one window and
+    one within-cluster join (:data:`ORACLE_SEMANTIC_DEDUP_TRAINED`). The
+    fixture's synthetic embeddings carry similarity mass near ~0.5
+    (real text embeddings near-dup at the paper's eps ~0.95), so the
+    acceptance threshold is 0.45."""
+    from ..operators.similarity import semantic_dedup_trained
+
+    return semantic_dedup_trained(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=8, iters=5, threshold=0.45,
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iters: int = 5, dim: int = 64, thr: str = "0.45"
+) -> str:
+    """DuckDB replay of :func:`semantic_dedup_flags`: the
+    kmeans_assign Lloyd chain, centroid cosine from the PRE-update
+    centroid table ``cent{iters-1}`` (the one the final assignment
+    used), rounded-cosine ranks, and the EXISTS-earlier-dup drop rule
+    as a semi-join."""
+    c2c = sql_round_fixed(f"list_cosine_similarity(c.v, k.u)", 4)
+    pair = sql_round_fixed("list_cosine_similarity(ca.v, cb.v)", 4)
+    return f"""
+WITH {_kmeans_asg_ctes(k, iters, dim)},
+cc AS (
+  SELECT a.vec_id, a.cl, {c2c} AS c2c_r
+  FROM asg{iters} a JOIN c USING (vec_id)
+  JOIN cent{iters - 1} k ON k.cl = a.cl
+),
+rkd AS (
+  SELECT vec_id, cl, c2c_r,
+         row_number() OVER (PARTITION BY cl ORDER BY c2c_r, vec_id) AS rk
+  FROM cc
+),
+drops AS (
+  SELECT DISTINCT y.vec_id
+  FROM rkd x JOIN rkd y ON x.cl = y.cl AND x.rk < y.rk
+  JOIN c ca ON ca.vec_id = x.vec_id
+  JOIN c cb ON cb.vec_id = y.vec_id
+  WHERE {pair} >= {thr}
+)
+SELECT r.vec_id, CAST(r.cl AS INT) AS cluster, r.c2c_r,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
+FROM rkd r LEFT JOIN drops d USING (vec_id)
+"""
+
+
+ORACLE_SEMANTIC_DEDUP_TRAINED = _semantic_dedup_oracle()
+
+
 def ivf_trained_recall(spark, sf_dir):
     """The full ANN pipeline end-to-end: k-means++ seeding -> 3 Lloyd
     iterations -> centroid materialization -> IVF search (nprobe=2)
@@ -4080,6 +4145,12 @@ LLM_QUERIES = {
         ORACLE_KMEANS_ASSIGN,
         "similarity: spherical k-means trainer "
         "(full chained-CTE replay oracle since r5)",
+    ),
+    "semantic_dedup_flags": (
+        semantic_dedup_flags,
+        ORACLE_SEMANTIC_DEDUP_TRAINED,
+        "dedup: SemDeDup cluster-then-prune keep/drop flags "
+        "(per-cluster quadratic only; Lloyd-replay oracle)",
     ),
     "embedding_near_dup": (
         embedding_near_dup_pairs,

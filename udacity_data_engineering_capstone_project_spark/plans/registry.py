@@ -62,6 +62,7 @@ _NEW_OR_CHANGED_R6 = [
     "pipeline_observed_metrics",  # new: observe() scan metrics
     "bitext_mining_pairs",  # new: cross-lingual margin mining
     "bpe_train_merges",  # promoted: chained-CTE training-loop oracle
+    "semantic_dedup_flags",  # new: SemDeDup cluster-then-prune
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -108,11 +109,11 @@ _OLDEST_R6 = [
     # last driver row r3 (age 2), alphabetical, filling the window:
     "ann_hard_negatives",
     "ann_pq_recall",
-    "array_vector_stats",
-    # (cms_token_estimates, containment_pairs_directed and
-    # bloom_prefilter_decontaminate displaced as
-    # pipeline_observed_metrics, bitext_mining_pairs and the promoted
-    # bpe_train_merges joined the head; the window stays exactly 50)
+    # (cms_token_estimates, containment_pairs_directed,
+    # bloom_prefilter_decontaminate and array_vector_stats displaced
+    # as pipeline_observed_metrics, bitext_mining_pairs, the promoted
+    # bpe_train_merges and semantic_dedup_flags joined the head; the
+    # window stays exactly 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
