@@ -453,6 +453,21 @@ def test_semantic_dedup_cosine_not_inlined_and_join_on_cluster(spark):
             assert "aggregate(" not in line
 
 
+def test_semantic_dedup_trained_broadcasts_centroids_joins_on_cluster(spark):
+    """The trained SemDeDup variant: the k x dim centroid table joins
+    in as a broadcast (never a shuffle of the corpus against an 8-row
+    table), the pairwise cosine stays an ArrowEvalPython column above
+    the join (the double-evaluation trap), and no join line carries an
+    inlined HOF fold."""
+    plan = _plan(spark, "semantic_dedup_flags")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan
+    for line in plan.split("\n"):
+        if "Join" in line:
+            assert "zip_with" not in line
+            assert "aggregate(" not in line
+
+
 def test_hard_negatives_broadcasts_queries_no_global_sort(spark):
     """The query side is broadcast (corpus scans map-side only) and
     per-query top-k happens in a partitioned window, never a global
