@@ -95,6 +95,10 @@ HEADLINE = [
     # materialized-sample AQP estimator.
     "trigram_search_indexed",
     "aqp_revenue_from_sample",
+    # round-6 second wave: cross-lingual margin mining and the trained
+    # SemDeDup pipeline (in-plan k-means + per-cluster prune)
+    "bitext_mining_pairs",
+    "semantic_dedup_flags",
 ]
 
 #: FROZEN round-over-round comparability subset (VERDICT r5 #7): the
