@@ -653,3 +653,50 @@ def test_postings_tokenize_once_below_generate(spark):
                 if ui < indent and "Project" in up:
                     assert "lower(text#" not in up, (name, up[:120])
                     break
+
+
+def test_bucketed_join_no_exchange_below_agg(spark):
+    """The whole point of bucket co-location: the fact-to-fact SMJ
+    consumes the bucket layout, so the ONLY exchange in the plan is
+    the final tiny groupBy — never the join inputs."""
+    plan = _plan(spark, "bucketed_join_colocated")
+    assert "SortMergeJoin" in plan
+    assert _shuffles(plan) == 1
+    m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert m and "o_orderpriority" in m.group(1)
+    assert "BroadcastHashJoin" not in plan  # co-location, not a broadcast
+
+
+def test_zorder_box_pushes_both_range_predicates(spark):
+    import contextlib
+    import io
+
+    df = query_fns()["zorder_box_serve"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    formatted = buf.getvalue()
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted))
+    for col in ("l_partkey", "l_suppkey"):
+        assert f"GreaterThanOrEqual({col}" in pushed
+        assert f"LessThanOrEqual({col}" in pushed
+
+
+def test_gram_matrix_single_python_stage_one_shuffle(spark):
+    """The power-iteration feeder must stay one Arrow-batched pass:
+    exactly one MapInPandas, one shuffle (the d^2-key merge), no
+    row-wise Python."""
+    from udacity_data_engineering_capstone_project_spark.operators.linalg import (
+        gram_matrix_int,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        gram_matrix_int(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert _shuffles(plan) == 1

@@ -134,6 +134,101 @@ def covariance_matrix(
     return cov
 
 
+def gram_matrix_int(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000,
+) -> DataFrame:
+    """Exact int64 Gram matrix ``G = Q^T Q`` of the quantized embedding
+    matrix (``q = floor(x * scale + 0.5)``), all ``d^2`` entries as
+    ``(i, j, g)`` rows (0-based).
+
+    Same partial-merge shape as :func:`embedding_moments`: one
+    ``o[d^2]`` array per Arrow batch (vectorized ``q.T @ q``), then a
+    single d^2-key sum — the only shuffle moves O(#batches * d^2)
+    longs, never O(#rows). Exact integers end-to-end, so the result is
+    independent of partitioning and engine.
+
+    Overflow (int64): with |x| <= 1 and scale = 1e3 a product is
+    <= 1e6, so the sums hold to ~9e12 rows per entry — far past any
+    fixture; larger corpora lower ``scale``.
+    """
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(v * scale + 0.5).astype(np.int64)
+            yield pd.DataFrame({"o": [(q.T @ q).ravel()]})
+
+    p = df.select(vec_col).mapInPandas(partials, "o array<long>")
+    return (
+        p.select(F.posexplode("o").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("g"))
+        .select(
+            (F.col("idx") / dim).cast("int").alias("i"),
+            (F.col("idx") % dim).cast("int").alias("j"),
+            "g",
+        )
+    )
+
+
+def power_iteration_dominant(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000,
+    iters: int = 32,
+    v_scale: int = 1_000_000,
+) -> list[int]:
+    """Dominant principal direction (top right-singular vector of the
+    uncentered data matrix) by ALL-INTEGER power iteration over the
+    exact Gram matrix — the oracle-replayable twin of
+    :func:`pca_project`'s ``numpy.linalg.eigh`` (an eigendecomposition
+    cannot be replayed relationally; a fixed-count integer iteration
+    can, the pagerank_fixedpoint / Lloyd-replay recipe).
+
+    The data-sized work is ONE distributed pass
+    (:func:`gram_matrix_int`); the driver then holds d^2 longs —
+    fixed-size, never O(rows) — and iterates ``w = G v`` with a
+    deterministic integer renormalization: ``d0 = max|w| DIV v_scale
+    + 1`` then ``v' = trunc_div(w, d0)`` (truncation toward zero,
+    expressed identically as a sign-split floor-div here and a CASE in
+    the DuckDB replay). Every intermediate is an exact int64 in both
+    engines: |G_ij| <= n*scale^2, |w_i| <= dim * max|G| * v_scale —
+    3.2e17 at n = 5e4, scale 1e3 — under 2^63. Convergence is
+    irrelevant to CORRECTNESS (the oracle replays the SAME fixed
+    ``iters`` steps, so outputs are bit-equal whether or not the
+    iterate has settled) but matters for the semantic claim: with a
+    clear spectral gap the iterate aligns with the dominant axis
+    (planted-axis test); on near-flat spectra — the fixture's top
+    eigenvalues sit within ~2% of each other — angular convergence to
+    THE top vector is inherently ill-conditioned, and what converges
+    fast is the ENERGY: after the default 32 steps the iterate's
+    Rayleigh quotient is >= 95% of lambda_max at every fixture sf
+    (pinned in tests), i.e. the vector lives in the top eigenspace.
+
+    Returns the final iterate: ``dim`` ints at ~v_scale magnitude.
+    """
+    rows = gram_matrix_int(df, vec_col, dim, scale).collect()
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r.i][r.j] = r.g
+
+    def trunc_div(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    v = [v_scale] * dim
+    for _ in range(iters):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        d0 = max(abs(x) for x in w) // v_scale + 1
+        v = [trunc_div(x, d0) for x in w]
+    return v
+
+
 def pca_project(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -6341,3 +6341,256 @@ LLM_QUERIES["bitext_mining_pairs"] = (
     "curation: cross-lingual bitext mining with CCMatrix margin "
     "scoring (best minus runner-up on x1e4 cosines)",
 )
+
+
+# --------------------------------------------------------------------------
+# Round-6 third wave: layout tier promoted into the oracled registry
+# (bucketed co-located join, Z-order box serving) + the fully-replayable
+# dominant-principal-direction power iteration.
+
+#: per-process bucketed-table build cache: sf_dir -> (lineitem, orders)
+#: catalog table names. Build-once/serve-many, same split as the
+#: trigram and IVF indexes: the write-side shuffle is paid once, every
+#: later join is exchange-free; bench iterations measure SERVING.
+_BUCKETED_TABLES_CACHE: dict = {}
+
+
+def _bucketed_tables(spark, sf_dir: str):
+    names = _BUCKETED_TABLES_CACHE.get(sf_dir)
+    if names is None or not all(spark.catalog.tableExists(t) for t in names):
+        import hashlib
+        import tempfile
+
+        from ..sources.writers import write_bucketed
+
+        h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        lt, ot = f"bkt_lineitem_{h}", f"bkt_orders_{h}"
+        # EXTERNAL tables at a fresh per-process location: a managed
+        # table's warehouse dir outlives the in-memory catalog, so a
+        # new process would hit LOCATION_ALREADY_EXISTS (caught by the
+        # vanilla-session driver smoke).
+        base = tempfile.mkdtemp(prefix="bucketed_tables_")
+        write_bucketed(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice"
+            ),
+            lt,
+            "l_orderkey",
+            n_buckets=8,
+            sort_by="l_orderkey",
+            path=f"{base}/{lt}",
+        )
+        write_bucketed(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            ot,
+            "o_orderkey",
+            n_buckets=8,
+            sort_by="o_orderkey",
+            path=f"{base}/{ot}",
+        )
+        _BUCKETED_TABLES_CACHE[sf_dir] = names = (lt, ot)
+    return names
+
+
+def bucketed_join_colocated(spark, sf_dir):
+    """Fact-to-fact join served from CO-LOCATED bucketed tables — the
+    single biggest shuffle eliminator for a recurring 100 TB join:
+    both sides were written ``bucketBy(8, <orderkey>)`` (the shuffle
+    paid once, at ingest), so the sort-merge join consumes the bucket
+    layout directly and the plan carries ZERO exchanges below the
+    final small groupBy (plan-guarded in tests/test_plans.py). The
+    ``merge`` hint pins SMJ so the guard proves bucket co-location
+    rather than a broadcast accident; at real scale neither side
+    broadcasts anyway. Oracle: the identical join/rollup on the plain
+    (unbucketed) views — bucketing is pure layout, so results are
+    bit-equal."""
+    lt, ot = _bucketed_tables(spark, sf_dir)
+    li, oo = spark.table(lt), spark.table(ot)
+    j = li.hint("merge").join(oo, li.l_orderkey == oo.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "price_x100_sum"
+        ),
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_x100_sum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+LLM_QUERIES["bucketed_join_colocated"] = (
+    bucketed_join_colocated,
+    ORACLE_BUCKETED_JOIN,
+    "layout: order-priority rollup over a bucket-co-located SMJ — "
+    "zero exchanges below the final agg, write-time shuffle amortized",
+)
+
+
+#: per-process Z-ordered layout cache: sf_dir -> parquet path.
+_ZORDER_LAYOUT_CACHE: dict = {}
+
+#: The served 2-D box (absolute keys, valid at every fixture sf).
+_ZBOX = (40, 90, 3, 12)
+
+
+def _zorder_layout_path(spark, sf_dir: str) -> str:
+    import tempfile
+
+    path = _ZORDER_LAYOUT_CACHE.get(sf_dir)
+    if path is None:
+        from ..sources.writers import write_zordered
+
+        path = tempfile.mkdtemp(prefix="zorder_lineitem_") + "/lineitem_z"
+        write_zordered(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"
+            ),
+            path,
+            "l_partkey",
+            "l_suppkey",
+            n_files=16,
+            bits=16,
+        )
+        _ZORDER_LAYOUT_CACHE[sf_dir] = path
+    return path
+
+
+def zorder_box_serve(spark, sf_dir):
+    """2-D box query served from the Z-ORDER-clustered copy of the
+    fact table (sources/writers.write_zordered): rows were range-split
+    and sorted on the Morton interleave of (l_partkey, l_suppkey), so
+    every file/row-group covers a narrow rectangle of BOTH key domains
+    and the pushed min/max range predicates skip most of the dataset —
+    multi-dimensional data skipping a single-column sort cannot give
+    (the poor man's clustering index; Delta/Iceberg OPTIMIZE ZORDER
+    ship exactly this layout). Plan guard: both range predicates reach
+    the parquet scan as PushedFilters; the skipping effect itself is
+    pinned by tests/test_sources.py::test_zordered_write_skips_on_both_dims
+    and measured at 10x/100x in SCALE.md. Oracle: the identical
+    box/rollup on the plain view — layout never changes answers.
+
+    At larger key domains than the fixtures', normalize both keys into
+    [0, 2^bits) (rank or min/max scale) before interleaving — the
+    writer interleaves only the low ``bits`` bits."""
+    lo1, hi1, lo2, hi2 = _ZBOX
+    z = spark.read.parquet(_zorder_layout_path(spark, sf_dir))
+    return (
+        z.filter(
+            (F.col("l_partkey") >= lo1)
+            & (F.col("l_partkey") <= hi1)
+            & (F.col("l_suppkey") >= lo2)
+            & (F.col("l_suppkey") <= hi2)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_ZORDER_BOX = f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       sum(l_quantity) AS sum_qty
+FROM lineitem
+WHERE l_partkey BETWEEN {_ZBOX[0]} AND {_ZBOX[1]}
+  AND l_suppkey BETWEEN {_ZBOX[2]} AND {_ZBOX[3]}
+GROUP BY l_returnflag
+"""
+
+LLM_QUERIES["zorder_box_serve"] = (
+    zorder_box_serve,
+    ORACLE_ZORDER_BOX,
+    "layout: 2-D box rollup served from the Z-order-clustered copy — "
+    "both range predicates pushed, multi-dim row-group skipping",
+)
+
+
+def embedding_top_pc_power(spark, sf_dir):
+    """Dominant principal direction of the embedding table by
+    ALL-INTEGER power iteration (operators/linalg.power_iteration_
+    dominant) — the corpus-geometry summary (dominant topic/style
+    axis) that pca_project computes with numpy.linalg.eigh, here in a
+    form a relational engine can replay EXACTLY: quantize to int
+    (floor(x*1000 + 0.5)), one distributed pass builds the exact int64
+    Gram matrix (the only data-sized work — d^2-key sum, mergeable
+    partials, O(batches) shuffle rows), then 32 fixed integer
+    iterations w = G v with trunc-toward-zero renormalization. The
+    oracle replays the same chain as materialized CTEs (the
+    pagerank_fixedpoint / Lloyd recipe), so the 64 output ints are
+    bit-equal whether or not the iterate has converged — and
+    semantically it has: the iterate's Rayleigh quotient reaches
+    >= 95% of lambda_max at every fixture sf (tests/test_linalg.py;
+    the fixture spectrum is near-flat, so top-ENERGY is the honest
+    convergence claim). Driver state: d^2 longs, independent of
+    corpus size."""
+    from ..operators.linalg import power_iteration_dominant
+
+    v = power_iteration_dominant(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        dim=64,
+        scale=1_000,
+        iters=32,
+    )
+    return spark.createDataFrame(
+        [(i + 1, int(x)) for i, x in enumerate(v)], "pos int, v_x1e6 bigint"
+    )
+
+
+def _power_iteration_oracle(dim: int = 64, iters: int = 32) -> str:
+    """Chained-CTE DuckDB replay of embedding_top_pc_power. Every CTE
+    is AS MATERIALIZED (DuckDB inlines plain CTEs per reference — the
+    pagerank lesson: a deep iteration chain explodes into exponential
+    re-scans without it). trunc-toward-zero division is the explicit
+    sign-split CASE, matching the Python trunc_div. The quantization
+    must run in DOUBLE (embedding::DOUBLE[] first) — indexing the raw
+    FLOAT[] would multiply in float32 and cross floor boundaries the
+    numpy float64 path doesn't."""
+    ctes = [
+        "c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""e AS MATERIALIZED (
+  SELECT vec_id, r.pos AS pos,
+         CAST(floor(v[r.pos] * 1000 + 0.5) AS BIGINT) AS q
+  FROM c CROSS JOIN range(1, {dim + 1}) r(pos))""",
+        """g AS MATERIALIZED (
+  SELECT e1.pos AS i, e2.pos AS j, CAST(sum(e1.q * e2.q) AS BIGINT) AS gij
+  FROM e e1 JOIN e e2 USING (vec_id) GROUP BY 1, 2)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT r.pos AS j, CAST(1000000 AS BIGINT) AS vj
+  FROM range(1, {dim + 1}) r(pos))""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""w{t} AS MATERIALIZED (
+  SELECT g.i AS j, CAST(sum(g.gij * v.vj) AS BIGINT) AS wj
+  FROM g JOIN v{t - 1} v ON g.j = v.j GROUP BY g.i)""")
+        ctes.append(f"""d{t} AS MATERIALIZED (
+  SELECT max(abs(wj)) // 1000000 + 1 AS d FROM w{t})""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+  SELECT j, CAST(CASE WHEN wj >= 0 THEN wj // d
+                      ELSE -((-wj) // d) END AS BIGINT) AS vj
+  FROM w{t}, d{t})""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(j AS INT) AS pos, vj AS v_x1e6 FROM v{iters}"
+    )
+
+
+ORACLE_TOP_PC_POWER = _power_iteration_oracle()
+
+LLM_QUERIES["embedding_top_pc_power"] = (
+    embedding_top_pc_power,
+    ORACLE_TOP_PC_POWER,
+    "linalg: dominant principal direction via exact-integer power "
+    "iteration over the distributed Gram matrix, chained-CTE replay",
+)

@@ -63,6 +63,9 @@ _NEW_OR_CHANGED_R6 = [
     "bitext_mining_pairs",  # new: cross-lingual margin mining
     "bpe_train_merges",  # promoted: chained-CTE training-loop oracle
     "semantic_dedup_flags",  # new: SemDeDup cluster-then-prune
+    "bucketed_join_colocated",  # new: exchange-free bucket-co-located SMJ
+    "zorder_box_serve",  # new: 2-D box served from the Z-ordered copy
+    "embedding_top_pc_power",  # new: integer power iteration, CTE replay
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -105,15 +108,13 @@ _OLDEST_R6 = [
     "udtf_flatten_props",
     "upsert_user_snapshot",
     "weighted_doc_sample",
-    "weighted_group_sample",
-    # last driver row r3 (age 2), alphabetical, filling the window:
-    "ann_hard_negatives",
-    "ann_pq_recall",
     # (cms_token_estimates, containment_pairs_directed,
     # bloom_prefilter_decontaminate and array_vector_stats displaced
     # as pipeline_observed_metrics, bitext_mining_pairs, the promoted
-    # bpe_train_merges and semantic_dedup_flags joined the head; the
-    # window stays exactly 50)
+    # bpe_train_merges and semantic_dedup_flags joined the head; then
+    # ann_hard_negatives, ann_pq_recall and weighted_group_sample as
+    # the third-wave bucketed_join_colocated, zorder_box_serve and
+    # embedding_top_pc_power joined it; the window stays exactly 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----

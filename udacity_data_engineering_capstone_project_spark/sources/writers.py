@@ -53,6 +53,7 @@ def write_bucketed(
     n_buckets: int = 8,
     sort_by: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed parquet table (saveAsTable — bucketing metadata lives
     in the catalog): pre-shuffles the data into ``n_buckets`` files by
@@ -63,10 +64,18 @@ def write_bucketed(
     the shuffle is paid once at write time instead of on every join.
     The co-location test asserts the joined plan contains zero
     Exchange operators.
+
+    ``path`` makes it an EXTERNAL table at that location. Use a fresh
+    per-process path for scratch tables: a managed table's warehouse
+    directory outlives the in-memory catalog, so a NEW process hits
+    LOCATION_ALREADY_EXISTS on the leftover dir (overwrite can't help
+    — the fresh catalog has no table to overwrite).
     """
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_by)
     if sort_by:
         writer = writer.sortBy(sort_by)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
