@@ -99,6 +99,13 @@ HEADLINE = [
     # SemDeDup pipeline (in-plan k-means + per-cluster prune)
     "bitext_mining_pairs",
     "semantic_dedup_flags",
+    # round-6 third wave: the layout tier (first bench call pays the
+    # one-time bucketed/Z-ordered build; min-of-5 reports steady-state
+    # SERVING, the deployment number) and the integer power iteration
+    # (its cost is the one distributed Gram pass).
+    "bucketed_join_colocated",
+    "zorder_box_serve",
+    "embedding_top_pc_power",
 ]
 
 #: FROZEN round-over-round comparability subset (VERDICT r5 #7): the

@@ -6594,3 +6594,86 @@ LLM_QUERIES["embedding_top_pc_power"] = (
     "linalg: dominant principal direction via exact-integer power "
     "iteration over the distributed Gram matrix, chained-CTE replay",
 )
+
+
+def incremental_join_agg(spark, sf_dir):
+    """Incremental maintenance of a JOIN-aggregate materialized view —
+    the step past incremental_user_totals' single-table merge: the MV
+    is M = Agg(lineitem JOIN orders) by o_orderpriority, and a new
+    ingest batch (a deterministic md5-rank 5% of lineitem, standing in
+    for the day's delta) must update it WITHOUT re-joining history.
+    The delta-join identity for a foreign-key join makes that sound:
+    Agg((L_base + L_delta) JOIN O) = merge(Agg(L_base JOIN O),
+    Agg(L_delta JOIN O)) because every lineitem row matches exactly
+    one order, so base/delta contributions are disjoint and the
+    measures are decomposable sums. At 100 TB the base MV is a stored
+    |groups|-row table and each refresh pays only Agg(delta JOIN dim)
+    + an O(|groups|) merge (operators/cdc.merge_partial_aggs); here
+    both sides run in one plan so the oracle (the from-scratch
+    recompute over the full join) can prove the merge exact, including
+    per-group delta provenance (n_from_delta)."""
+    from ..operators.cdc import merge_partial_aggs
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    oo = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    h = F.expr(
+        spark_hex_to_long(
+            "md5(CAST(l_orderkey AS STRING) || ':' || "
+            "CAST(l_linenumber AS STRING))",
+            8,
+        )
+    )
+    tagged = li.withColumn("__is_delta", (h % 20 == 0).cast("int"))
+
+    def part_agg(df, is_delta: int):
+        return (
+            df.join(oo, df.l_orderkey == oo.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).alias("price_x100_sum"),
+                F.sum(F.lit(is_delta) * F.lit(1)).cast("long").alias(
+                    "n_from_delta"
+                ),
+            )
+        )
+
+    merged = merge_partial_aggs(
+        part_agg(tagged.filter(F.col("__is_delta") == 0), 0),
+        part_agg(tagged.filter(F.col("__is_delta") == 1), 1),
+        ["o_orderpriority"],
+        ["n_lines", "sum_qty", "price_x100_sum", "n_from_delta"],
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "sum_qty",
+        F.col("price_x100_sum").cast("long").alias("price_x100_sum"),
+        F.col("n_from_delta").cast("long").alias("n_from_delta"),
+    )
+
+
+ORACLE_INCREMENTAL_JOIN_AGG = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_x100_sum,
+       CAST(sum(CASE WHEN {sql_hex_to_long("md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))", 8)} % 20 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+LLM_QUERIES["incremental_join_agg"] = (
+    incremental_join_agg,
+    ORACLE_INCREMENTAL_JOIN_AGG,
+    "CDC: join-aggregate MV refresh by delta-join merge (base and "
+    "delta contributions merged, proven equal to the from-scratch "
+    "recompute incl. per-group delta provenance)",
+)

@@ -66,6 +66,7 @@ _NEW_OR_CHANGED_R6 = [
     "bucketed_join_colocated",  # new: exchange-free bucket-co-located SMJ
     "zorder_box_serve",  # new: 2-D box served from the Z-ordered copy
     "embedding_top_pc_power",  # new: integer power iteration, CTE replay
+    "incremental_join_agg",  # new: join-agg MV refresh by delta-join merge
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -107,14 +108,14 @@ _OLDEST_R6 = [
     "text_punct_stopword",
     "udtf_flatten_props",
     "upsert_user_snapshot",
-    "weighted_doc_sample",
     # (cms_token_estimates, containment_pairs_directed,
     # bloom_prefilter_decontaminate and array_vector_stats displaced
     # as pipeline_observed_metrics, bitext_mining_pairs, the promoted
     # bpe_train_merges and semantic_dedup_flags joined the head; then
-    # ann_hard_negatives, ann_pq_recall and weighted_group_sample as
-    # the third-wave bucketed_join_colocated, zorder_box_serve and
-    # embedding_top_pc_power joined it; the window stays exactly 50)
+    # ann_hard_negatives, ann_pq_recall, weighted_group_sample and
+    # weighted_doc_sample as the third-wave bucketed_join_colocated,
+    # zorder_box_serve, embedding_top_pc_power and
+    # incremental_join_agg joined it; the window stays exactly 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
