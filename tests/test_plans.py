@@ -700,3 +700,16 @@ def test_gram_matrix_single_python_stage_one_shuffle(spark):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert _shuffles(plan) == 1
+
+
+def test_dpp_prunes_partitions_at_runtime(spark):
+    import contextlib
+    import io
+
+    df = query_fns()["dpp_partitioned_join"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    formatted = buf.getvalue()
+    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
+    assert parts and "dynamicpruning" in parts[0]

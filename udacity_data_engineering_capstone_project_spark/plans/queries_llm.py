@@ -6677,3 +6677,77 @@ LLM_QUERIES["incremental_join_agg"] = (
     "delta contributions merged, proven equal to the from-scratch "
     "recompute incl. per-group delta provenance)",
 )
+
+
+#: per-process month-partitioned orders layout: sf_dir -> parquet path
+_DPP_ORDERS_CACHE: dict = {}
+
+
+def _dpp_orders_path(spark, sf_dir: str) -> str:
+    import tempfile
+
+    path = _DPP_ORDERS_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dpp_orders_") + "/orders_by_month"
+        (
+            _t(spark, sf_dir, "orders")
+            .withColumn("om", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.partitionBy("om")
+            .parquet(path)
+        )
+        _DPP_ORDERS_CACHE[sf_dir] = path
+    return path
+
+
+def dpp_partitioned_join(spark, sf_dir):
+    """Dynamic partition pruning — the RUNTIME half of the layout
+    story (the static half is zorder_box_serve/pruned_scan): the fact
+    table is Hive-partitioned by order month (80 dirs at the fixture's
+    date range), the month dimension carries the selective predicate
+    (year 1996, Q1), and the join key is the partition column — so
+    Catalyst injects a ``dynamicpruning`` subquery into the fact
+    scan's PartitionFilters and only the 3 qualifying directories are
+    ever listed or read, even though the qualifying months are not
+    known until the dim side is evaluated. At 100 TB this is the
+    difference between scanning 3 months and scanning 7 years when
+    the predicate lives on the dimension (the star-schema norm). The
+    plan guard asserts the dynamicpruning expression reached the scan;
+    the oracle proves losslessness by recomputing from the unpruned
+    view with the month list folded in."""
+    fact = spark.read.parquet(_dpp_orders_path(spark, sf_dir))
+    months = [
+        (f"{y}-{m:02d}", y, (m - 1) // 3 + 1)
+        for y in range(1995, 2002)
+        for m in range(1, 13)
+    ]
+    dim = spark.createDataFrame(months, "om string, yr int, qtr int")
+    sel = dim.filter((F.col("yr") == 1996) & (F.col("qtr") == 1))
+    return (
+        fact.join(sel, "om")
+        .groupBy("om")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "price_x100_sum"
+            ),
+        )
+    )
+
+
+ORACLE_DPP_JOIN = """
+SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_x100_sum
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-02', '1996-03')
+GROUP BY om
+"""
+
+LLM_QUERIES["dpp_partitioned_join"] = (
+    dpp_partitioned_join,
+    ORACLE_DPP_JOIN,
+    "layout: dynamic partition pruning — dim-side predicate prunes the "
+    "month-partitioned fact scan at runtime (dynamicpruning subquery "
+    "in PartitionFilters)",
+)
