@@ -100,12 +100,15 @@ HEADLINE = [
     "bitext_mining_pairs",
     "semantic_dedup_flags",
     # round-6 third wave: the layout tier (first bench call pays the
-    # one-time bucketed/Z-ordered build; min-of-5 reports steady-state
-    # SERVING, the deployment number) and the integer power iteration
-    # (its cost is the one distributed Gram pass).
+    # one-time bucketed/Z-ordered/partitioned build; min-of-5 reports
+    # steady-state SERVING, the deployment number), the integer power
+    # iteration (its cost is the one distributed Gram pass), and the
+    # join-aggregate MV refresh.
     "bucketed_join_colocated",
     "zorder_box_serve",
+    "dpp_partitioned_join",
     "embedding_top_pc_power",
+    "incremental_join_agg",
 ]
 
 #: FROZEN round-over-round comparability subset (VERDICT r5 #7): the
