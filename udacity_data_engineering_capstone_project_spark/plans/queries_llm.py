@@ -6751,3 +6751,169 @@ LLM_QUERIES["dpp_partitioned_join"] = (
     "month-partitioned fact scan at runtime (dynamicpruning subquery "
     "in PartitionFilters)",
 )
+
+
+def join_size_estimate_sketch(spark, sf_dir):
+    """Pre-flight JOIN CARDINALITY estimation from keyed theta/KMV
+    sketches — the optimizer-statistics question every 100 TB join
+    launch should answer first ("is this join 1e9 or 1e13 rows?"),
+    done without running the join: each side reduces to a per-key
+    fanout table (one map-side-combining agg — the only data-scale
+    work), the k = 64 smallest md5 key-hashes form a keyed sketch
+    CARRYING the fanouts, and the estimator scales the sampled
+    fan-product sum by SPACE/theta_u (the DataSketches theta-join
+    recipe; Vengerov et al., "Join Size Estimation Subject to Filter
+    Conditions", VLDB'15 shape). Because the sketch is a pure function
+    of md5, the DuckDB oracle reproduces the ESTIMATE bit-for-bit; the
+    exact join size rides along as the accuracy anchor (computed from
+    the two fanout tables, never materializing the join). The one
+    deliberate double: s * SPACE exceeds int64, so the scale step is
+    floor(CAST(s AS DOUBLE) * SPACE / theta_u) with the identical
+    expression on both engines (the embedding_covariance precedent).
+    Same scale path as operators.aggregates.kmv_sketch: an
+    approx_count_distinct threshold prefilter keeps ~margin*k hashes
+    per side before the tiny row_number ranking (at the fixture's key
+    counts the prefilter passes everything; kmv_sketch documents the
+    under-collect-raises contract)."""
+    K, NCH, MARGIN = 64, 13, 8
+    SPACE = 16**NCH
+
+    def fan_table(df, key):
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").cast("long").alias("fan")
+        )
+
+    def keyed_sketch(fan):
+        h = F.expr(spark_hex_to_long("md5(CAST(k AS STRING))", NCH))
+        hashed = fan.withColumn("h", h)
+        thr = hashed.agg(
+            F.approx_count_distinct("k").alias("n_est")
+        ).select(
+            F.when(F.col("n_est") <= MARGIN * K, F.lit(SPACE).cast("long"))
+            .otherwise(
+                F.least(
+                    F.lit(SPACE).cast("long"),
+                    (F.lit(MARGIN * K * SPACE) / F.col("n_est")).cast("long") + 1,
+                )
+            )
+            .alias("thr")
+        )
+        surv = hashed.crossJoin(F.broadcast(thr)).filter(F.col("h") < F.col("thr"))
+        w = Window.orderBy("h")
+        return (
+            surv.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .select("k", "fan", "h", "rn")
+        )
+
+    fa = fan_table(_t(spark, sf_dir, "events").select("user_id"), "user_id")
+    fb = fan_table(_t(spark, sf_dir, "orders").select("o_custkey"), "o_custkey")
+    ska, skb = keyed_sketch(fa), keyed_sketch(fb)
+
+    def summary(sk, side):
+        return sk.agg(F.max("rn").alias("n_sk"), F.max("h").alias("kth")).select(
+            F.when(F.col("n_sk") < K, F.lit(SPACE).cast("long"))
+            .otherwise(F.col("kth"))
+            .alias(f"theta_{side}"),
+            F.when(F.col("n_sk") < K, F.col("n_sk").cast("long"))
+            .otherwise(F.expr(f"CAST({(K - 1) * SPACE} AS BIGINT) DIV kth"))
+            .alias(f"est_keys_{side}"),
+        )
+
+    pa, pb = summary(ska, "a"), summary(skb, "b")
+    both = pa.crossJoin(pb).withColumn(
+        "theta_u", F.least("theta_a", "theta_b")
+    )
+    common = (
+        ska.select("k", F.col("fan").alias("fan_a"), "h")
+        .join(skb.select("k", F.col("fan").alias("fan_b"), F.col("h").alias("hb")), "k")
+        .crossJoin(F.broadcast(both.select("theta_u")))
+        .filter(F.col("h") < F.col("theta_u"))
+        .agg(
+            F.count("*").cast("long").alias("n_common_sample"),
+            F.coalesce(F.sum(F.col("fan_a") * F.col("fan_b")), F.lit(0))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    exact = (
+        fa.select("k", F.col("fan").alias("fan_a"))
+        .join(fb.select("k", F.col("fan").alias("fan_b")), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("fan_a") * F.col("fan_b")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_rows")
+        )
+    )
+    est_join = F.when(F.col("theta_u") == SPACE, F.col("s")).otherwise(
+        F.floor(F.col("s").cast("double") * F.lit(float(SPACE)) / F.col("theta_u"))
+    )
+    return (
+        both.crossJoin(common)
+        .crossJoin(exact)
+        .select(
+            "est_keys_a",
+            "est_keys_b",
+            "n_common_sample",
+            est_join.cast("long").alias("est_join_rows"),
+            "exact_join_rows",
+        )
+    )
+
+
+_JS_SPACE = 16**13
+ORACLE_JOIN_SIZE_EST = f"""
+WITH fa AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS fan FROM events GROUP BY user_id
+),
+fb AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS fan FROM orders GROUP BY o_custkey
+),
+ra AS (
+  SELECT k, fan, {sql_md5_long("CAST(k AS VARCHAR)", 13)} AS h,
+         row_number() OVER (ORDER BY {sql_md5_long("CAST(k AS VARCHAR)", 13)}) AS rn
+  FROM fa
+),
+rb AS (
+  SELECT k, fan, {sql_md5_long("CAST(k AS VARCHAR)", 13)} AS h,
+         row_number() OVER (ORDER BY {sql_md5_long("CAST(k AS VARCHAR)", 13)}) AS rn
+  FROM fb
+),
+ska AS (SELECT * FROM ra WHERE rn <= 64),
+skb AS (SELECT * FROM rb WHERE rn <= 64),
+pa AS (
+  SELECT CASE WHEN max(rn) < 64 THEN CAST({_JS_SPACE} AS BIGINT) ELSE max(h) END AS theta_a,
+         CASE WHEN max(rn) < 64 THEN CAST(max(rn) AS BIGINT)
+              ELSE CAST({63 * _JS_SPACE} AS BIGINT) // max(h) END AS est_keys_a
+  FROM ska
+),
+pb AS (
+  SELECT CASE WHEN max(rn) < 64 THEN CAST({_JS_SPACE} AS BIGINT) ELSE max(h) END AS theta_b,
+         CASE WHEN max(rn) < 64 THEN CAST(max(rn) AS BIGINT)
+              ELSE CAST({63 * _JS_SPACE} AS BIGINT) // max(h) END AS est_keys_b
+  FROM skb
+),
+common AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common_sample,
+         CAST(coalesce(sum(a.fan * b.fan), 0) AS BIGINT) AS s
+  FROM ska a JOIN skb b USING (k), pa, pb
+  WHERE a.h < least(pa.theta_a, pb.theta_b)
+),
+exact AS (
+  SELECT CAST(coalesce(sum(a.fan * b.fan), 0) AS BIGINT) AS exact_join_rows
+  FROM fa a JOIN fb b USING (k)
+)
+SELECT pa.est_keys_a, pb.est_keys_b, c.n_common_sample,
+       CAST(CASE WHEN least(pa.theta_a, pb.theta_b) = {_JS_SPACE} THEN c.s
+                 ELSE floor(CAST(c.s AS DOUBLE) * {float(_JS_SPACE)} / least(pa.theta_a, pb.theta_b))
+            END AS BIGINT) AS est_join_rows,
+       e.exact_join_rows
+FROM pa, pb, common c, exact e
+"""
+
+LLM_QUERIES["join_size_estimate_sketch"] = (
+    join_size_estimate_sketch,
+    ORACLE_JOIN_SIZE_EST,
+    "optimizer stats: join cardinality estimate from keyed theta/KMV "
+    "sketches carrying fanouts, exact join size as accuracy anchor",
+)

@@ -68,6 +68,7 @@ _NEW_OR_CHANGED_R6 = [
     "embedding_top_pc_power",  # new: integer power iteration, CTE replay
     "incremental_join_agg",  # new: join-agg MV refresh by delta-join merge
     "dpp_partitioned_join",  # new: runtime dynamic partition pruning
+    "join_size_estimate_sketch",  # new: sketch-based join cardinality
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -107,16 +108,17 @@ _OLDEST_R6 = [
     "simhash_fingerprints",
     "stream_static_join",
     "text_punct_stopword",
-    "udtf_flatten_props",
     # (cms_token_estimates, containment_pairs_directed,
     # bloom_prefilter_decontaminate and array_vector_stats displaced
     # as pipeline_observed_metrics, bitext_mining_pairs, the promoted
     # bpe_train_merges and semantic_dedup_flags joined the head; then
     # ann_hard_negatives, ann_pq_recall, weighted_group_sample,
-    # weighted_doc_sample and upsert_user_snapshot as the third-wave
+    # weighted_doc_sample, upsert_user_snapshot and
+    # udtf_flatten_props as the third/fourth-wave
     # bucketed_join_colocated, zorder_box_serve,
-    # embedding_top_pc_power, incremental_join_agg and
-    # dpp_partitioned_join joined it; the window stays exactly 50)
+    # embedding_top_pc_power, incremental_join_agg,
+    # dpp_partitioned_join and join_size_estimate_sketch joined it;
+    # the window stays exactly 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
