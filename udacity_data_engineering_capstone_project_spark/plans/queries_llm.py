@@ -6370,13 +6370,22 @@ def _bucketed_tables(spark, sf_dir: str):
         # new process would hit LOCATION_ALREADY_EXISTS (caught by the
         # vanilla-session driver smoke).
         base = tempfile.mkdtemp(prefix="bucketed_tables_")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        # bucket COUNT is a per-table-size dial: it caps read
+        # parallelism forever after (8 buckets = 8-way scans at any
+        # size) but over-bucketing fragments the table into small
+        # files. Measured at 100x (60M rows): 8 buckets 4.2 s,
+        # 32 buckets 1.9 s, 240 buckets 5.5 s — target ~2M rows per
+        # bucket, floor 8 (SCALE.md round-6 layout section). Both
+        # tables must share the count for co-location.
+        n_buckets = max(8, min(256, li.count() // 2_000_000))
         write_bucketed(
-            _t(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_quantity", "l_extendedprice"
-            ),
+            li,
             lt,
             "l_orderkey",
-            n_buckets=8,
+            n_buckets=n_buckets,
             sort_by="l_orderkey",
             path=f"{base}/{lt}",
         )
@@ -6384,7 +6393,7 @@ def _bucketed_tables(spark, sf_dir: str):
             _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
             ot,
             "o_orderkey",
-            n_buckets=8,
+            n_buckets=n_buckets,
             sort_by="o_orderkey",
             path=f"{base}/{ot}",
         )
