@@ -6926,3 +6926,72 @@ LLM_QUERIES["join_size_estimate_sketch"] = (
     "optimizer stats: join cardinality estimate from keyed theta/KMV "
     "sketches carrying fanouts, exact join size as accuracy anchor",
 )
+
+
+#: per-process schema-evolved dataset: sf_dir -> parquet path
+_EVOLVED_ORDERS_CACHE: dict = {}
+
+
+def _evolved_orders_path(spark, sf_dir: str) -> str:
+    import tempfile
+
+    path = _EVOLVED_ORDERS_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="evolved_orders_") + "/orders_evolved"
+        o = _t(spark, sf_dir, "orders")
+        old = o.filter(F.col("o_orderdate") < "1997-01-01").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        new = o.filter(F.col("o_orderdate") >= "1997-01-01").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        old.write.parquet(f"{path}/batch=old")
+        new.write.parquet(f"{path}/batch=new")
+        _EVOLVED_ORDERS_CACHE[sf_dir] = path
+    return path
+
+
+def schema_evolution_union(spark, sf_dir):
+    """Schema-evolved dataset read — the lake reality that columns
+    arrive mid-history: the first ingest era wrote orders WITHOUT
+    o_orderpriority (3 columns), a later era added it; the reader must
+    union both eras into one frame with NULLs where the column
+    predates its own existence (``mergeSchema=true`` — per-file
+    footers reconciled at scan planning, no rewrite of the old era;
+    the alternative at 100 TB is a full-history backfill). The rollup
+    reports, per status, total rows and how many carry the late
+    column — exactly the "how much of my history has this field"
+    audit a schema migration needs. Oracle recomputes from the
+    unevolved view with the era split folded in (the era boundary is
+    the deterministic o_orderdate < 1997 predicate)."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        _evolved_orders_path(spark, sf_dir)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_orderpriority").isNotNull().cast("long")).alias(
+            "n_with_priority"
+        ),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "price_x100_sum"
+        ),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_x100_sum
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+LLM_QUERIES["schema_evolution_union"] = (
+    schema_evolution_union,
+    ORACLE_SCHEMA_EVOLUTION,
+    "sources: mergeSchema read over eras written with different "
+    "schemas; per-status audit of late-column coverage",
+)
