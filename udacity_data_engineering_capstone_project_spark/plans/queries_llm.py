@@ -6995,3 +6995,98 @@ LLM_QUERIES["schema_evolution_union"] = (
     "sources: mergeSchema read over eras written with different "
     "schemas; per-status audit of late-column coverage",
 )
+
+
+def ann_truncated_dim_recall(spark, sf_dir):
+    """Matryoshka-style truncated-dimension serving audit (Kusupati et
+    al., MRL NeurIPS'22 deployment shape): serve ANN on only the first
+    d of 64 embedding dimensions — 2-8x less memory bandwidth and
+    index footprint — and measure recall@5 against the full-dimension
+    exact top-5 for d in {8, 16, 32}. This is the dial a 100 TB
+    vector-serving tier tunes before anything else (dimension
+    truncation compounds with IVF probe count and int8 quantization,
+    both audited by sibling queries). Cosine ranking on the truncated
+    prefix reuses the exact brute-force operator over a sliced vector
+    column; ranking happens on 1e-4-rounded cosine with id tie-breaks
+    (the engine's cross-engine ANN discipline), so recalls are
+    hash-exact against the DuckDB replay. On the fixture the measured
+    recalls are LOW (the synthetic embeddings are not MRL-trained, so
+    prefix dims carry no concentrated signal) — which is the point of
+    the audit: it is the instrument that tells you whether YOUR
+    embeddings were trained to truncate before you ship the truncated
+    index."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    truth_cnt = exact.agg(F.count("*").alias("n_truth"))
+    parts = []
+    for d in (8, 16, 32):
+        tr = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        trq = queries.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = brute_force_topk(trq, tr, "vec_id", "embedding", k=5).select(
+            "query_id", "neighbor_id"
+        )
+        parts.append(
+            approx.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .withColumn("dim", F.lit(d).cast("int"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.crossJoin(truth_cnt).select(
+        "dim",
+        "n_hits",
+        "n_truth",
+        F.expr("(n_hits * 1000) div n_truth").alias("recall_x1000"),
+    )
+
+
+def _trunc_dim_cte(d: int) -> str:
+    cos = sql_round_fixed(f"list_cosine_similarity(q.qv[1:{d}], c.v[1:{d}])", 4)
+    return f"""t{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos} DESC, c.vec_id) AS rank
+    FROM q, c WHERE c.vec_id <> q.query_id
+  ) WHERE rank <= 5)"""
+
+
+ORACLE_TRUNC_DIM_RECALL = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 20),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_round_fixed("list_cosine_similarity(q.qv, c.v)", 4)} DESC,
+                                       c.vec_id) AS rank
+    FROM q, c WHERE c.vec_id <> q.query_id
+  ) WHERE rank <= 5
+),
+{",".join(_trunc_dim_cte(d) for d in (8, 16, 32))},
+truth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM bf)
+SELECT dim, n_hits, t.n_truth,
+       CAST((n_hits * 1000) // t.n_truth AS BIGINT) AS recall_x1000
+FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({d} AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_hits "
+      f"FROM t{d} JOIN bf USING (query_id, neighbor_id)"
+      for d in (8, 16, 32)
+  )}
+) hits, truth t
+"""
+
+LLM_QUERIES["ann_truncated_dim_recall"] = (
+    ann_truncated_dim_recall,
+    ORACLE_TRUNC_DIM_RECALL,
+    "ANN: Matryoshka truncated-dimension serving audit — recall@5 of "
+    "prefix-d cosine vs full-dim exact top-5, d in {8,16,32}",
+)

@@ -70,6 +70,7 @@ _NEW_OR_CHANGED_R6 = [
     "dpp_partitioned_join",  # new: runtime dynamic partition pruning
     "join_size_estimate_sketch",  # new: sketch-based join cardinality
     "schema_evolution_union",  # new: mergeSchema read across eras
+    "ann_truncated_dim_recall",  # new: Matryoshka truncation audit
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -107,18 +108,18 @@ _OLDEST_R6 = [
     "scd2_user_status",
     "sequence_packing",
     "simhash_fingerprints",
-    "stream_static_join",
     # (cms_token_estimates, containment_pairs_directed,
     # bloom_prefilter_decontaminate and array_vector_stats displaced
     # as pipeline_observed_metrics, bitext_mining_pairs, the promoted
     # bpe_train_merges and semantic_dedup_flags joined the head; then
     # ann_hard_negatives, ann_pq_recall, weighted_group_sample,
-    # weighted_doc_sample, upsert_user_snapshot, udtf_flatten_props
-    # and text_punct_stopword as the third/fourth/fifth-wave
-    # bucketed_join_colocated, zorder_box_serve,
-    # embedding_top_pc_power, incremental_join_agg,
-    # dpp_partitioned_join, join_size_estimate_sketch and
-    # schema_evolution_union joined it; the window stays exactly 50)
+    # weighted_doc_sample, upsert_user_snapshot, udtf_flatten_props,
+    # text_punct_stopword and stream_static_join as the
+    # third/fourth/fifth-wave bucketed_join_colocated,
+    # zorder_box_serve, embedding_top_pc_power, incremental_join_agg,
+    # dpp_partitioned_join, join_size_estimate_sketch,
+    # schema_evolution_union and ann_truncated_dim_recall joined it;
+    # the window stays exactly 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
