@@ -7090,3 +7090,83 @@ LLM_QUERIES["ann_truncated_dim_recall"] = (
     "ANN: Matryoshka truncated-dimension serving audit — recall@5 of "
     "prefix-d cosine vs full-dim exact top-5, d in {8,16,32}",
 )
+
+
+def psi_price_drift(spark, sf_dir):
+    """Population Stability Index between ingest eras — the standard
+    "did my feature distribution drift" gate a 100 TB training
+    pipeline runs before refreshing a model (PSI > 0.2 = retrain/
+    investigate; credit-scoring lineage): order prices binned into 10
+    fixed 50k-wide buckets, per-era bin counts from ONE
+    map-side-combining aggregation of the fact table, then per-bin
+    contributions (p - q) * ln(p / q) with add-one smoothing so empty
+    bins stay finite. Everything up to the final expression is exact
+    integers; the ln/multiply runs in DOUBLE with the IDENTICAL
+    expression shape on both engines and is floored at x1e6 (the
+    sqrt-in-AQP precedent). Output: per-bin counts + contribution —
+    the drill-down a drift alarm needs, summing to the headline PSI."""
+    o = _t(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000).cast("int")).alias(
+            "bin"
+        ),
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("era"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("era")).cast("long").alias("n_old"),
+        F.sum("era").cast("long").alias("n_new"),
+    )
+    tot = g.agg(
+        F.sum("n_old").alias("tot_old"), F.sum("n_new").alias("tot_new")
+    )
+    p = (F.col("n_old") + 1).cast("double") / (F.col("tot_old") + 10).cast(
+        "double"
+    )
+    q = (F.col("n_new") + 1).cast("double") / (F.col("tot_new") + 10).cast(
+        "double"
+    )
+    contrib = (p - q) * F.log(p / q)
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.floor(contrib * 1e6 + F.lit(0.5)).cast("bigint").alias(
+            "psi_contrib_x1e6"
+        ),
+    )
+
+
+ORACLE_PSI_DRIFT = """
+WITH b AS (
+  SELECT least(9, CAST(floor(o_totalprice / 50000) AS INT)) AS bin,
+         CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS era
+  FROM orders
+),
+g AS (
+  SELECT bin, CAST(sum(1 - era) AS BIGINT) AS n_old,
+         CAST(sum(era) AS BIGINT) AS n_new
+  FROM b GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+         CAST(sum(n_new) AS BIGINT) AS tot_new
+  FROM g
+)
+SELECT bin, n_old, n_new,
+       CAST(floor(
+         (CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + 10 AS DOUBLE)
+          - CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + 10 AS DOUBLE))
+         * ln((CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + 10 AS DOUBLE))
+              / (CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + 10 AS DOUBLE)))
+         * 1e6 + 0.5) AS BIGINT) AS psi_contrib_x1e6
+FROM g CROSS JOIN tot
+"""
+
+LLM_QUERIES["psi_price_drift"] = (
+    psi_price_drift,
+    ORACLE_PSI_DRIFT,
+    "ops: Population Stability Index drift gate between ingest eras "
+    "(fixed bins, add-one smoothing, per-bin contributions x1e6)",
+)
