@@ -6815,9 +6815,18 @@ def join_size_estimate_sketch(spark, sf_dir):
             .select("k", "fan", "h", "rn")
         )
 
-    fa = fan_table(_t(spark, sf_dir, "events").select("user_id"), "user_id")
-    fb = fan_table(_t(spark, sf_dir, "orders").select("o_custkey"), "o_custkey")
-    ska, skb = keyed_sketch(fa), keyed_sketch(fb)
+    # the fan tables feed BOTH the sketch and the exact anchor, and
+    # the sketches feed both the summary and the common-key join —
+    # persist so each data-scale aggregation runs once (the
+    # persisted-subtree discipline from the log-odds fix; fan tables
+    # are |keys|-sized, sketches are k-sized)
+    fa = fan_table(
+        _t(spark, sf_dir, "events").select("user_id"), "user_id"
+    ).persist()
+    fb = fan_table(
+        _t(spark, sf_dir, "orders").select("o_custkey"), "o_custkey"
+    ).persist()
+    ska, skb = keyed_sketch(fa).persist(), keyed_sketch(fb).persist()
 
     def summary(sk, side):
         return sk.agg(F.max("rn").alias("n_sk"), F.max("h").alias("kth")).select(
@@ -7017,10 +7026,16 @@ def ann_truncated_dim_recall(spark, sf_dir):
     index."""
     from ..operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id"
+    # four top-k passes (full + three truncations) share the same
+    # corpus/query scans — persist them once (ann_recall_sweep's
+    # stateless-per-point shape predates the persisted-subtree
+    # discipline; at 100 TB re-scanning the corpus per dim is the bug)
+    emb = _t(spark, sf_dir, "embeddings").persist()
+    queries = emb.filter(F.col("vec_id") < 20).persist()
+    exact = (
+        brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .persist()  # consumed by three hit-joins + the truth count
     )
     truth_cnt = exact.agg(F.count("*").alias("n_truth"))
     parts = []
