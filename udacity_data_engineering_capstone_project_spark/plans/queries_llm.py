@@ -7185,3 +7185,123 @@ LLM_QUERIES["psi_price_drift"] = (
     "ops: Population Stability Index drift gate between ingest eras "
     "(fixed bins, add-one smoothing, per-bin contributions x1e6)",
 )
+
+
+def leakage_safe_split(spark, sf_dir):
+    """Contamination-aware train/test split — the step doc-level hash
+    splitting gets WRONG on a deduplicated-but-not-exhaustively corpus:
+    if two near-duplicate documents land on opposite sides of the
+    boundary, the test set leaks into training (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" — eval
+    contamination via near-dups). The fix: split by NEAR-DUP CLUSTER
+    (connected components of the exact-Jaccard >= 0.6 pair graph, the
+    dedup_components operator; singletons are their own cluster), so a
+    whole duplicate family moves as one unit. Output compares both
+    strategies — per-split doc counts and the number of near-dup pairs
+    CROSSING the boundary (cluster strategy: structurally zero, every
+    pair shares a cluster hence a side; naive doc-hash strategy:
+    whatever leaks). Oracle replays the closure with a recursive CTE
+    and the same md5 bucketing."""
+    from ..operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sets = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    prs = jaccard_pairs(sets, threshold_num=3, threshold_den=5).persist()
+    comp = connected_components(prs)
+    clustered = docs.join(
+        comp, docs.doc_id == comp.doc, "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster")
+    )
+
+    def bucket(col):
+        return (
+            F.expr(spark_hex_to_long(f"md5(CAST({col} AS STRING))", 7)) % 10
+        )
+
+    assigned = clustered.select(
+        "doc_id",
+        (bucket("cluster") < 8).cast("int").alias("in_train_cluster"),
+        (bucket("doc_id") < 8).cast("int").alias("in_train_naive"),
+    ).persist()
+
+    def strategy_row(flag_col, name):
+        counts = assigned.agg(
+            F.sum(flag_col).cast("long").alias("n_train"),
+            F.sum(1 - F.col(flag_col)).cast("long").alias("n_test"),
+        )
+        a = assigned.select(
+            F.col("doc_id").alias("doc_a"), F.col(flag_col).alias("fa")
+        )
+        b = assigned.select(
+            F.col("doc_id").alias("doc_b"), F.col(flag_col).alias("fb")
+        )
+        crossing = (
+            prs.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(F.col("fa") != F.col("fb"))
+            .agg(F.count("*").cast("long").alias("crossing_pairs"))
+        )
+        return counts.crossJoin(crossing).select(
+            F.lit(name).alias("strategy"), "n_train", "n_test", "crossing_pairs"
+        )
+
+    return strategy_row("in_train_cluster", "by_cluster").unionByName(
+        strategy_row("in_train_naive", "by_doc")
+    )
+
+
+ORACLE_LEAKAGE_SPLIT = f"""
+WITH RECURSIVE p AS ({_jaccard_oracle(3, 5)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc, CAST(least(a, min(b)) AS BIGINT) AS component
+  FROM reach GROUP BY a
+),
+clustered AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+),
+assigned AS (
+  SELECT doc_id,
+         CASE WHEN {sql_md5_long("CAST(cluster AS VARCHAR)", 7)} % 10 < 8
+              THEN 1 ELSE 0 END AS in_train_cluster,
+         CASE WHEN {sql_md5_long("CAST(doc_id AS VARCHAR)", 7)} % 10 < 8
+              THEN 1 ELSE 0 END AS in_train_naive
+  FROM clustered
+)
+SELECT 'by_cluster' AS strategy,
+       CAST(sum(in_train_cluster) AS BIGINT) AS n_train,
+       CAST(sum(1 - in_train_cluster) AS BIGINT) AS n_test,
+       (SELECT CAST(count(*) AS BIGINT) FROM p
+        JOIN assigned x ON x.doc_id = p.doc_a
+        JOIN assigned y ON y.doc_id = p.doc_b
+        WHERE x.in_train_cluster <> y.in_train_cluster) AS crossing_pairs
+FROM assigned
+UNION ALL
+SELECT 'by_doc',
+       CAST(sum(in_train_naive) AS BIGINT),
+       CAST(sum(1 - in_train_naive) AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM p
+        JOIN assigned x ON x.doc_id = p.doc_a
+        JOIN assigned y ON y.doc_id = p.doc_b
+        WHERE x.in_train_naive <> y.in_train_naive)
+FROM assigned
+"""
+
+LLM_QUERIES["leakage_safe_split"] = (
+    leakage_safe_split,
+    ORACLE_LEAKAGE_SPLIT,
+    "curation: contamination-aware split by near-dup cluster vs naive "
+    "doc hash — crossing-pair audit (cluster strategy structurally 0)",
+)
