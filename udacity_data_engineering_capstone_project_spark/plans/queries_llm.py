@@ -7305,3 +7305,100 @@ LLM_QUERIES["leakage_safe_split"] = (
     "curation: contamination-aware split by near-dup cluster vs naive "
     "doc hash — crossing-pair audit (cluster strategy structurally 0)",
 )
+
+
+def copurchase_pairs(spark, sf_dir):
+    """Market-basket affinity mining (the A-priori 2-itemset pass):
+    which part pairs co-occur in the same order more than chance —
+    support, and LIFT = P(a,b) / (P(a)P(b)) in exact-integer x1e4.
+    The scale discipline is the same one that makes PPJoin safe: the
+    pair generation is a SELF-JOIN WITHIN the basket key (orderkey),
+    so the quadratic is bounded by max basket size (13 lines on the
+    fixture; retail baskets are O(10-100)), never corpus-wide — the
+    shuffle key is the basket id and pairs collapse to (a, b) counts
+    map-side. A support floor (pair seen >= 2 orders) keeps the output
+    the head of the distribution, and top-20 by (support desc, lift
+    desc, keys) makes it deterministic. Lift's numerator/denominator
+    are exact int64 products (s_ab * N * 1e4 bounded well under 2^63
+    at fixture scales; at larger N use the documented x1e2 downshift)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    pair_sup = (
+        a.join(b, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("s_ab"))
+        .filter(F.col("s_ab") >= 2)
+    )
+    item_sup = li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("s")
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    sa = item_sup.select(F.col("l_partkey").alias("a"), F.col("s").alias("s_a"))
+    sb = item_sup.select(F.col("l_partkey").alias("b"), F.col("s").alias("s_b"))
+    scored = (
+        pair_sup.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            F.expr("s_ab * n_orders * 10000 DIV (s_a * s_b)").alias(
+                "lift_x1e4"
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.col("s_ab").desc(), F.col("lift_x1e4").desc(), "a", "b"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "a", "b", "s_ab", "s_a", "s_b", "lift_x1e4")
+    )
+
+
+ORACLE_COPURCHASE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pair_sup AS (
+  SELECT a.p AS a, b.p AS b, CAST(count(*) AS BIGINT) AS s_ab
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= 2
+),
+item_sup AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS s FROM li GROUP BY p
+),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li)
+SELECT CAST(rank AS INT) AS rank, a, b, s_ab, s_a, s_b, lift_x1e4
+FROM (
+  SELECT ps.a, ps.b, ps.s_ab, ia.s AS s_a, ib.s AS s_b,
+         CAST(ps.s_ab * n.n_orders * 10000 // (ia.s * ib.s) AS BIGINT)
+           AS lift_x1e4,
+         row_number() OVER (ORDER BY ps.s_ab DESC,
+                            ps.s_ab * n.n_orders * 10000 // (ia.s * ib.s) DESC,
+                            ps.a, ps.b) AS rank
+  FROM pair_sup ps
+  JOIN item_sup ia ON ia.p = ps.a
+  JOIN item_sup ib ON ib.p = ps.b
+  CROSS JOIN n
+) WHERE rank <= 20
+"""
+
+LLM_QUERIES["copurchase_pairs"] = (
+    copurchase_pairs,
+    ORACLE_COPURCHASE,
+    "analytics: market-basket 2-itemset mining — within-basket "
+    "self-join, support floor, exact-integer lift, deterministic "
+    "top-20",
+)

@@ -73,6 +73,7 @@ _NEW_OR_CHANGED_R6 = [
     "ann_truncated_dim_recall",  # new: Matryoshka truncation audit
     "psi_price_drift",  # new: PSI drift gate between ingest eras
     "leakage_safe_split",  # new: split by near-dup cluster, crossing audit
+    "copurchase_pairs",  # new: market-basket 2-itemset mining with lift
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -107,21 +108,20 @@ _OLDEST_R6 = [
     "profile_orders",
     "quality_filter_reasons",
     "repetition_scores",
-    "scd2_user_status",
     # (cms_token_estimates, containment_pairs_directed,
     # bloom_prefilter_decontaminate and array_vector_stats displaced
     # as pipeline_observed_metrics, bitext_mining_pairs, the promoted
     # bpe_train_merges and semantic_dedup_flags joined the head; then
     # ann_hard_negatives, ann_pq_recall, weighted_group_sample,
     # weighted_doc_sample, upsert_user_snapshot, udtf_flatten_props,
-    # text_punct_stopword, stream_static_join, simhash_fingerprints
-    # and sequence_packing as the third/fourth/fifth-wave
+    # text_punct_stopword, stream_static_join, simhash_fingerprints,
+    # sequence_packing and scd2_user_status as the third..sixth-wave
     # bucketed_join_colocated, zorder_box_serve,
     # embedding_top_pc_power, incremental_join_agg,
     # dpp_partitioned_join, join_size_estimate_sketch,
     # schema_evolution_union, ann_truncated_dim_recall,
-    # psi_price_drift and leakage_safe_split joined it; the window
-    # stays exactly 50)
+    # psi_price_drift, leakage_safe_split and copurchase_pairs
+    # joined it; the window stays exactly 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
