@@ -7402,3 +7402,96 @@ LLM_QUERIES["copurchase_pairs"] = (
     "self-join, support floor, exact-integer lift, deterministic "
     "top-20",
 )
+
+
+def random_walk_corpus(spark, sf_dir):
+    """DeepWalk-style random-walk corpus generation over the near-dup
+    graph — the data-prep pass of graph-embedding training (Perozzi et
+    al., KDD'14): one fixed-length walk per start node, each step
+    picking a DETERMINISTIC pseudo-random neighbor (the neighbor
+    minimizing md5(start:step:neighbor) — a hash-derived choice, so
+    the walk set is reproducible across runs, partitionings, and
+    engines, the same derandomization the md5-rank samplers use).
+    Graph = exact-Jaccard >= 0.6 pairs, undirected (both directions
+    materialized), so every reached node has a neighbor and walks
+    never strand. Each of the 4 steps is one edges-join + one
+    per-start rank — at scale, L joins against an |edges|-sized table,
+    no driver state, no collect. The oracle replays the identical 4
+    steps as chained materialized CTEs."""
+    edges = (
+        jaccard_pairs(
+            shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3),
+            threshold_num=3,
+            threshold_den=5,
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    walks = edges.select("src").distinct().select(
+        F.col("src").alias("start"),
+        F.col("src").alias("cur"),
+        F.col("src").cast("string").alias("path"),
+    )
+    for step in range(1, 5):
+        h = F.expr(
+            spark_hex_to_long(
+                f"md5(CAST(start AS STRING) || ':{step}:' || "
+                "CAST(dst AS STRING))",
+                8,
+            )
+        )
+        cand = walks.join(edges, walks.cur == edges.src).select(
+            "start", "path", "dst", h.alias("h")
+        )
+        w = Window.partitionBy("start").orderBy("h", "dst")
+        walks = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "start",
+                F.col("dst").alias("cur"),
+                F.concat_ws("->", "path", F.col("dst").cast("string")).alias(
+                    "path"
+                ),
+            )
+        )
+    return walks.select("start", F.col("cur").alias("end_doc"), "path")
+
+
+def _walk_step_cte(step: int) -> str:
+    h = sql_md5_long(
+        f"CAST(start AS VARCHAR) || ':{step}:' || CAST(e.dst AS VARCHAR)", 8
+    )
+    return f"""w{step} AS MATERIALIZED (
+  SELECT start, dst AS cur, path || '->' || CAST(dst AS VARCHAR) AS path
+  FROM (
+    SELECT wk.start, e.dst, wk.path,
+           row_number() OVER (PARTITION BY wk.start
+                              ORDER BY {h}, e.dst) AS rn
+    FROM w{step - 1} wk JOIN edges e ON e.src = wk.cur
+  ) WHERE rn = 1)"""
+
+
+ORACLE_RANDOM_WALK = f"""
+WITH p AS MATERIALIZED ({_jaccard_oracle(3, 5)}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+w0 AS MATERIALIZED (
+  SELECT DISTINCT src AS start, src AS cur, CAST(src AS VARCHAR) AS path
+  FROM edges
+),
+{",".join(_walk_step_cte(s) for s in range(1, 5))}
+SELECT start, cur AS end_doc, path FROM w4
+"""
+
+LLM_QUERIES["random_walk_corpus"] = (
+    random_walk_corpus,
+    ORACLE_RANDOM_WALK,
+    "graph: DeepWalk-style deterministic random-walk corpus over the "
+    "near-dup graph (hash-selected steps, 4-step chained-CTE replay)",
+)

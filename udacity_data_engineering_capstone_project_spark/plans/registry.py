@@ -74,6 +74,7 @@ _NEW_OR_CHANGED_R6 = [
     "psi_price_drift",  # new: PSI drift gate between ingest eras
     "leakage_safe_split",  # new: split by near-dup cluster, crossing audit
     "copurchase_pairs",  # new: market-basket 2-itemset mining with lift
+    "random_walk_corpus",  # new: deterministic DeepWalk-style walks
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -107,7 +108,6 @@ _OLDEST_R6 = [
     "pmi_collocations",
     "profile_orders",
     "quality_filter_reasons",
-    "repetition_scores",
     # (cms_token_estimates, containment_pairs_directed,
     # bloom_prefilter_decontaminate and array_vector_stats displaced
     # as pipeline_observed_metrics, bitext_mining_pairs, the promoted
@@ -115,13 +115,14 @@ _OLDEST_R6 = [
     # ann_hard_negatives, ann_pq_recall, weighted_group_sample,
     # weighted_doc_sample, upsert_user_snapshot, udtf_flatten_props,
     # text_punct_stopword, stream_static_join, simhash_fingerprints,
-    # sequence_packing and scd2_user_status as the third..sixth-wave
+    # sequence_packing, scd2_user_status and repetition_scores as the
+    # third..sixth-wave
     # bucketed_join_colocated, zorder_box_serve,
     # embedding_top_pc_power, incremental_join_agg,
     # dpp_partitioned_join, join_size_estimate_sketch,
     # schema_evolution_union, ann_truncated_dim_recall,
-    # psi_price_drift, leakage_safe_split and copurchase_pairs
-    # joined it; the window stays exactly 50)
+    # psi_price_drift, leakage_safe_split, copurchase_pairs and
+    # random_walk_corpus joined it; the window stays exactly 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
