@@ -1178,17 +1178,22 @@ def _lloyd_ctes(k: int, iters: int, dim: int = 64) -> list[str]:
     return ctes
 
 
-def _kmeans_asg_ctes(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+def _kmeans_asg_ctes(
+    k: int = 8, iters: int = 5, dim: int = 64, k_expr: str | None = None
+) -> str:
     """CTE chain (comma-joined, no WITH) whose last relation is
     ``asg{iters}``: smallest-k-ids init (list position = cluster id),
     then :func:`_lloyd_ctes` — shared by the kmeans_assign oracle and
-    the cluster-grouped Monroe oracle."""
+    the cluster-grouped Monroe oracle. ``k_expr`` replaces the literal
+    k with a SQL expression (the corpus-scaled-k SemDeDup oracle: k
+    must grow with n, and the replay must compute the same k from the
+    same data)."""
     ctes = [
         "c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""cent0 AS (
   SELECT CAST(rn - 1 AS INT) AS cl, u FROM (
     SELECT row_number() OVER (ORDER BY vec_id) AS rn, v AS u FROM c
-  ) WHERE rn <= {k})""",
+  ) WHERE rn <= {k_expr or k})""",
         *_lloyd_ctes(k, iters, dim),
     ]
     return ",\n".join(ctes)
@@ -1311,14 +1316,19 @@ def kmeans_assign(spark, sf_dir):
 
 def semantic_dedup_flags(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster embeddings with the same
-    deterministic k-means as ``kmeans_assign`` (k=8, 5 iterations,
+    deterministic k-means as ``kmeans_assign`` (5 iterations,
     smallest-id init), then within each cluster drop any vector whose
     rounded cosine to a LOWER-ranked clustermate (rank =
     centroid-cosine ascending, id tie-break) reaches the threshold —
     keep-farthest-from-centroid, the paper's rule. The quadratic term
     is per-cluster by construction (the paper's k=110k-clusters
     recipe), so no corpus-wide pair join exists in the plan
-    (operators/similarity.semantic_dedup_trained). Complements
+    (operators/similarity.semantic_dedup_trained) — AND k now SCALES
+    WITH THE CORPUS in-plan (k = clamp(n/250, 8, 1024), ~250 vectors
+    per cluster): the 10x headline bench caught the pinned k=8 paying
+    10x-sized clusters, i.e. 100x pairs — exactly the dial
+    tools/scale_probe_semdedup.py measured; the oracle computes the
+    SAME k from the same data with a scalar subquery. Complements
     ``semantic_dedup_clusters``, which prunes CALLER-provided clusters
     with the min-id anchor rule — this one trains the clustering
     in-plan and ranks keepers by centroid distance, the full paper
@@ -1327,12 +1337,14 @@ def semantic_dedup_flags(spark, sf_dir):
     one within-cluster join (:data:`ORACLE_SEMANTIC_DEDUP_TRAINED`). The
     fixture's synthetic embeddings carry similarity mass near ~0.5
     (real text embeddings near-dup at the paper's eps ~0.95), so the
-    acceptance threshold is 0.45."""
+    acceptance threshold is 0.45. At fixture SFs (500-2000 vectors)
+    the clamp floor keeps k = 8, so oracle values are unchanged."""
     from ..operators.similarity import semantic_dedup_trained
 
+    emb = _t(spark, sf_dir, "embeddings")
+    k = max(8, min(1024, emb.count() // 250))
     return semantic_dedup_trained(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        k=8, iters=5, threshold=0.45,
+        emb, "vec_id", "embedding", k=k, iters=5, threshold=0.45,
     )
 
 
@@ -1346,8 +1358,9 @@ def _semantic_dedup_oracle(
     as a semi-join."""
     c2c = sql_round_fixed(f"list_cosine_similarity(c.v, k.u)", 4)
     pair = sql_round_fixed("list_cosine_similarity(ca.v, cb.v)", 4)
+    k_expr = "greatest(8, least(1024, (SELECT count(*) FROM c) // 250))"
     return f"""
-WITH {_kmeans_asg_ctes(k, iters, dim)},
+WITH {_kmeans_asg_ctes(k, iters, dim, k_expr=k_expr)},
 cc AS (
   SELECT a.vec_id, a.cl, {c2c} AS c2c_r
   FROM asg{iters} a JOIN c USING (vec_id)
@@ -7494,4 +7507,133 @@ LLM_QUERIES["random_walk_corpus"] = (
     ORACLE_RANDOM_WALK,
     "graph: DeepWalk-style deterministic random-walk corpus over the "
     "near-dup graph (hash-selected steps, 4-step chained-CTE replay)",
+)
+
+
+def bitext_mining_ivf(spark, sf_dir):
+    """The SCALE path of bitext_mining_pairs (the exact twin is
+    quadratic in corpus size — the 10x headline bench measured 3.7 ->
+    41 s, ~the |de| x |en| cross join; CCMatrix itself mines through
+    an ANN index for exactly this reason): candidates come from IVF —
+    en-side vectors assigned to fixed cells, each de query probes
+    its nprobe=2 nearest cells and ranks ONLY those candidates
+    (operators/similarity.ivf_topk, touching ~nprobe/|cells| of the
+    corpus), then the same margin scoring (best minus runner-up on
+    x1e4 rounded cosines) over the per-query top-2. The cell count
+    SCALES WITH THE CORPUS (clamp(|en|/250, 8, 1024) — the SemDeDup
+    dial): constant ~250-vector cells keep per-query candidates at
+    nprobe*250 regardless of corpus size, so total work is LINEAR in
+    |de| (a fixed 8-cell grid measured 82 s at 10x — still
+    quadratic/4; scaled cells bring it to single digits). At fixture
+    SFs the clamp floor keeps 8 cells, so oracle values are
+    unchanged. Approximate by
+    construction — a true best translation in an unprobed cell is
+    missed, the standard IVF recall trade measured by
+    ann_recall_sweep/ivf_trained_recall — and the oracle replays the
+    IDENTICAL cell assignment, probe set, and ranking, so the output
+    is still hash-exact. Queries with a single probed candidate get a
+    NULL margin (same contract as the exact twin's missing runner-up)."""
+    from ..operators.similarity import ivf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    de = (
+        docs.filter(F.col("lang") == "de")
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select("vec_id", "embedding")
+    )
+    en = (
+        docs.filter(F.col("lang") == "en")
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select("vec_id", "embedding")
+    ).persist()  # feeds the cell count, the assignment, and the rank
+    n_cells = max(8, min(1024, en.count() // 250))
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    top2 = ivf_topk(de, en, cents, k=2, nprobe=2)
+    x1e4 = lambda col: F.floor(col * 1e4 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (
+        top2.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias(
+                "tgt_doc"
+            ),
+            F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias(
+                "cos_sim"
+            ),
+            (
+                F.max(F.when(F.col("rank") == 1, x1e4(F.col("cos_sim"))))
+                - F.max(F.when(F.col("rank") == 2, x1e4(F.col("cos_sim"))))
+            ).alias("margin_x1e4"),
+        )
+        .select(
+            F.col("query_id").alias("src_doc"), "tgt_doc", "cos_sim",
+            "margin_x1e4",
+        )
+    )
+
+
+_COS_EC = sql_round_fixed("list_cosine_similarity(e.cv, cent.u)", 4)
+_COS_DC = sql_round_fixed("list_cosine_similarity(q.qv, cent.u)", 4)
+_COS_DE = sql_round_fixed("list_cosine_similarity(p.qv, e.cv)", 4)
+
+ORACLE_BITEXT_IVF = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+en AS (
+  SELECT d.doc_id AS vec_id, c.v AS cv
+  FROM documents d JOIN c ON c.vec_id = d.doc_id WHERE d.lang = 'en'
+),
+cent AS (
+  SELECT vec_id AS centroid_id, v AS u FROM c
+  WHERE vec_id < greatest(8, least(1024, (SELECT count(*) FROM en) // 250))
+),
+de AS (
+  SELECT d.doc_id AS query_id, c.v AS qv
+  FROM documents d JOIN c ON c.vec_id = d.doc_id WHERE d.lang = 'de'
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_EC} DESC, cent.centroid_id) AS rn
+    FROM en e, cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_DC} DESC, cent.centroid_id) AS rn
+    FROM de q, cent
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_COS_DE} AS cos_sim
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN en e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM cand
+)
+SELECT query_id AS src_doc,
+       max(CASE WHEN rn = 1 THEN neighbor_id END) AS tgt_doc,
+       max(CASE WHEN rn = 1 THEN cos_sim END) AS cos_sim,
+       CAST(max(CASE WHEN rn = 1 THEN CAST(floor(cos_sim * 1e4 + 0.5) AS BIGINT) END)
+            - max(CASE WHEN rn = 2 THEN CAST(floor(cos_sim * 1e4 + 0.5) AS BIGINT) END)
+            AS BIGINT) AS margin_x1e4
+FROM r WHERE rn <= 2
+GROUP BY query_id
+"""
+
+LLM_QUERIES["bitext_mining_ivf"] = (
+    bitext_mining_ivf,
+    ORACLE_BITEXT_IVF,
+    "curation: bitext mining through IVF candidates (nprobe=2 of 8 "
+    "cells) + margin scoring — the CCMatrix-at-scale path; exact twin "
+    "is the quality ceiling",
 )

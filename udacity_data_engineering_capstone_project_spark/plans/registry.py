@@ -75,6 +75,9 @@ _NEW_OR_CHANGED_R6 = [
     "leakage_safe_split",  # new: split by near-dup cluster, crossing audit
     "copurchase_pairs",  # new: market-basket 2-itemset mining with lift
     "random_walk_corpus",  # new: deterministic DeepWalk-style walks
+    "bitext_mining_ivf",  # new: linear-scale bitext mining via IVF cells
+    # (semantic_dedup_flags also changed this wave — corpus-scaled k,
+    # was pinned 8 — and already sits at the head from wave 2)
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -107,7 +110,6 @@ _OLDEST_R6 = [
     "pit_interval_join",
     "pmi_collocations",
     "profile_orders",
-    "quality_filter_reasons",
     # (cms_token_estimates, containment_pairs_directed,
     # bloom_prefilter_decontaminate and array_vector_stats displaced
     # as pipeline_observed_metrics, bitext_mining_pairs, the promoted
@@ -115,14 +117,15 @@ _OLDEST_R6 = [
     # ann_hard_negatives, ann_pq_recall, weighted_group_sample,
     # weighted_doc_sample, upsert_user_snapshot, udtf_flatten_props,
     # text_punct_stopword, stream_static_join, simhash_fingerprints,
-    # sequence_packing, scd2_user_status and repetition_scores as the
-    # third..sixth-wave
+    # sequence_packing, scd2_user_status, repetition_scores and
+    # quality_filter_reasons as the third..sixth-wave
     # bucketed_join_colocated, zorder_box_serve,
     # embedding_top_pc_power, incremental_join_agg,
     # dpp_partitioned_join, join_size_estimate_sketch,
     # schema_evolution_union, ann_truncated_dim_recall,
-    # psi_price_drift, leakage_safe_split, copurchase_pairs and
-    # random_walk_corpus joined it; the window stays exactly 50)
+    # psi_price_drift, leakage_safe_split, copurchase_pairs,
+    # random_walk_corpus and bitext_mining_ivf joined it; the window
+    # stays exactly 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
