@@ -109,6 +109,10 @@ HEADLINE = [
     "dpp_partitioned_join",
     "embedding_top_pc_power",
     "incremental_join_agg",
+    # round-6 seventh wave: the linear bitext path (the exact twin
+    # stays in the headline as the quality ceiling and the quadratic
+    # contrast)
+    "bitext_mining_ivf",
 ]
 
 #: FROZEN round-over-round comparability subset (VERDICT r5 #7): the
