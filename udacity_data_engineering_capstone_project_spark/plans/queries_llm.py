@@ -7637,3 +7637,78 @@ LLM_QUERIES["bitext_mining_ivf"] = (
     "cells) + margin scoring — the CCMatrix-at-scale path; exact twin "
     "is the quality ceiling",
 )
+
+
+def khop_contamination_radius(spark, sf_dir):
+    """Contamination BLAST RADIUS via Spark 4 recursive CTEs (WITH
+    RECURSIVE landed in Spark 4.0 — this is the SQL-surface twin the
+    VARIANT/PyDS queries are for their features): given seed documents
+    (stand-in for benchmark-matched docs — the 3 lowest doc ids in the
+    near-dup edge set), walk the UNDIRECTED near-dup graph up to 3
+    hops and report each reached doc's minimum hop distance. Transitive
+    contamination is the reason decontamination pipelines chase
+    near-dup NEIGHBORS of matched docs, not just the matches. Spark's
+    recursive CTEs support UNION ALL only (UNION-dedup closure is
+    dedup_components' iterative operator; probed and UNION errors with
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the recursion carries a
+    strictly increasing depth bounded at 3 — path counts stay
+    degree^3-bounded on the sparse near-dup graph, and MIN(depth)
+    collapses revisits in the final aggregate. DuckDB replays the
+    identical UNION ALL + bound + MIN semantics."""
+    from ..operators.dedup import jaccard_pairs as _jp
+
+    prs = _jp(
+        shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3),
+        threshold_num=3,
+        threshold_den=5,
+    ).select("doc_a", "doc_b")
+    view = "khop_edges_src"
+    prs.createOrReplaceTempView(view)
+    return spark.sql(f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM {view}
+  UNION ALL
+  SELECT doc_b, doc_a FROM {view}
+),
+seeds AS (
+  SELECT a AS doc FROM edges ORDER BY a LIMIT 3
+),
+walk(doc, depth) AS (
+  SELECT doc, 0 FROM seeds
+  UNION ALL
+  SELECT e.b, w.depth + 1
+  FROM walk w JOIN edges e ON e.a = w.doc
+  WHERE w.depth < 3
+)
+SELECT doc, CAST(min(depth) AS INT) AS min_hops
+FROM walk GROUP BY doc
+""")
+
+
+ORACLE_KHOP_RADIUS = f"""
+WITH RECURSIVE p AS ({_jaccard_oracle(3, 5)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+seeds AS (
+  SELECT a AS doc FROM edges ORDER BY a LIMIT 3
+),
+walk(doc, depth) AS (
+  SELECT doc, 0 FROM seeds
+  UNION ALL
+  SELECT e.b, w.depth + 1
+  FROM walk w JOIN edges e ON e.a = w.doc
+  WHERE w.depth < 3
+)
+SELECT doc, CAST(min(depth) AS INT) AS min_hops
+FROM walk GROUP BY doc
+"""
+
+LLM_QUERIES["khop_contamination_radius"] = (
+    khop_contamination_radius,
+    ORACLE_KHOP_RADIUS,
+    "graph/SQL-surface: k-hop contamination blast radius via Spark 4 "
+    "recursive CTE (bounded UNION ALL walk, MIN-hop collapse)",
+)

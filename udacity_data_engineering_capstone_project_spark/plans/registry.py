@@ -78,6 +78,7 @@ _NEW_OR_CHANGED_R6 = [
     "bitext_mining_ivf",  # new: linear-scale bitext mining via IVF cells
     # (semantic_dedup_flags also changed this wave — corpus-scaled k,
     # was pinned 8 — and already sits at the head from wave 2)
+    "khop_contamination_radius",  # new: Spark 4 recursive-CTE k-hop walk
 ]
 _OLDEST_R6 = [
     # last driver row r2 (age 3), alphabetical:
@@ -109,7 +110,6 @@ _OLDEST_R6 = [
     "pii_redaction_stats",
     "pit_interval_join",
     "pmi_collocations",
-    "profile_orders",
     # (cms_token_estimates, containment_pairs_directed,
     # bloom_prefilter_decontaminate and array_vector_stats displaced
     # as pipeline_observed_metrics, bitext_mining_pairs, the promoted
@@ -117,15 +117,17 @@ _OLDEST_R6 = [
     # ann_hard_negatives, ann_pq_recall, weighted_group_sample,
     # weighted_doc_sample, upsert_user_snapshot, udtf_flatten_props,
     # text_punct_stopword, stream_static_join, simhash_fingerprints,
-    # sequence_packing, scd2_user_status, repetition_scores and
-    # quality_filter_reasons as the third..sixth-wave
+    # sequence_packing, scd2_user_status, repetition_scores,
+    # quality_filter_reasons and profile_orders as the
+    # third..seventh-wave
     # bucketed_join_colocated, zorder_box_serve,
     # embedding_top_pc_power, incremental_join_agg,
     # dpp_partitioned_join, join_size_estimate_sketch,
     # schema_evolution_union, ann_truncated_dim_recall,
     # psi_price_drift, leakage_safe_split, copurchase_pairs,
-    # random_walk_corpus and bitext_mining_ivf joined it; the window
-    # stays exactly 50)
+    # random_walk_corpus, bitext_mining_ivf and
+    # khop_contamination_radius joined it; the window stays exactly
+    # 50)
 ]
 
 #: ---- Round-5 ordering (superseded; kept for provenance) ----
