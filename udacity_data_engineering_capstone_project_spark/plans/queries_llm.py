@@ -7671,7 +7671,7 @@ WITH RECURSIVE edges AS (
   SELECT doc_b, doc_a FROM {view}
 ),
 seeds AS (
-  SELECT a AS doc FROM edges ORDER BY a LIMIT 3
+  SELECT DISTINCT a AS doc FROM edges ORDER BY doc LIMIT 3
 ),
 walk(doc, depth) AS (
   SELECT doc, 0 FROM seeds
@@ -7693,7 +7693,7 @@ edges AS (
   SELECT doc_b, doc_a FROM p
 ),
 seeds AS (
-  SELECT a AS doc FROM edges ORDER BY a LIMIT 3
+  SELECT DISTINCT a AS doc FROM edges ORDER BY doc LIMIT 3
 ),
 walk(doc, depth) AS (
   SELECT doc, 0 FROM seeds
