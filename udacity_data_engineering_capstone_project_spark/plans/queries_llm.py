@@ -7661,7 +7661,12 @@ def khop_contamination_radius(spark, sf_dir):
         shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3),
         threshold_num=3,
         threshold_den=5,
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").persist()
+    # persisted BEFORE the view: the recursive plan references the
+    # edge view from both union branches, the seed scan, AND every
+    # recursion level — unpersisted, each reference re-mines the
+    # Jaccard pairs (measured 39 s at 10x, ~4.4x the one-shot mining
+    # cost; persisted, one mining pass)
     view = "khop_edges_src"
     prs.createOrReplaceTempView(view)
     return spark.sql(f"""
