@@ -52,6 +52,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect oracle SQL per query (omitted only for
-    ``stream_hourly_counts``, which is a genuinely streaming operator —
-    rows-only check)."""
+    ``stream_user_totals``, the custom-stateful streaming operator —
+    rows-only check; ``stream_hourly_counts`` HAS a full oracle)."""
     return oracle_sqls()

@@ -1801,3 +1801,19 @@ def test_aqp_estimate_covers_exact_total(spark, sf_dir):
     for flag, r in est.items():
         err = abs(r.est_rev_x100 / 100.0 - exact[flag])
         assert err <= 3 * (r.ci_half_x100 / 100.0) + 1.0, (flag, err, r)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """A corpus with no near-dup pairs at the threshold yields an empty
+    edge set; both pagerank variants must return an empty (node, rank)
+    frame, not ZeroDivisionError (ADVICE r6)."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        pagerank,
+        pagerank_fixedpoint,
+    )
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    for fn in (pagerank, pagerank_fixedpoint):
+        out = fn(edges, iters=3)
+        assert out.columns == ["node", "rank"]
+        assert out.count() == 0

@@ -433,3 +433,93 @@ def test_targeted_delete_rewrites_only_affected_files(spark, tmp_path):
     # idempotent: re-running deletes nothing and rewrites nothing
     stats2 = targeted_delete(spark, path, targets, "doc_id")
     assert stats2["rows_deleted"] == 0 and stats2["files_rewritten"] == 0
+
+
+def test_targeted_delete_string_keys(spark, tmp_path):
+    """String doc-ids must match on their native type — the ADVICE r6
+    regression: casting both sides to long nulled every string key and
+    the takedown silently no-opped with rows_deleted=0."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        targeted_delete,
+    )
+
+    path = str(tmp_path / "sdocs")
+    df = spark.range(0, 100).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id")
+    )
+    df.repartition(4).write.parquet(path)
+    targets = spark.createDataFrame([("doc-5",), ("doc-77",)], "doc_id string")
+
+    stats = targeted_delete(spark, path, targets, "doc_id")
+    assert stats["rows_deleted"] == 2
+    after = spark.read.parquet(path)
+    assert after.count() == 98
+    assert after.filter(F.col("doc_id").isin(["doc-5", "doc-77"])).count() == 0
+
+
+def test_targeted_delete_uncastable_keys_raise(spark, tmp_path):
+    """Target keys that null out under the cast to the dataset's key
+    type must raise, never silently delete nothing."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        targeted_delete,
+    )
+
+    path = str(tmp_path / "ldocs")
+    spark.range(0, 50).select(F.col("id").alias("doc_id")).write.parquet(path)
+    targets = spark.createDataFrame([("not-a-number",)], "doc_id string")
+    with _pytest.raises(ValueError, match="do not cast"):
+        targeted_delete(spark, path, targets, "doc_id")
+
+
+def test_targeted_delete_manifest_heals_duplicate_window(spark, tmp_path):
+    """A crash between moving rewritten parts in and deleting the
+    originals duplicates kept rows; the pending-delete manifest written
+    at the commit point lets the next call heal before reading."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        targeted_delete,
+    )
+
+    path = str(tmp_path / "hdocs")
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    df.repartitionByRange(4, "doc_id").write.parquet(path)
+    # simulate the torn state: manually run a delete, then RESTORE one
+    # original alongside its rewrite and re-create its manifest entry
+    parts_before = sorted(
+        f for f in os.listdir(path) if f.startswith("part-")
+    )
+    victim = os.path.join(path, parts_before[0])
+    backup = str(tmp_path / "victim.bak")  # outside the dataset dir
+    import shutil
+
+    shutil.copy(victim, backup)
+    targets = spark.createDataFrame([(1,)], "doc_id long")
+    stats = targeted_delete(spark, path, targets, "doc_id")
+    assert stats["rows_deleted"] == 1
+    # tear: original back in place (duplicating its kept rows), with a
+    # manifest pointing at it — exactly the mid-swap crash state
+    shutil.copy(backup, victim)
+    with open(os.path.join(path, "_pending_delete_test.json"), "w") as fh:
+        json.dump([victim], fh)
+    assert spark.read.parquet(path).count() > 199  # duplicates visible raw
+
+    stats2 = targeted_delete(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long"), "doc_id"
+    )
+    assert stats2["rows_deleted"] == 1
+    assert not glob.glob(os.path.join(path, "_pending_delete_*.json"))
+    after = spark.read.parquet(path)
+    assert after.count() == 198  # healed: no duplicates, both keys gone
+    assert after.filter(F.col("doc_id").isin([1, 2])).count() == 0
+    os.remove(backup)

@@ -878,6 +878,11 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # same empty-edge guard as pagerank_fixedpoint
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
     for _ in range(iters):
@@ -963,6 +968,14 @@ def pagerank_fixedpoint(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # no edges (e.g. no near-dup pairs at the threshold): empty
+        # (node, rank) frame, same schema — not a ZeroDivisionError.
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank")
+        )
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     base = scale // n_nodes
     ranks = nodes.select(

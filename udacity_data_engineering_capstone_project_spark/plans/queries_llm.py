@@ -6245,7 +6245,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_scanned,
          AS price_x100_sum,
        CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_null_flag,
-       CAST(count(DISTINCT CASE WHEN l_discount > 0.05 THEN l_returnflag END)
+       -- coalesce sentinel: Spark's groupBy counts a NULL-returnflag
+       -- group, count(DISTINCT) would drop it — keep both engines
+       -- agreeing even if NULL flags pass the filter
+       CAST(count(DISTINCT CASE WHEN l_discount > 0.05
+                            THEN coalesce(l_returnflag, '__NULL__') END)
             AS BIGINT) AS n_work_groups,
        CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_work_rows
@@ -6822,10 +6826,30 @@ def join_size_estimate_sketch(spark, sf_dir):
         )
         surv = hashed.crossJoin(F.broadcast(thr)).filter(F.col("h") < F.col("thr"))
         w = Window.orderBy("h")
+        ranked = surv.select(
+            "k",
+            "fan",
+            "h",
+            "thr",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy(F.lit(1))).alias("n_surv"),
+        )
+        # kmv_sketch's under-collect contract (aggregates.py:692): a
+        # FILTERED side that kept < K hashes must RAISE, not silently
+        # take the theta=SPACE "saw everything" branch the oracle
+        # (which ranks all keys) would never take.
+        guard = F.when(
+            (F.col("thr") < SPACE) & (F.col("n_surv") < K),
+            F.raise_error(
+                F.lit(
+                    "join_size_estimate_sketch: prefiltered side "
+                    "under-collected; raise MARGIN"
+                )
+            ),
+        ).otherwise(F.col("h"))
         return (
-            surv.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= K)
-            .select("k", "fan", "h", "rn")
+            ranked.filter(F.col("rn") <= K)
+            .select("k", "fan", guard.alias("h"), "rn")
         )
 
     # the fan tables feed BOTH the sketch and the exact anchor, and

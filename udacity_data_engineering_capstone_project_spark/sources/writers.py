@@ -288,20 +288,63 @@ def targeted_delete(
     state: file PATHS only, bounded by the file count); those files
     are re-read as their own dataset, anti-joined on the key, and
     rewritten into fresh uniquely-named part-files; only then are the
-    old files deleted. A crash before the swap leaves the dataset
-    over-complete (delete re-runnable), never corrupt.
+    old files deleted.
+
+    Crash-safety contract (two distinct windows):
+    - A crash BEFORE the rewritten parts are moved in leaves the
+      dataset over-complete: just re-run the delete.
+    - A crash BETWEEN moving the rewritten parts in and deleting the
+      originals would duplicate the kept rows of the affected files.
+      That window is closed by a manifest: the list of originals to
+      delete is fsync'd to ``_pending_delete_*.json`` BEFORE any
+      rewritten part becomes visible, and the next call (or re-run)
+      heals by finishing those deletions first. The dataset is never
+      missing rows it shouldn't be.
+
+    Keys are matched on the dataset column's NATIVE type: the targets'
+    key is cast to it and the cast is validated — any target key the
+    cast nulls out (e.g. a non-numeric string against a long column)
+    raises instead of silently matching nothing.
 
     Returns {"files_total", "files_rewritten", "rows_deleted"}.
     """
+    import glob
+    import json
     import os
     import uuid
 
     from pyspark.sql import functions as F
 
-    t = F.broadcast(targets.select(F.col(key_col).cast("long").alias("__k")).distinct())
+    # Heal any interrupted prior delete: finish pending original-file
+    # removals before reading, so a crash in the swap window can never
+    # surface duplicated kept rows to this (or any later) reader.
+    for manifest in glob.glob(os.path.join(path, "_pending_delete_*.json")):
+        with open(manifest) as fh:
+            for local in json.load(fh):
+                if os.path.exists(local):
+                    os.remove(local)
+        os.remove(manifest)
+
     base = spark.read.parquet(path)
+    key_type = base.schema[key_col].dataType
+    t_cast = targets.select(
+        F.col(key_col).alias("__k_raw"),
+        # try_cast: under ANSI mode a plain cast would throw a raw
+        # NumberFormatException mid-job; we want the validated raise
+        F.col(key_col).try_cast(key_type).alias("__k"),
+    ).distinct()
+    n_lost = t_cast.filter(
+        F.col("__k").isNull() & F.col("__k_raw").isNotNull()
+    ).count()
+    if n_lost:
+        raise ValueError(
+            f"targeted_delete: {n_lost} target key(s) do not cast to the "
+            f"dataset's {key_col} type {key_type.simpleString()}; refusing "
+            "to silently no-op a takedown."
+        )
+    t = F.broadcast(t_cast.select("__k").distinct())
     tagged = base.select(
-        F.col(key_col).cast("long").alias("__k"),
+        F.col(key_col).alias("__k"),
         F.input_file_name().alias("__file"),
     )
     hit = tagged.join(t, "__k")
@@ -320,10 +363,21 @@ def targeted_delete(
 
     kept = (
         spark.read.parquet(*affected)
-        .join(t, F.col(key_col).cast("long") == F.col("__k"), "left_anti")
+        .join(t, F.col(key_col) == F.col("__k"), "left_anti")
     )
     tmp_out = os.path.join(path, f"_rewrite_{uuid.uuid4().hex[:12]}")
     kept.write.mode("overwrite").parquet(tmp_out)
+    affected_local = [f.replace("file://", "") for f in affected]
+    # commit point: manifest of originals-to-delete goes durable BEFORE
+    # any rewritten part is visible — the heal loop above finishes the
+    # job if we crash mid-swap.
+    manifest_path = os.path.join(
+        path, f"_pending_delete_{uuid.uuid4().hex[:12]}.json"
+    )
+    with open(manifest_path, "w") as fh:
+        json.dump(affected_local, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     # move rewritten parts up beside the survivors, then drop originals
     for name in os.listdir(tmp_out):
         if name.startswith("part-"):
@@ -331,10 +385,10 @@ def targeted_delete(
                 os.path.join(tmp_out, name),
                 os.path.join(path, f"deleted-{uuid.uuid4().hex[:8]}-{name}"),
             )
-    for f in affected:
-        local = f.replace("file://", "")
+    for local in affected_local:
         if os.path.exists(local):
             os.remove(local)
+    os.remove(manifest_path)
     import shutil
 
     shutil.rmtree(tmp_out, ignore_errors=True)
