@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship star-join aggregate at sf0.001.
 ``queries()`` exposes every implemented operator from SURVEY.md §2
 plus the LLM-pipeline operators; ``oracle_sql()`` gives the DuckDB
-equivalent for each (all but the genuinely-streaming entry).
+equivalent for every one of them.
 """
 
 from __future__ import annotations
@@ -51,7 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-dialect oracle SQL per query (omitted only for
-    ``stream_user_totals``, the custom-stateful streaming operator —
-    rows-only check; ``stream_hourly_counts`` HAS a full oracle)."""
+    """DuckDB-dialect oracle SQL per query. As of round 7 EVERY
+    registry query has a full value-hash oracle — the last rows-only
+    entry (``stream_user_totals``) was promoted via the
+    drain-to-completion = batch-groupBy identity."""
     return oracle_sqls()

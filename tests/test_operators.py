@@ -1817,3 +1817,83 @@ def test_pagerank_empty_edges_returns_empty(spark):
         out = fn(edges, iters=3)
         assert out.columns == ["node", "rank"]
         assert out.count() == 0
+
+
+def test_minhash_indexed_probe_matches_query_time_path(spark, sf_dir, tmp_path):
+    """The persisted-index serving twin must emit exactly the pairs of
+    the per-batch query-time path (minhash_lsh_pairs_against), and its
+    postings scan must carry the batch's band keys as a partition
+    filter plus a pushed band_key IN scan filter — the pruning that
+    makes serving I/O corpus-size-independent."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    index_docs, batch = docs.filter(b < 90), docs.filter(b >= 90)
+
+    path = str(tmp_path / "mh_idx")
+    write_minhash_index(index_docs, path)
+    served = minhash_probe_indexed(spark, path, batch, "doc_id", "text")
+    want = {
+        (r.new_doc, r.index_doc, r.inter_size, r.union_size)
+        for r in minhash_lsh_pairs_against(
+            index_docs, batch, "doc_id", "text"
+        ).collect()
+    }
+    got = {
+        (r.new_doc, r.index_doc, r.inter_size, r.union_size)
+        for r in served.collect()
+    }
+    assert got == want and len(got) > 0
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # postings scan: bp partition pruning + pushed band_key filter
+    assert "PartitionFilters: [bp" in plan.replace("\n", " ") or "bp#" in plan
+    import re
+
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "PartitionFilters" in ln]
+    joined = " ".join(scans)
+    assert re.search(r"PartitionFilters: \[[^\]]*bp", joined), joined
+    assert re.search(r"PushedFilters: \[[^\]]*In\(band_key", plan), "band_key IN not pushed"
+    # sets scan: dp partition pruning
+    assert re.search(r"PartitionFilters: \[[^\]]*dp", joined), joined
+
+
+def test_minhash_indexed_large_batch_fallback(spark, sf_dir, tmp_path):
+    """A batch over max_literal_keys keeps partition pruning but skips
+    the IN-list — answers identical."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    index_docs, batch = docs.filter(b < 90), docs.filter(b >= 90)
+    path = str(tmp_path / "mh_idx2")
+    write_minhash_index(index_docs, path)
+    normal = minhash_probe_indexed(spark, path, batch, "doc_id", "text")
+    fallback = minhash_probe_indexed(
+        spark, path, batch, "doc_id", "text", max_literal_keys=1
+    )
+    rows = lambda df: {  # noqa: E731
+        (r.new_doc, r.index_doc, r.inter_size, r.union_size)
+        for r in df.collect()
+    }
+    assert rows(fallback) == rows(normal) and rows(normal)

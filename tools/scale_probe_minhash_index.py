@@ -1,0 +1,121 @@
+"""MinHash-LSH index build/serve scaling probe (VERDICT r6 next-steps #4).
+
+Measures, at a fixture dir and its scale_data.py replicas, the numbers
+the persisted-MinHash-index story rests on:
+
+- ``build_s``: one-time index build (the corpus shingle collect_set +
+  band-key kernel the query-time path pays per batch — amortized here);
+- ``serve_s``: min-of-3 steady-state probe of a FIXED batch against the
+  on-disk index (band-partition-pruned postings + pushed band_key IN;
+  verification reads only candidate-doc dp directories);
+- ``querytime_s``: min-of-2 of minhash_lsh_pairs_against on the same
+  (index corpus, fixed batch) — the number serve_s should beat and,
+  unlike serve_s, grow linearly with corpus size (it re-shingles the
+  whole index corpus per batch).
+
+The batch is held FIXED across scales: the base replica's md5-bucket
+>= 90 docs (replica ids live in higher digit ranges, so ``doc_id <=
+base_max`` selects exactly the original batch at every k). The replica
+construction makes cross-replica shingles disjoint, so the fixed
+batch's matched postings stay ~constant while the index grows k-fold —
+the honest fixed-work probe in a growing corpus.
+
+Pass criterion: serve_s far sublinear in corpus size; querytime_s
+~linear.
+
+Usage: python tools/scale_probe_minhash_index.py [base_dir] [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def probe(sf_dir: str, base_max: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.session import get_spark
+
+    spark = get_spark("scale-probe-minhash")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    index_docs = docs.filter(b < 90)
+    batch = docs.filter((b >= 90) & (F.col("doc_id") <= base_max))
+
+    tmp = tempfile.mkdtemp(prefix="minhash_probe_")
+    path = tmp + "/idx"
+    try:
+        t0 = time.time()
+        write_minhash_index(index_docs, path)
+        build_s = time.time() - t0
+
+        def timed(mk, iters):
+            mk().write.mode("overwrite").format("noop").save()  # warm-up
+            samples = []
+            for _ in range(iters):
+                t = time.time()
+                mk().write.mode("overwrite").format("noop").save()
+                samples.append(time.time() - t)
+            return round(min(samples), 3)
+
+        serve_s = timed(
+            lambda: minhash_probe_indexed(spark, path, batch, "doc_id", "text"),
+            3,
+        )
+        querytime_s = timed(
+            lambda: minhash_lsh_pairs_against(
+                index_docs, batch, "doc_id", "text"
+            ),
+            2,
+        )
+        n_index = index_docs.count()
+        n_batch = batch.count()
+        n_pairs = minhash_probe_indexed(
+            spark, path, batch, "doc_id", "text"
+        ).count()
+        return {
+            "sf_dir": sf_dir,
+            "n_index_docs": n_index,
+            "n_batch_docs": n_batch,
+            "n_pairs": n_pairs,
+            "build_s": round(build_s, 3),
+            "serve_s": serve_s,
+            "querytime_s": querytime_s,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.session import get_spark
+
+    args = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    base_dir, dirs = args[0], args
+    spark = get_spark("scale-probe-minhash")
+    base_max = (
+        spark.read.parquet(f"{base_dir}/documents.parquet")
+        .agg(F.max("doc_id"))
+        .first()[0]
+    )
+    out = [probe(d, base_max) for d in dirs]
+    print(json.dumps({"metric": "minhash_index_scaling", "runs": out}))
+
+
+if __name__ == "__main__":
+    main()

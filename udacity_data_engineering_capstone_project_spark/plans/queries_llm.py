@@ -2730,13 +2730,33 @@ HAVING hour_start + INTERVAL 1 HOUR <= wm.w
 def stream_user_totals(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running totals, O(|users|) state, Arrow-batched Python.
-    Update-mode emissions reduced to the final cumulative row per
-    user. No SQL oracle (incremental emission order is not
-    SQL-expressible); tests assert equality with the batch groupBy
-    twin, the driver records a rows-only check."""
+    Update-mode emissions reduced to the final cumulative row per user.
+
+    PROMOTED to a full oracle (VERDICT r6 next-steps #6): the final
+    (max-cumulative) emission per user after a drain-to-completion
+    replay is exactly the batch groupBy — n_events = count(*),
+    total = sum(value), last = max(ts) — because the state never
+    expires (NoTimeout) and totals are monotone in events consumed.
+    The one subtlety is float-sum ORDER: the operator accumulates in
+    Python micro-batch arrival order, the oracle in scan order. The
+    x100 fixed-point output absorbs it on this data: event values sit
+    on an exact 2-decimal grid (verified: zero off-grid values at
+    sf0.01) and per-user event counts are <= 86, so accumulated error
+    (~1e-12) can never cross a 0.005 rounding boundary — the same
+    argument events_hourly's full oracle already rests on."""
     from ..streaming.events import run_user_totals_batch
 
     return run_user_totals_batch(spark, sf_dir)
+
+
+ORACLE_STREAM_USER_TOTALS = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS total_value_x100,
+       max(ts) AS last_ts
+FROM {EVENTS_US} AS e
+GROUP BY user_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3565,6 +3585,62 @@ WHERE (ba.b >= 90) <> (bb.b >= 90)
 """
 
 
+#: per-process build cache: sf_dir -> on-disk MinHash index path (the
+#: trigram-index convention, queries_llm.py:_TRIGRAM_INDEX_CACHE — the
+#: build is the amortized one-time cost; repeated calls measure
+#: SERVING, the deployment number; build cost recorded separately by
+#: tools/scale_probe_minhash_index.py and bench.py's build_s field).
+_MINHASH_INDEX_CACHE: dict = {}
+
+
+def _minhash_index_path(spark, sf_dir: str) -> str:
+    import tempfile
+
+    path = _MINHASH_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        from ..operators.dedup import write_minhash_index
+
+        docs = _t(spark, sf_dir, "documents")
+        b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+        path = tempfile.mkdtemp(prefix="minhash_index_") + "/idx"
+        write_minhash_index(docs.filter(b < 90), path)
+        _MINHASH_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def minhash_pairs_indexed(spark, sf_dir):
+    """Continuous-ingestion dedup served from the PERSISTED MinHash-LSH
+    index — the 100 TB deployment twin of incremental_dedup_probe
+    (VERDICT r6 next-steps #4; the build/serve split already shipped
+    for trigram search, on-disk IVF and the AQP sample). The index
+    corpus's (band_key, doc) postings are parquet-partitioned by
+    pmod(band_key, 64) and its (doc, hs) digest sets by
+    pmod(xxhash64(doc), 32); serving turns the batch's band keys into
+    STATIC partition filters plus a pushed band_key IN scan filter —
+    the index is never re-shingled or shuffled, candidate generation
+    reads O(matched postings) and verification opens only the
+    directories holding candidate docs. Same md5-bucket >= 90 split and
+    the same exact cross-split Jaccard oracle as the per-batch
+    query-time path (the AQP-twin shared-oracle precedent); the same
+    LSH-recall fixture caveat applies (see incremental_dedup_probe)."""
+    from ..operators.dedup import minhash_probe_indexed
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    return minhash_probe_indexed(
+        spark,
+        _minhash_index_path(spark, sf_dir),
+        docs.filter(b >= 90),
+        "doc_id",
+        "text",
+    )
+
+
+# (registered in the LLM_QUERIES literal below, beside
+# incremental_dedup_probe — this point in the module is above the
+# dict's initialization)
+
+
 # --------------------------------------------------------------------------
 # Event-sequence modeling: first-order transition matrix
 
@@ -4026,6 +4102,13 @@ LLM_QUERIES = {
         ORACLE_INCREMENTAL_DEDUP,
         "dedup: new-batch-vs-index asymmetric LSH probe (index never shuffles)",
     ),
+    "minhash_pairs_indexed": (
+        minhash_pairs_indexed,
+        ORACLE_INCREMENTAL_DEDUP,
+        "dedup: incremental batch served from the persisted "
+        "band-partitioned MinHash-LSH index — postings pruned to the "
+        "batch's band keys, verification pruned to candidate docs",
+    ),
     "event_transitions": (
         event_transition_matrix,
         ORACLE_TRANSITIONS,
@@ -4322,8 +4405,10 @@ LLM_QUERIES = {
     ),
     "stream_user_totals": (
         stream_user_totals,
-        None,
-        "stateful streaming: applyInPandasWithState",
+        ORACLE_STREAM_USER_TOTALS,
+        "stateful streaming: applyInPandasWithState, drained to "
+        "completion — final cumulative emission per user equals the "
+        "batch groupBy (promoted from rows-only, r7)",
     ),
 }
 
