@@ -67,6 +67,10 @@ def probe(sf_dir: str, base_max: int) -> dict:
             mk().write.mode("overwrite").format("noop").save()  # warm-up
             samples = []
             for _ in range(iters):
+                # plan-equality cache reuse would let iteration 2 serve
+                # the corpus shingle sets from iteration 1's persist —
+                # silently flattening the query-time path's linear cost
+                spark.catalog.clearCache()
                 t = time.time()
                 mk().write.mode("overwrite").format("noop").save()
                 samples.append(time.time() - t)

@@ -922,7 +922,11 @@ def minhash_probe_indexed(
         F.col("bp").isin(parts)
     )
     if len(keys) <= max_literal_keys:
-        idx = idx.filter(F.col("band_key").isin(keys))
+        # ONE SQL-parsed IN expression, not Column.isin(*keys): isin
+        # materializes each literal through a py4j call — measured
+        # 4.6 s of pure plan-BUILD time at 7.8k keys (the whole serve
+        # was 6.5 s); the parsed string is ~0.1 s for the same plan
+        idx = idx.filter(F.expr(f"band_key IN ({','.join(map(str, keys))})"))
     candidates = (
         idx.alias("i")
         .join(F.broadcast(bat_keys.alias("b")), F.col("i.band_key") == F.col("b.band_key"))

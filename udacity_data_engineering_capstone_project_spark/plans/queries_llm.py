@@ -3599,11 +3599,13 @@ def _minhash_index_path(spark, sf_dir: str) -> str:
     path = _MINHASH_INDEX_CACHE.get(sf_dir)
     if path is None:
         from ..operators.dedup import write_minhash_index
+        from .build_costs import recording
 
         docs = _t(spark, sf_dir, "documents")
         b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
         path = tempfile.mkdtemp(prefix="minhash_index_") + "/idx"
-        write_minhash_index(docs.filter(b < 90), path)
+        with recording("minhash_pairs_indexed", sf_dir):
+            write_minhash_index(docs.filter(b < 90), path)
         _MINHASH_INDEX_CACHE[sf_dir] = path
     return path
 
@@ -5663,9 +5665,11 @@ def _trigram_index_path(spark, sf_dir: str) -> str:
     path = _TRIGRAM_INDEX_CACHE.get(sf_dir)
     if path is None:
         from ..operators.retrieval import write_trigram_index
+        from .build_costs import recording
 
         path = tempfile.mkdtemp(prefix="trigram_index_") + "/postings"
-        write_trigram_index(_t(spark, sf_dir, "documents"), path)
+        with recording("trigram_search_indexed", sf_dir):
+            write_trigram_index(_t(spark, sf_dir, "documents"), path)
         _TRIGRAM_INDEX_CACHE[sf_dir] = path
     return path
 
@@ -6174,6 +6178,8 @@ def aqp_revenue_from_sample(spark, sf_dir):
 
     path = _AQP_SAMPLE_CACHE.get(sf_dir)
     if path is None:
+        from .build_costs import recording
+
         li = _t(spark, sf_dir, "lineitem")
         h = F.expr(
             spark_hex_to_long(
@@ -6183,15 +6189,16 @@ def aqp_revenue_from_sample(spark, sf_dir):
             )
         )
         path = tempfile.mkdtemp(prefix="aqp_sample_") + "/lineitem_s1pct"
-        li.filter(h % 100 == 0).select(
-            "l_returnflag",
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("bigint")
-                * F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast(
-                    "bigint"
-                )
-            ).alias("rev_x1e4"),
-        ).write.mode("overwrite").parquet(path)
+        with recording("aqp_revenue_from_sample", sf_dir):
+            li.filter(h % 100 == 0).select(
+                "l_returnflag",
+                (
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast(
+                        "bigint"
+                    )
+                ).alias("rev_x1e4"),
+            ).write.mode("overwrite").parquet(path)
         _AQP_SAMPLE_CACHE[sf_dir] = path
     return _aqp_estimate_over(spark.read.parquet(path))
 
@@ -6482,23 +6489,28 @@ def _bucketed_tables(spark, sf_dir: str):
         # 32 buckets 1.9 s, 240 buckets 5.5 s — target ~2M rows per
         # bucket, floor 8 (SCALE.md round-6 layout section). Both
         # tables must share the count for co-location.
+        from .build_costs import recording
+
         n_buckets = max(8, min(256, li.count() // 2_000_000))
-        write_bucketed(
-            li,
-            lt,
-            "l_orderkey",
-            n_buckets=n_buckets,
-            sort_by="l_orderkey",
-            path=f"{base}/{lt}",
-        )
-        write_bucketed(
-            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-            ot,
-            "o_orderkey",
-            n_buckets=n_buckets,
-            sort_by="o_orderkey",
-            path=f"{base}/{ot}",
-        )
+        with recording("bucketed_join_colocated", sf_dir):
+            write_bucketed(
+                li,
+                lt,
+                "l_orderkey",
+                n_buckets=n_buckets,
+                sort_by="l_orderkey",
+                path=f"{base}/{lt}",
+            )
+            write_bucketed(
+                _t(spark, sf_dir, "orders").select(
+                    "o_orderkey", "o_orderpriority"
+                ),
+                ot,
+                "o_orderkey",
+                n_buckets=n_buckets,
+                sort_by="o_orderkey",
+                path=f"{base}/{ot}",
+            )
         _BUCKETED_TABLES_CACHE[sf_dir] = names = (lt, ot)
     return names
 
@@ -6558,18 +6570,20 @@ def _zorder_layout_path(spark, sf_dir: str) -> str:
     path = _ZORDER_LAYOUT_CACHE.get(sf_dir)
     if path is None:
         from ..sources.writers import write_zordered
+        from .build_costs import recording
 
         path = tempfile.mkdtemp(prefix="zorder_lineitem_") + "/lineitem_z"
-        write_zordered(
-            _t(spark, sf_dir, "lineitem").select(
-                "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"
-            ),
-            path,
-            "l_partkey",
-            "l_suppkey",
-            n_files=16,
-            bits=16,
-        )
+        with recording("zorder_box_serve", sf_dir):
+            write_zordered(
+                _t(spark, sf_dir, "lineitem").select(
+                    "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"
+                ),
+                path,
+                "l_partkey",
+                "l_suppkey",
+                n_files=16,
+                bits=16,
+            )
         _ZORDER_LAYOUT_CACHE[sf_dir] = path
     return path
 
@@ -6799,13 +6813,16 @@ def _dpp_orders_path(spark, sf_dir: str) -> str:
 
     path = _DPP_ORDERS_CACHE.get(sf_dir)
     if path is None:
+        from .build_costs import recording
+
         path = tempfile.mkdtemp(prefix="dpp_orders_") + "/orders_by_month"
-        (
-            _t(spark, sf_dir, "orders")
-            .withColumn("om", F.date_format("o_orderdate", "yyyy-MM"))
-            .write.partitionBy("om")
-            .parquet(path)
-        )
+        with recording("dpp_partitioned_join", sf_dir):
+            (
+                _t(spark, sf_dir, "orders")
+                .withColumn("om", F.date_format("o_orderdate", "yyyy-MM"))
+                .write.partitionBy("om")
+                .parquet(path)
+            )
         _DPP_ORDERS_CACHE[sf_dir] = path
     return path
 
@@ -7068,6 +7085,8 @@ def _evolved_orders_path(spark, sf_dir: str) -> str:
 
     path = _EVOLVED_ORDERS_CACHE.get(sf_dir)
     if path is None:
+        from .build_costs import recording
+
         path = tempfile.mkdtemp(prefix="evolved_orders_") + "/orders_evolved"
         o = _t(spark, sf_dir, "orders")
         old = o.filter(F.col("o_orderdate") < "1997-01-01").select(
@@ -7076,8 +7095,9 @@ def _evolved_orders_path(spark, sf_dir: str) -> str:
         new = o.filter(F.col("o_orderdate") >= "1997-01-01").select(
             "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
         )
-        old.write.parquet(f"{path}/batch=old")
-        new.write.parquet(f"{path}/batch=new")
+        with recording("schema_evolution_union", sf_dir):
+            old.write.parquet(f"{path}/batch=old")
+            new.write.parquet(f"{path}/batch=new")
         _EVOLVED_ORDERS_CACHE[sf_dir] = path
     return path
 
