@@ -48,6 +48,12 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf10f"
     hot_pct = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    # dim_keep_pct shrinks the dim (keyed modulo, hot key preserved) to
+    # probe the salting win region: salt replicates the WHOLE dim, so
+    # the manual fix only pays off when salt * |dim| stays small next
+    # to the straggler it removes.
+    dim_keep_pct = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    salt = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     spark = get_spark("scale-probe-skew")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
@@ -62,6 +68,7 @@ def main() -> None:
     ).persist()
     dim = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.pmod(F.col("c_custkey"), 100) < dim_keep_pct)
         .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
         .persist()
     )
@@ -91,7 +98,7 @@ def main() -> None:
 
     def salted():
         return (
-            salted_join(fact, dim, "o_custkey", salt=32)
+            salted_join(fact, dim, "o_custkey", salt=salt)
             .groupBy("o_orderpriority", "c_mktsegment")
             .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
         )
@@ -122,6 +129,8 @@ def main() -> None:
                 "metric": "skew_join_decision",
                 "sf_dir": sf_dir,
                 "hot_frac_pct": hot_pct,
+                "dim_keep_pct": dim_keep_pct,
+                "salt": salt,
                 "n_fact": n_fact,
                 "n_dim": n_dim,
                 "skew_ratio_x100": skew_ratio_x100,
