@@ -386,14 +386,88 @@ _PRIORITY_R3 = [
     *_RERECORD,
 ]
 
+#: Round-7 window (built from ``python tools/ledger.py --ages`` at the
+#: start of round 7 — after r6 the backlog is 12 r2-age rows + 45
+#: r3-age rows): (1) queries new to or changed in round 7; (2) ALL 12
+#: remaining rows whose last driver record is round 2 (this clears the
+#: r2 tier for good); (3) the oldest r3 rows alphabetically, filling
+#: the window to exactly 50.
+_NEW_OR_CHANGED_R7 = [
+    "minhash_pairs_indexed",  # new: persisted MinHash-LSH index serving twin
+    "stream_user_totals",  # PROMOTED: full oracle via drain==batch-groupBy
+    "join_size_estimate_sketch",  # changed: under-collect raise guard
+    "pipeline_observed_metrics",  # changed: NULL-group coalesce sentinel oracle
+    "pagerank_near_dup",  # changed: empty-edge guard (output unchanged)
+]
+_R2_TAIL_R7 = [
+    # last driver row r2 (age 5), alphabetical — the final r2 rows:
+    "profile_orders",
+    "quality_filter_reasons",
+    "repetition_scores",
+    "scd2_user_status",
+    "sequence_packing",
+    "simhash_fingerprints",
+    "stream_static_join",
+    "text_punct_stopword",
+    "udtf_flatten_props",
+    "upsert_user_snapshot",
+    "weighted_doc_sample",
+    "weighted_group_sample",
+]
+_OLDEST_R3_R7 = [
+    # last driver row r3 (age 4), alphabetical, filling to 50:
+    "ann_hard_negatives",
+    "ann_pq_recall",
+    "array_vector_stats",
+    "bloom_prefilter_decontaminate",
+    "cms_token_estimates",
+    "containment_pairs_directed",
+    "corpus_curation",
+    "cross_doc_dup_spans",
+    "doc_bigram_perplexity",
+    "doc_chunk_windows",
+    "doc_fingerprint",
+    "domain_mixture_plan",
+    "dsir_src0_importance",
+    "embedding_covariance",
+    "epoch_shuffle_audit",
+    "events_hourly",
+    "events_sliding_window",
+    "events_trailing_hour",
+    "heavy_hitter_tokens",
+    "histogram_quantile_rollup",
+    "hll_sketch_rollup",
+    "kmv_user_overlap",
+    "multimodal_features",
+    "quality_linear_score",
+    "repeated_ngram_spans",
+    "semantic_dedup_clusters",
+    "sessionize_events",
+    "soft_dedup_doc_weights",
+    "span_dedup_clean_text",
+    "stratified_doc_sample",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "subword_token_stats",
+]
+
 _seen: set = set()
+_PRIORITY_R7 = [
+    n
+    for n in [*_NEW_OR_CHANGED_R7, *_R2_TAIL_R7, *_OLDEST_R3_R7]
+    if not (n in _seen or _seen.add(n))
+]
+assert len(_PRIORITY_R7) == 50, len(_PRIORITY_R7)
+
+#: ---- Round-6 ordering (superseded; kept for provenance) ----
+_seen_r6: set = set()
 _PRIORITY_R6 = [
     n
     for n in [*_NEW_OR_CHANGED_R6, *_OLDEST_R6]
-    if not (n in _seen or _seen.add(n))
+    if not (n in _seen_r6 or _seen_r6.add(n))
 ]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R6}
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R7}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
