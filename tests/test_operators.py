@@ -1897,3 +1897,26 @@ def test_minhash_indexed_large_batch_fallback(spark, sf_dir, tmp_path):
         for r in df.collect()
     }
     assert rows(fallback) == rows(normal) and rows(normal)
+
+
+def test_minhash_indexed_empty_batch(spark, sf_dir, tmp_path):
+    """A batch whose docs are all below the shingle floor produces no
+    band keys; the probe must return an empty pair frame, not an
+    'IN ()' parse error."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    path = str(tmp_path / "mh_idx3")
+    write_minhash_index(docs, path)
+    empty_batch = spark.createDataFrame(
+        [(10_000_001, "ab"), (10_000_002, "x")], "doc_id long, text string"
+    )
+    out = minhash_probe_indexed(spark, path, empty_batch, "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == ["new_doc", "index_doc", "inter_size", "union_size"]

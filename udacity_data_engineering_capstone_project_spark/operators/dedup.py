@@ -921,7 +921,11 @@ def minhash_probe_indexed(
     idx = spark.read.parquet(index_path + "/postings").filter(
         F.col("bp").isin(parts)
     )
-    if len(keys) <= max_literal_keys:
+    if not keys:
+        # empty batch (every doc below the shingle length floor):
+        # "IN ()" would be a parse error — prune everything instead
+        idx = idx.filter(F.lit(False))
+    elif len(keys) <= max_literal_keys:
         # ONE SQL-parsed IN expression, not Column.isin(*keys): isin
         # materializes each literal through a py4j call — measured
         # 4.6 s of pure plan-BUILD time at 7.8k keys (the whole serve

@@ -6107,13 +6107,17 @@ def _aqp_estimate_over(s):
         F.sum("rev_d").alias("sum_d"),
         F.sum(F.col("rev_d") * F.col("rev_d")).alias("sumsq_d"),
     )
-    # estimate = 100 * sample_sum; var from dollar-granular moments
+    # estimate = 100 * sample_sum; var from dollar-granular moments.
+    # sum_d * sum_d goes through DOUBLE (matching the oracle text):
+    # the int64 square overflowed at the 100x replica (sum_d ~ 7e9 per
+    # flag -> 5e19 > 2^63; ANSI caught it in the r7 full-headline 100x
+    # run) — and the product only feeds the float CI anyway.
     est = (F.col("sum_x1e4") * 100 / F.lit(1e4))
     half = (
         F.lit(1.96)
         * F.sqrt(
             F.col("sumsq_d")
-            - F.col("sum_d") * F.col("sum_d") / F.col("n_sample")
+            - F.col("sum_d").cast("double") * F.col("sum_d") / F.col("n_sample")
         )
         * F.lit(100.0)
     )
@@ -7845,4 +7849,157 @@ LLM_QUERIES["khop_contamination_radius"] = (
     ORACLE_KHOP_RADIUS,
     "graph/SQL-surface: k-hop contamination blast radius via Spark 4 "
     "recursive CTE (bounded UNION ALL walk, MIN-hop collapse)",
+)
+
+
+# --------------------------------------------------------------------------
+# Round 7: Stupid-Backoff trigram LM quality scoring (held-out split)
+
+
+def lm_stupid_backoff_scores(spark, sf_dir):
+    """CCNet-style language-model quality scoring with a STUPID
+    BACKOFF trigram LM (Brants et al. 2007, "Large Language Models in
+    Machine Translation" — the count-based LM built for exactly this
+    distributed-corpus setting): train positional trigram / bigram /
+    unigram counts on the md5-bucket < 90 split, score every held-out
+    (bucket >= 90) doc by its mean per-position score
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if trigram seen
+                   = 0.4 * c(w2w3)/c(w2)           else if bigram seen
+                   = 0.4^2 * c(w3)/N               else (0 if unseen)
+
+    — the relative-frequency backoff chain with the published 0.4
+    multiplier and no normalization, which is what makes it pure
+    integer arithmetic here: every level is one x1e6 integer DIV, so
+    the DuckDB oracle reproduces every score bit-for-bit (the
+    doc_bigram_perplexity promotion recipe, one backoff level deeper).
+    The train/score SPLIT is what exercises the backoff: scoring the
+    training corpus itself can never back off (every position's
+    trigram is by construction in the counts).
+
+    Scale shape: three map-side-combining count aggregates over the
+    train split (the "training" — counts ARE the model, mergeable
+    across any sharding), then five keyed LEFT joins of the held-out
+    position stream against them — n-gram-keyed hash joins, the
+    standard distributed LM-scoring plan; nothing quadratic, no
+    Python. Positional guarantee c(w1w2) >= c(w1w2w3) > 0 makes the
+    first DIV safe; ditto c(w2) for the second. Output: (doc_id,
+    n_tri, sb_score_x1e6)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    toks = (
+        docs.select(
+            "doc_id", tokens_col("text").alias("toks"), b.alias("bkt")
+        )
+        .filter(F.size("toks") >= 3)
+        .persist()
+    )
+    train = toks.filter(F.col("bkt") < 90)
+
+    tri = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), i -> "
+                "struct(toks[i-1] AS w1, toks[i] AS w2, toks[i+1] AS w3))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.*")
+    bi_train = train.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("g")
+    ).select("g.*")
+    uni_train = train.select(F.explode("toks").alias("w"))
+
+    c3 = tri(train).groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c2 = bi_train.groupBy("w1", "w2").agg(F.count("*").alias("c2")).persist()
+    c1 = uni_train.groupBy("w").agg(F.count("*").alias("c1")).persist()
+    n_tok = uni_train.agg(F.count("*").cast("long").alias("N"))
+
+    pos = tri(toks.filter(F.col("bkt") >= 90))
+    j = (
+        pos.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2.withColumnRenamed("c2", "c12"), ["w1", "w2"], "left")
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("c1").alias("u2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w3"), F.col("c1").alias("u3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN c3 IS NOT NULL THEN c3 * 1000000 DIV c12 "
+                "WHEN c23 IS NOT NULL THEN (4 * (c23 * 1000000 DIV u2)) DIV 10 "
+                "ELSE (16 * (coalesce(u3, CAST(0 AS BIGINT)) * 1000000 DIV N)) DIV 100 END"
+            ).alias("s"),
+        )
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tri"),
+        F.expr("sum(s) DIV count(*)").cast("long").alias("sb_score_x1e6"),
+    )
+
+
+ORACLE_LM_BACKOFF = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks,
+         {sql_md5_long("CAST(doc_id AS VARCHAR)", 7)} % 100 AS bkt
+  FROM documents
+),
+tk AS (SELECT * FROM toks WHERE len(toks) >= 3),
+t3 AS (
+  SELECT doc_id, bkt, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+  FROM (SELECT doc_id, bkt, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)
+),
+t2 AS (
+  SELECT bkt, toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT bkt, toks, unnest(range(1, len(toks))) AS i FROM tk)
+),
+t1 AS (SELECT bkt, unnest(toks) AS w FROM tk),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM t3 WHERE bkt < 90 GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM t2 WHERE bkt < 90 GROUP BY 1, 2),
+c1 AS (SELECT w, count(*) AS c1 FROM t1 WHERE bkt < 90 GROUP BY 1),
+n AS (SELECT count(*) AS N FROM t1 WHERE bkt < 90),
+j AS (
+  SELECT p.doc_id,
+         CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 * 1000000 // b12.c2
+              WHEN b23.c2 IS NOT NULL THEN (4 * (b23.c2 * 1000000 // u2.c1)) // 10
+              ELSE (16 * (coalesce(u3.c1, 0) * 1000000 // n.N)) // 100 END AS s
+  FROM t3 p CROSS JOIN n
+  LEFT JOIN c3 ON c3.w1 = p.w1 AND c3.w2 = p.w2 AND c3.w3 = p.w3
+  LEFT JOIN c2 b12 ON b12.w1 = p.w1 AND b12.w2 = p.w2
+  LEFT JOIN c2 b23 ON b23.w1 = p.w2 AND b23.w2 = p.w3
+  LEFT JOIN c1 u2 ON u2.w = p.w2
+  LEFT JOIN c1 u3 ON u3.w = p.w3
+  WHERE p.bkt >= 90
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+       CAST(sum(s) // count(*) AS BIGINT) AS sb_score_x1e6
+FROM j GROUP BY doc_id
+"""
+
+LLM_QUERIES["lm_stupid_backoff_scores"] = (
+    lm_stupid_backoff_scores,
+    ORACLE_LM_BACKOFF,
+    "text quality: Stupid-Backoff trigram LM scores for the held-out "
+    "split (train counts on bucket<90; x1e6 integer backoff chain)",
 )
