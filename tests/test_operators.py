@@ -1920,3 +1920,26 @@ def test_minhash_indexed_empty_batch(spark, sf_dir, tmp_path):
     out = minhash_probe_indexed(spark, path, empty_batch, "doc_id", "text")
     assert out.count() == 0
     assert out.columns == ["new_doc", "index_doc", "inter_size", "union_size"]
+
+
+def test_affine_minhash_blocked_matches_one_liner():
+    """The cache-blocked minhash expansion must be bit-identical to
+    the single-expression (flat[:,None]*a + b) % P it replaced."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        MINHASH_PRIME,
+        minhash_coefficients,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        _affine_minhash_blocked,
+    )
+
+    rng = np.random.default_rng(11)
+    flat = rng.integers(0, 1 << 28, size=20_001).astype(np.int64)
+    coeffs = minhash_coefficients(64)
+    a = np.array([x for x, _ in coeffs], dtype=np.int64)
+    b = np.array([x for _, x in coeffs], dtype=np.int64)
+    want = (flat[:, None] * a + b) % MINHASH_PRIME
+    got = _affine_minhash_blocked(flat, a, b, chunk=999)  # non-divisor chunk
+    assert (want == got).all()

@@ -213,29 +213,34 @@ def jaccard_pairs(
             .agg(F.collect_list("h").alias("hs"))  # already distinct per doc
         )
     if persist:
-        # one narrow (doc, array) row per doc feeds the self-join (x2)
-        # and the size lookup; exploding from the persisted sets is
-        # cheap, re-tokenizing the corpus per subtree is not.
+        # one narrow (doc, array) row per doc feeds the self-join (x2);
+        # exploding from the persisted sets is cheap, re-tokenizing the
+        # corpus per subtree is not.
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    shingles = sets.select("doc", F.explode("hs").alias("h"))
-    sizes = sets.select("doc", F.size("hs").cast("long").alias("n_sh"))
+    # set SIZES ride the shingle stream (+8 B/row) instead of joining
+    # back afterwards: the r7 100x run measured the old shape spending
+    # ~80 of 105 s re-shuffling the 113M-row sharing-pairs relation
+    # through TWO doc-keyed size joins; min() recovers the constant
+    # per-doc size inside the same aggregate, so those joins (and
+    # their exchanges) vanish. Output is bit-identical.
+    shingles = sets.select(
+        "doc", F.size("hs").cast("long").alias("n_sh"), F.explode("hs").alias("h")
+    )
     a = shingles.alias("a")
     b = shingles.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter_size"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .agg(
+            F.count("*").alias("inter_size"),
+            F.min("a.n_sh").alias("na"),
+            F.min("b.n_sh").alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
             "inter_size",
-            (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter_size")).alias("union_size"),
+            (F.col("na") + F.col("nb") - F.col("inter_size")).alias("union_size"),
         )
         .filter(
             F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
@@ -341,6 +346,31 @@ def minhash_signatures(
     return hashed.groupBy("doc").agg(*aggs)
 
 
+def _affine_minhash_blocked(
+    flat: np.ndarray, a_vec: np.ndarray, b_vec: np.ndarray, chunk: int = 8192
+) -> np.ndarray:
+    """``(flat[:, None] * a + b) % MINHASH_PRIME`` computed in
+    CACHE-SIZED blocks. The single-expression version materializes a
+    (n_shingles x n_hashes) int64 temporary per arithmetic op —
+    ~1.2 GB each at a 100x partition batch — and goes memory-bandwidth
+    bound: measured 12.6 s for a 2.4M x 64 batch vs 1.3 s blocked
+    (each 8192x64 block is 4 MB: multiply/add/mod all run from L2/L3).
+    A Mersenne shift-add fold was also tried (P = 2^31-1): it LOSES
+    unblocked (14.0 s — more passes, more traffic) and adds nothing
+    blocked (1.7 s) — the divide was never the bottleneck, the DRAM
+    round-trips were. Bit-identical to the one-liner by construction
+    (same ops, same order)."""
+    n = len(flat)
+    out = np.empty((n, len(a_vec)), np.int64)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        blk = flat[s:e, None] * a_vec
+        blk += b_vec
+        blk %= MINHASH_PRIME
+        out[s:e] = blk
+    return out
+
+
 def _minhash_band_keys_udf(n_hashes: int, bands: int):
     """Arrow kernel: digest-set column -> array of ``bands`` mixed
     int64 band keys (the minhash signature never materializes as
@@ -361,7 +391,7 @@ def _minhash_band_keys_udf(n_hashes: int, bands: int):
         lens = np.fromiter((len(h) for h in hs_col), dtype=np.int64)
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
         flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs_col]) >> 32
-        expanded = (flat[:, None] * a_vec + b_vec) % MINHASH_PRIME
+        expanded = _affine_minhash_blocked(flat, a_vec, b_vec)
         sig = np.minimum.reduceat(expanded, offsets, axis=0)
         keys = np.broadcast_to(band_ids, (len(lens), bands)).copy()
         sig = sig.reshape(len(lens), bands, rows)

@@ -96,6 +96,24 @@ def cosine_arrow_udf():
     return cos_r_arrow
 
 
+def srp_rows_scaled(n: int, min_rows: int = 14, max_rows: int = 28) -> int:
+    """Corpus-scaled SRP band WIDTH: ``r = clamp(ceil(log2 n) + 4,
+    14, 28)``. A random pair survives an r-bit band with p = 2^-r, so
+    expected random candidates are ``n^2/2 * bands / 2^r``; pinning
+    r to log2(n)+4 makes that ``n * bands / 32`` — linear BY
+    CONSTRUCTION at any n. This is the dial the r7 100x full-headline
+    run caught pinned at the fixture value (16x14 collided ~5e8
+    random candidates at n = 1e6: 4.8 -> 238 s — the SemDeDup-k
+    lesson, round 6, repeated on this operator). Recall at the
+    fixture's planted c ~ 0.9999 pairs stays ~1 through r = 28
+    ((1 - 0.9955^28)^16 ~ 2e-15); borderline-c recall is the price,
+    and raising ``bands`` alongside (srp_auto_config) buys it back
+    when a deployment mines close to its threshold."""
+    import math
+
+    return min(max(min_rows, math.ceil(math.log2(max(n, 2))) + 4), max_rows)
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -105,6 +123,7 @@ def embedding_near_dup(
     bands: int = 16,
     rows: int = 14,
     seed: int = 7,
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via signed-random-projection LSH
     + exact verification — the dedup-by-embedding scale path.
@@ -134,19 +153,33 @@ def embedding_near_dup(
     random pairs AND missed 2x more true pairs at c=0.95. The
     DuckDB oracle replicates the same algorithm with the same planes.
 
+    ``plane_stride`` (default: ``rows``) fixes the plane-to-band
+    layout independently of ``rows``: band ``j`` uses planes
+    ``j*stride .. j*stride + rows - 1`` of ``srp_planes(bands *
+    stride)``. A CORPUS-SCALED ``rows`` (srp_rows_scaled) with a
+    constant stride keeps the plane literals — and therefore the
+    static DuckDB oracle text — identical at every scale; only the
+    per-band bit COUNT varies, which the oracle gates with a scalar
+    CASE per bit.
+
     Output: (id_a, id_b, cos_r) with id_a < id_b.
     """
     from pyspark.sql.functions import pandas_udf
 
-    plane_mat = np.array(srp_planes(bands * rows, dim, seed)).T  # dim x planes
+    stride = rows if plane_stride is None else plane_stride
+    assert stride >= rows
+    plane_mat = np.array(srp_planes(bands * stride, dim, seed)).T  # dim x planes
     weights = np.array([1 << k for k in range(rows)], dtype=np.int64)
-    offsets = np.array([j << rows for j in range(bands)], dtype=np.int64)
+    offsets = np.array(
+        [j << (stride if stride > rows else rows) for j in range(bands)],
+        dtype=np.int64,
+    )
 
     @pandas_udf("array<long>")
     def band_keys(vecs: pd.Series) -> pd.Series:
         m = np.vstack(vecs.to_numpy())  # batch x dim, float64
         bits = (m @ plane_mat > 0.0).astype(np.int64)  # batch x planes
-        keys = bits.reshape(len(m), bands, rows) @ weights + offsets
+        keys = bits.reshape(len(m), bands, stride)[:, :, :rows] @ weights + offsets
         return pd.Series(list(keys))
 
     c = _with_double_vec(corpus, vec_col, "cv").select(

@@ -1480,13 +1480,20 @@ def embedding_near_dup_pairs(spark, sf_dir):
     is the fixture embeddings UNIONed with +0.01-perturbed copies
     (vec_id + 100000, cosine vs the original ~0.9999 — planted
     near-dups, since the raw fixture vectors are mutually random with
-    max pairwise cosine ~0.6). SRP-LSH (16 bands x 14 sign bits) mines
-    at 0.95: every planted pair is detected (P[miss] ~ 1e-19 at
-    c=0.9999, and deterministically the same candidates in both
-    engines — the oracle uses the same planes), a random pair
-    survives a band with p = 2^-14, so candidates stay
-    ~bands/2^14 ~ 1e-3 of all pairs — the quadratic term that
-    dominated at 10x data under the old 8x10 config."""
+    max pairwise cosine ~0.6). SRP-LSH mines at 0.95 with a
+    CORPUS-SCALED band width (srp_rows_scaled: r = clamp(ceil(log2 n)
+    + 4, 14, 28), bands = 16, constant plane stride 28): a random pair
+    survives an r-bit band with 2^-r, so random candidates stay
+    ~n*bands/32 — linear by construction. The r7 100x full-headline
+    run caught the previous pinned 16x14 paying the collision
+    quadratic (4.8 -> 238 s at n = 1e6; with the scaled dial: ~0.5M
+    candidates instead of ~0.5B). Every planted pair is still
+    detected at any r <= 28 (P[miss] ~ 2e-15 at c=0.9999) and the
+    oracle computes THE SAME r from count(*) via a scalar subquery,
+    gating each bit with CASE — same planes, same keys, bit-equal
+    candidates in both engines."""
+    from ..operators.similarity import srp_rows_scaled
+
     base = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1494,14 +1501,17 @@ def embedding_near_dup_pairs(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.expr("transform(embedding, x -> x + 0.01D)").alias("embedding"),
     )
+    corpus = base.unionByName(perturbed)
+    rows = srp_rows_scaled(corpus.count())
     return embedding_near_dup(
-        base.unionByName(perturbed),
+        corpus,
         id_col="vec_id",
         vec_col="embedding",
         dim=64,
         threshold=0.95,
         bands=16,
-        rows=14,
+        rows=rows,
+        plane_stride=28,
     )
 
 
@@ -1535,7 +1545,56 @@ WHERE {cos} >= {threshold}
 """
 
 
-ORACLE_EMBEDDING_NEAR_DUP = _srp_oracle(0.95, 16, 14)
+def _srp_oracle_scaled(
+    threshold: float = 0.95,
+    bands: int = 16,
+    stride: int = 28,
+    min_rows: int = 14,
+    max_rows: int = 28,
+) -> str:
+    """Static-text oracle for the CORPUS-SCALED band width: all
+    bands*stride plane bits are materialized, r comes from count(*)
+    via a scalar CTE, and every bit above r is CASE-gated to 0 —
+    byte-identical SQL at every sf, same keys as the Spark kernel's
+    ``[:, :, :rows]`` slice with the same stride layout."""
+    planes = srp_planes(bands * stride, 64)
+    lits = ["[" + ", ".join(f"{v:.1f}" for v in p) + "]" for p in planes]
+    bit = lambda i: f"(CASE WHEN list_dot_product(v, {lits[i]}) > 0.0 THEN 1 ELSE 0 END)"
+    key_exprs = ", ".join(
+        f"CAST({1 << stride} AS BIGINT) * {j} + "
+        + " + ".join(
+            f"(CASE WHEN {k} < rr.r THEN {1 << k} * {bit(j * stride + k)} ELSE 0 END)"
+            for k in range(stride)
+        )
+        for j in range(bands)
+    )
+    cos = sql_round_fixed("list_cosine_similarity(ca.v, cb.v)", 4)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM base
+),
+rr AS (
+  SELECT least(greatest({min_rows},
+                CAST(ceil(log2(count(*))) AS INT) + 4), {max_rows}) AS r
+  FROM c
+),
+keys AS (SELECT vec_id, unnest([{key_exprs}]) AS band_key FROM c CROSS JOIN rr),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cos_r
+FROM cand
+JOIN c ca ON ca.vec_id = id_a
+JOIN c cb ON cb.vec_id = id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+ORACLE_EMBEDDING_NEAR_DUP = _srp_oracle_scaled(0.95, 16, 28)
 
 
 def semantic_dedup_clusters(spark, sf_dir):
