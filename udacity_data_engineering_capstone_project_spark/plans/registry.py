@@ -395,6 +395,13 @@ _PRIORITY_R3 = [
 _NEW_OR_CHANGED_R7 = [
     "minhash_pairs_indexed",  # new: persisted MinHash-LSH index serving twin
     "stream_user_totals",  # PROMOTED: full oracle via drain==batch-groupBy
+    "lm_stupid_backoff_scores",  # new: held-out Stupid-Backoff LM scoring
+    "embedding_near_dup",  # changed: corpus-scaled SRP rows + scalar-r oracle
+    "jaccard_pairs_exact",  # changed plan: sizes ride the shingle stream
+    "jaccard_pairs_capped",  # changed plan: same jaccard_pairs rewrite
+    "minhash_pairs",  # changed: cache-blocked affine kernel
+    "aqp_revenue_estimate",  # changed: CI square through double (100x overflow)
+    "aqp_revenue_from_sample",  # changed: shares the CI fix
     "join_size_estimate_sketch",  # changed: under-collect raise guard
     "pipeline_observed_metrics",  # changed: NULL-group coalesce sentinel oracle
     "pagerank_near_dup",  # changed: empty-edge guard (output unchanged)
@@ -442,13 +449,10 @@ _OLDEST_R3_R7 = [
     "quality_linear_score",
     "repeated_ngram_spans",
     "semantic_dedup_clusters",
-    "sessionize_events",
-    "soft_dedup_doc_weights",
-    "span_dedup_clean_text",
-    "stratified_doc_sample",
-    "stream_hourly_counts",
-    "stream_sessionize",
-    "subword_token_stats",
+    # (sessionize_events, soft_dedup_doc_weights, span_dedup_clean_text,
+    # stratified_doc_sample, stream_hourly_counts, stream_sessionize and
+    # subword_token_stats displaced as the round's changed queries
+    # joined the head; the window stays exactly 50)
 ]
 
 _seen: set = set()
