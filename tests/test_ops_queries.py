@@ -218,16 +218,22 @@ def test_aqp_ci_survives_100x_scale_sums(spark):
     rows with the same magnitude must produce a finite CI, not
     ARITHMETIC_OVERFLOW (the square now runs in double, matching the
     oracle text)."""
+    from pyspark.sql import functions as F
+
     from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
         _aqp_estimate_over,
     )
 
-    big = 4_000_000_000 * 10_000  # 4e9 dollars as x1e4
-    s = spark.createDataFrame(
-        [("A", big), ("A", big + 10_000)], "l_returnflag string, rev_x1e4 long"
+    # realistic per-row magnitude (1e5 dollars — per-row squares stay
+    # ~1e10, inside the documented 9e8-row sumsq_d headroom), many
+    # rows: sum_d = 4e9 whose int64 square is the 5e19 that killed the
+    # 100x run
+    s = spark.range(40_000).select(
+        F.lit("A").alias("l_returnflag"),
+        F.lit(100_000 * 10_000).cast("long").alias("rev_x1e4"),
     )
     row = _aqp_estimate_over(s).collect()[0]
-    assert row["n_sample"] == 2
+    assert row["n_sample"] == 40_000
     assert row["ci_half_x100"] >= 0  # finite, no overflow
 
 

@@ -272,7 +272,9 @@ def containment_pairs(
 
     Scale shape is exactly :func:`jaccard_pairs`'s: one inverted-index
     self-join on 60-bit digests (cost sum(freq^2) per shingle, bounded
-    by the same df cap / broadcast anti-join), one size join; emitting
+    by the same df cap / broadcast anti-join); both set sizes ride the
+    shingle stream into the pair aggregate (the r7 100x rewrite — no
+    post-hoc size joins to re-shuffle the pair relation); emitting
     both directions of each undirected candidate is a projection-level
     union, not a second join.
     """
@@ -290,24 +292,18 @@ def containment_pairs(
             .agg(F.collect_list("h").alias("hs"))  # already distinct per doc
         )
     sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    shingles = sets.select("doc", F.explode("hs").alias("h"))
-    sizes = sets.select("doc", F.size("hs").cast("long").alias("n_sh"))
+    shingles = sets.select(
+        "doc", F.size("hs").cast("long").alias("n_sh"), F.explode("hs").alias("h")
+    )
     a = shingles.alias("a")
     b = shingles.alias("b")
-    inter = (
+    joined = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter_size"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    joined = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc"))
-        .select(
-            "doc_a", "doc_b", "inter_size",
-            F.col("sa.n_sh").alias("n_a"),
-            F.col("sb.n_sh").alias("n_b"),
+        .agg(
+            F.count("*").alias("inter_size"),
+            F.min("a.n_sh").alias("n_a"),
+            F.min("b.n_sh").alias("n_b"),
         )
     )
     directed = joined.select(

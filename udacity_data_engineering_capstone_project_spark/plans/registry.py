@@ -399,6 +399,7 @@ _NEW_OR_CHANGED_R7 = [
     "embedding_near_dup",  # changed: corpus-scaled SRP rows + scalar-r oracle
     "jaccard_pairs_exact",  # changed plan: sizes ride the shingle stream
     "jaccard_pairs_capped",  # changed plan: same jaccard_pairs rewrite
+    "containment_pairs_directed",  # changed plan: sizes in the pair agg
     "minhash_pairs",  # changed: cache-blocked affine kernel
     "aqp_revenue_estimate",  # changed: CI square through double (100x overflow)
     "aqp_revenue_from_sample",  # changed: shares the CI fix
@@ -428,7 +429,7 @@ _OLDEST_R3_R7 = [
     "array_vector_stats",
     "bloom_prefilter_decontaminate",
     "cms_token_estimates",
-    "containment_pairs_directed",
+    # (containment_pairs_directed moved to the changed head)
     "corpus_curation",
     "cross_doc_dup_spans",
     "doc_bigram_perplexity",
