@@ -261,3 +261,46 @@ def test_lm_backoff_levels_by_construction(spark):
     assert s(None, None, 1, 2, None, 100) == 200_000  # 0.4*0.5
     assert s(None, None, None, None, 5, 100) == 8_000  # 0.16*0.05
     assert s(None, None, None, None, None, 100) == 0
+
+
+def test_shard_snake_plan_partition_independent_and_balanced(spark):
+    """The snake plan must be a pure function of the data (identical
+    for 1 vs 32 range partitions) and must bound shard token skew by
+    ~the largest document on a skewed planted corpus."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.curation import (
+        shard_snake_plan,
+    )
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        # planted skew: doc 0 is giant, the rest follow a ramp
+        F.when(F.col("id") == 0, 5000)
+        .otherwise((F.col("id") % 97) + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    p1 = {
+        (r.doc_id, r.shard)
+        for r in shard_snake_plan(docs, 8, num_partitions=1).collect()
+    }
+    p32 = {
+        (r.doc_id, r.shard)
+        for r in shard_snake_plan(docs, 8, num_partitions=32).collect()
+    }
+    assert p1 == p32
+    masses = {
+        r.shard: r.m
+        for r in shard_snake_plan(docs, 8)
+        .groupBy("shard")
+        .agg(F.sum("n_tokens").alias("m"))
+        .collect()
+    }
+    assert len(masses) == 8
+    # LPT-flavored bound: without the giant doc the plan is near-even;
+    # the giant doc inflates exactly one shard by <= its own mass
+    spread = max(masses.values()) - min(masses.values())
+    assert spread <= 5000
+    non_giant = sorted(masses.values())[:-1]
+    assert max(non_giant) - min(non_giant) <= 97  # a snake round's grain

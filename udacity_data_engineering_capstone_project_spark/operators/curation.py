@@ -711,3 +711,65 @@ def bloom_decontaminate(
             >= F.col("n_shingles") * threshold_num
         ).cast("int"),
     )
+
+
+def shard_snake_plan(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tok_col: str = "n_tokens",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Balanced training-shard assignment by SNAKE (boustrophedon)
+    packing: documents ranked by descending token count are dealt to
+    shards in alternating order (0..N-1, N-1..0, ...), the classic
+    LPT-flavored heuristic that bounds shard skew by the largest
+    single document — vs hash sharding's sqrt(n)-scale luck and
+    range sharding's built-in imbalance. This is the layout step a
+    training pipeline runs before writing epoch shards: every shard
+    gets ~equal token mass so data-parallel workers finish together.
+
+    The global rank is the same DISTRIBUTED PREFIX machinery as
+    :func:`pack_sequences` (range-partition by the sort key, one
+    O(#partitions) driver collect of per-partition COUNTS, broadcast
+    exclusive offsets, partition-local row_number) — no single-task
+    global window, output identical for any partition count.
+
+    Output: (id, n_tokens, shard) — deterministic pure function of
+    the data.
+    """
+    ranged = df.select(
+        F.col(id_col).alias("id"), F.col(tok_col).alias("n_tokens")
+    ).repartitionByRange(
+        num_partitions, F.col("n_tokens").desc(), F.col("id")
+    ).select("id", "n_tokens", F.spark_partition_id().alias("__pid"))
+    counts = {
+        r["__pid"]: r["c"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("n_tokens").desc(), F.col("id")
+    )
+    rank0 = (
+        F.row_number().over(w) - 1 + F.coalesce(off_expr[F.col("__pid")], F.lit(0))
+    ).cast("long")
+    n = int(n_shards)
+    shard = F.expr(
+        f"CASE WHEN (__r DIV {n}) % 2 = 0 THEN __r % {n} "
+        f"ELSE {n - 1} - (__r % {n}) END"
+    )
+    return (
+        ranged.withColumn("__r", rank0)
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            shard.cast("int").alias("shard"),
+        )
+    )

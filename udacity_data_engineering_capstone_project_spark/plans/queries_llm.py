@@ -8062,3 +8062,138 @@ LLM_QUERIES["lm_stupid_backoff_scores"] = (
     "text quality: Stupid-Backoff trigram LM scores for the held-out "
     "split (train counts on bucket<90; x1e6 integer backoff chain)",
 )
+
+
+# --------------------------------------------------------------------------
+# Round 7: shard balancing + ANN hubness audit
+
+
+def shard_plan_balance(spark, sf_dir):
+    """Training-shard balance audit over the snake-packed shard plan
+    (operators/curation.shard_snake_plan): documents ranked by token
+    mass are dealt boustrophedon into 8 shards — the LPT-style layout
+    a pipeline runs before writing epoch shards so data-parallel
+    workers get ~equal token mass. Reports per shard: doc count, token
+    mass, and the x1e6 share of total tokens (a balanced plan reads
+    ~125000 per shard for 8). The global rank runs as the
+    pack_sequences distributed prefix (range partitions + broadcast
+    offsets), not a single-task window; the oracle replays rank and
+    snake arithmetic exactly."""
+    from ..operators.curation import shard_snake_plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    plan = shard_snake_plan(docs, n_shards=8)
+    tot = plan.agg(F.sum("n_tokens").cast("long").alias("t"))
+    return (
+        plan.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "sum_tokens",
+            F.expr("sum_tokens * 1000000 DIV t").alias("share_x1e6"),
+        )
+    )
+
+
+ORACLE_SHARD_BALANCE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r0
+  FROM d
+),
+s AS (
+  SELECT n_tokens,
+         CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8 ELSE 7 - (r0 % 8) END AS shard
+  FROM r
+),
+tot AS (SELECT sum(n_tokens) AS t FROM d)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_tokens) * 1000000 // t AS BIGINT) AS share_x1e6
+FROM s CROSS JOIN tot
+GROUP BY shard, t
+"""
+
+LLM_QUERIES["shard_plan_balance"] = (
+    shard_plan_balance,
+    ORACLE_SHARD_BALANCE,
+    "layout: snake-packed (LPT-style) training-shard plan balance "
+    "audit — per-shard doc count / token mass / x1e6 share, global "
+    "rank via the distributed-prefix machinery",
+)
+
+
+def ann_hubness_audit(spark, sf_dir):
+    """Embedding-space HUBNESS audit: the k-occurrence distribution —
+    for each corpus vector, how many OTHER vectors list it in their
+    exact cosine top-5 (Radovanovic et al., JMLR 2010: in high
+    dimensions a few 'hub' points appear in a disproportionate share
+    of neighbor lists and skew every retrieval / kNN-graph consumer;
+    the k-occurrence histogram is the standard diagnostic). Corpus =
+    fixture embeddings; ranking on 4-decimal-rounded cosine with id
+    tie-break, so the neighbor graph — hence the histogram — is
+    bit-stable across engines. Output: (k_occurrence, n_vectors)
+    including the 0-occurrence antihubs. The fixture run is the exact
+    quadratic baseline (|corpus| broadcast queries x corpus — the
+    ann_topk_bruteforce shape); at deployment scale the same audit
+    runs over the IVF/PQ top-k output already shipped beside it."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top5 = brute_force_topk(emb, emb, "vec_id", "embedding", k=5)
+    occ = top5.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("k_occ")
+    )
+    per_vec = (
+        emb.select("vec_id")
+        .join(occ, "vec_id", "left")
+        .select(F.coalesce("k_occ", F.lit(0)).cast("long").alias("k_occurrence"))
+    )
+    return per_vec.groupBy("k_occurrence").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+
+
+ORACLE_ANN_HUBNESS = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         {sql_round_fixed('list_cosine_similarity(qv, cv)', 4)} AS cos_sim
+  FROM q, c WHERE neighbor_id <> query_id
+),
+top5 AS (
+  SELECT neighbor_id FROM (
+    SELECT neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM s
+  ) WHERE rank <= 5
+),
+occ AS (SELECT neighbor_id, count(*) AS k_occ FROM top5 GROUP BY neighbor_id),
+per_vec AS (
+  SELECT coalesce(o.k_occ, 0) AS k_occurrence
+  FROM c LEFT JOIN occ o ON o.neighbor_id = c.neighbor_id
+)
+SELECT CAST(k_occurrence AS BIGINT) AS k_occurrence,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM per_vec GROUP BY k_occurrence
+"""
+
+LLM_QUERIES["ann_hubness_audit"] = (
+    ann_hubness_audit,
+    ORACLE_ANN_HUBNESS,
+    "similarity: k-occurrence hubness histogram of the exact top-5 "
+    "neighbor graph (antihubs included) — the JMLR-2010 hub diagnostic",
+)
