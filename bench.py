@@ -119,6 +119,11 @@ HEADLINE = [
     # predecessor incremental_dedup_probe for the measured contrast.
     "minhash_pairs_indexed",
     "incremental_dedup_probe",
+    # round-7 second wave: held-out Stupid-Backoff LM scoring, the
+    # snake shard-balance plan, and the vectorized hubness audit.
+    "lm_stupid_backoff_scores",
+    "shard_plan_balance",
+    "ann_hubness_audit",
 ]
 
 #: FROZEN round-over-round comparability subset (VERDICT r5 #7): the

@@ -1943,3 +1943,25 @@ def test_affine_minhash_blocked_matches_one_liner():
     want = (flat[:, None] * a + b) % MINHASH_PRIME
     got = _affine_minhash_blocked(flat, a, b, chunk=999)  # non-divisor chunk
     assert (want == got).all()
+
+
+def test_knn_self_topk_arrow_matches_brute_force(spark, sf_dir):
+    """The vectorized self-kNN kernel must reproduce brute_force_topk
+    (and hence the oracle) exactly: same neighbors, same rounded
+    cosines, same ranks."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        brute_force_topk,
+        knn_self_topk_arrow,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in brute_force_topk(emb, emb, "vec_id", "embedding", k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in knn_self_topk_arrow(emb, "vec_id", "embedding", k=5).collect()
+    }
+    assert got == want and len(got) > 0

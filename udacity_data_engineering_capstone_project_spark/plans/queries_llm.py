@@ -8145,13 +8145,16 @@ def ann_hubness_audit(spark, sf_dir):
     tie-break, so the neighbor graph — hence the histogram — is
     bit-stable across engines. Output: (k_occurrence, n_vectors)
     including the 0-occurrence antihubs. The fixture run is the exact
-    quadratic baseline (|corpus| broadcast queries x corpus — the
-    ann_topk_bruteforce shape); at deployment scale the same audit
-    runs over the IVF/PQ top-k output already shipped beside it."""
-    from ..operators.similarity import brute_force_topk
+    quadratic baseline, computed by the VECTORIZED self-kNN kernel
+    (knn_self_topk_arrow: sequential-cumsum dots for oracle
+    bit-parity; 65 s of JVM HOF cosines -> ~3 s at sf0.1); at
+    deployment scale the same audit runs over the IVF/PQ top-k output
+    already shipped beside it — an exact n^2 graph is the wrong tool
+    past the kernel's documented broadcast bound at any speed."""
+    from ..operators.similarity import knn_self_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    top5 = brute_force_topk(emb, emb, "vec_id", "embedding", k=5)
+    top5 = knn_self_topk_arrow(emb, "vec_id", "embedding", k=5)
     occ = top5.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
         F.count("*").cast("long").alias("k_occ")
     )
