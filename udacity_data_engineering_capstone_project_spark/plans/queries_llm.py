@@ -8200,3 +8200,134 @@ LLM_QUERIES["ann_hubness_audit"] = (
     "similarity: k-occurrence hubness histogram of the exact top-5 "
     "neighbor graph (antihubs included) — the JMLR-2010 hub diagnostic",
 )
+
+
+# --------------------------------------------------------------------------
+# Round 7: rank-biased overlap between the two retrieval legs
+
+
+#: RBO truncation weights as EXACT integer pairs (9^(d-1), 10^(d-1))
+#: for p = 0.9, d = 1..10 — driver-side literals so both engines run
+#: identical all-integer term arithmetic (pow() is float in both).
+_RBO_DS = [(d, 9 ** (d - 1), 10 ** (d - 1)) for d in range(1, 11)]
+
+
+def retrieval_agreement_rbo(spark, sf_dir):
+    """Rank-Biased Overlap (Webber et al., TOIS 2010) between the BM25
+    lexical leg and the dense cosine leg at depth 10, p = 0.9 — the
+    standard top-weighted agreement measure between two rankings. Low
+    RBO says the legs retrieve DIFFERENT evidence (fusion adds recall);
+    high RBO says one leg is redundant. hybrid_rrf_retrieval fuses the
+    two legs; this query measures how much they actually agree, per
+    probe query.
+
+    All-integer form: a common doc with leg ranks (ra, rb) enters the
+    prefix overlap at depth d = max(ra, rb); olap_d is a count; the
+    truncated-RBO term (olap_d / d) * p^(d-1) becomes
+    ``olap_d * 9^(d-1) * 1e7 DIV (d * 10^(d-1))`` with the weight
+    pairs as driver literals (pow() is float in both engines), the
+    final (1 - p) = 1/10 folds the x1e7 sum to x1e6 — bit-equal in
+    any engine, no float sums. Depth table and per-query terms are
+    rows x 10 — the legs' own top-k cost dominates. Output:
+    (query_id, n_common, rbo_x1e6)."""
+    from ..operators.retrieval import bm25_topk
+    from ..operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        BM25_PROBE_QUERIES, "query_id int, qtext string"
+    )
+    lex = bm25_topk(docs, queries, k=10).select("query_id", "doc_id", "rank")
+    dense = brute_force_topk(
+        emb.filter(F.col("vec_id").isin([1, 2, 3])), emb, k=10
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    both = (
+        lex.alias("l")
+        .join(dense.alias("r"), ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            F.greatest(F.col("l.rank"), F.col("r.rank")).alias("enter_d"),
+        )
+    )
+    ds = spark.createDataFrame(_RBO_DS, "d int, n9 long, n10 long")
+    terms = (
+        both.join(F.broadcast(ds), F.col("enter_d") <= F.col("d"))
+        .groupBy("query_id", "d", "n9", "n10")
+        .agg(F.count("*").cast("long").alias("olap"))
+        .select(
+            "query_id",
+            F.expr("olap * n9 * 10000000 DIV (d * n10)").alias("term_x1e7"),
+            F.when(F.col("d") == 10, F.col("olap")).alias("common10"),
+        )
+    )
+    qids = queries.select("query_id")
+    agg = terms.groupBy("query_id").agg(
+        F.expr("sum(term_x1e7) DIV 10").alias("rbo_x1e6"),
+        F.max("common10").cast("long").alias("n_common"),
+    )
+    return (
+        qids.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce("rbo_x1e6", F.lit(0)).cast("long").alias("rbo_x1e6"),
+        )
+    )
+
+
+ORACLE_RBO = f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank FROM ({ORACLE_BM25})
+),
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id, rank FROM (
+    SELECT CAST(q.query_id AS INT) AS query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS_QC} DESC, c.neighbor_id) AS rank
+    FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id IN (1, 2, 3)) q,
+         (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings) c
+    WHERE c.neighbor_id <> q.query_id
+  ) WHERE rank <= 10
+),
+both_legs AS (
+  SELECT l.query_id, greatest(l.rank, r.rank) AS enter_d
+  FROM lex l JOIN dense r ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+),
+ds(d, n9, n10) AS (VALUES {", ".join(f"({d}, {n9}, {n10})" for d, n9, n10 in _RBO_DS)}),
+terms AS (
+  SELECT b.query_id,
+         -- BIGINT casts: DuckDB types VALUES literals as INT32 and
+         -- 10 * 10^9 overflows the untyped product
+         b2.olap * CAST(ds.n9 AS BIGINT) * 10000000
+           // (ds.d * CAST(ds.n10 AS BIGINT)) AS term_x1e7,
+         CASE WHEN ds.d = 10 THEN b2.olap END AS common10
+  FROM ds
+  JOIN (SELECT query_id, d, count(*) AS olap
+        FROM both_legs JOIN ds ON enter_d <= d
+        GROUP BY query_id, d) b2 ON b2.d = ds.d
+  JOIN (SELECT DISTINCT query_id FROM both_legs) b ON b.query_id = b2.query_id
+),
+agg AS (
+  SELECT query_id, sum(term_x1e7) // 10 AS rbo_x1e6,
+         max(common10) AS n_common
+  FROM terms GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(a.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(a.rbo_x1e6, 0) AS BIGINT) AS rbo_x1e6
+FROM (VALUES (1), (2), (3)) q(query_id) LEFT JOIN agg a USING (query_id)
+"""
+
+LLM_QUERIES["retrieval_agreement_rbo"] = (
+    retrieval_agreement_rbo,
+    ORACLE_RBO,
+    "retrieval eval: rank-biased overlap (p=0.9, depth 10) between "
+    "the BM25 and dense legs — all-integer truncated-RBO terms",
+)

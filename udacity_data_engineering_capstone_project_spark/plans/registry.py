@@ -398,6 +398,7 @@ _NEW_OR_CHANGED_R7 = [
     "lm_stupid_backoff_scores",  # new: held-out Stupid-Backoff LM scoring
     "shard_plan_balance",  # new: snake-packed shard plan balance audit
     "ann_hubness_audit",  # new: k-occurrence hubness histogram
+    "retrieval_agreement_rbo",  # new: BM25-vs-dense rank-biased overlap
     "embedding_near_dup",  # changed: corpus-scaled SRP rows + scalar-r oracle
     "jaccard_pairs_exact",  # changed plan: sizes ride the shingle stream
     "jaccard_pairs_capped",  # changed plan: same jaccard_pairs rewrite
@@ -449,8 +450,7 @@ _OLDEST_R3_R7 = [
     "hll_sketch_rollup",
     "kmv_user_overlap",
     "multimodal_features",
-    "quality_linear_score",
-    # (repeated_ngram_spans, semantic_dedup_clusters,
+    # (quality_linear_score, repeated_ngram_spans, semantic_dedup_clusters,
     # sessionize_events, soft_dedup_doc_weights, span_dedup_clean_text,
     # stratified_doc_sample, stream_hourly_counts, stream_sessionize and
     # subword_token_stats displaced as the round's changed queries
