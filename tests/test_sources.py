@@ -523,3 +523,112 @@ def test_targeted_delete_manifest_heals_duplicate_window(spark, tmp_path):
     assert after.count() == 198  # healed: no duplicates, both keys gone
     assert after.filter(F.col("doc_id").isin([1, 2])).count() == 0
     os.remove(backup)
+
+
+def test_targeted_delete_manifest_heals_loss_window(spark, tmp_path):
+    """The worse tear: manifest committed but rewritten parts still in
+    the Spark-invisible _rewrite_* staging dir and originals still in
+    place. A delete-first heal would remove the originals while the
+    kept rows stay stranded invisible — silent loss. The heal loop
+    must replay the moves FIRST, then the deletions."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        targeted_delete,
+    )
+
+    path = str(tmp_path / "ldocs")
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    df.repartitionByRange(4, "doc_id").write.parquet(path)
+    parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+    victim = os.path.join(path, parts[0])
+    victim_keys = {
+        r["doc_id"]
+        for r in spark.read.parquet(victim).select("doc_id").collect()
+    }
+    target_key = min(victim_keys)
+    # stage the rewrite (victim minus the target) exactly as a crashed
+    # call would have left it: parts inside _rewrite_*, not yet moved
+    staging_src = str(tmp_path / "stage_src")
+    (
+        spark.read.parquet(victim)
+        .filter(F.col("doc_id") != target_key)
+        .coalesce(1)
+        .write.parquet(staging_src)
+    )
+    tmp_out = os.path.join(path, "_rewrite_tearloss")
+    os.makedirs(tmp_out)
+    staged_name = next(
+        f for f in os.listdir(staging_src) if f.startswith("part-")
+    )
+    os.replace(
+        os.path.join(staging_src, staged_name),
+        os.path.join(tmp_out, staged_name),
+    )
+    manifest = {
+        "moves": [
+            [
+                os.path.join(tmp_out, staged_name),
+                os.path.join(path, f"deleted-tearloss-{staged_name}"),
+            ]
+        ],
+        "delete": [victim],
+        "tmp_dir": tmp_out,
+    }
+    with open(os.path.join(path, "_pending_delete_tear.json"), "w") as fh:
+        json.dump(manifest, fh)
+    # the torn state is invisible-but-recoverable: raw read still shows
+    # the original (duplicate-free, pre-delete) data
+    assert spark.read.parquet(path).count() == 200
+
+    other_key = 199 if target_key != 199 else 198
+    stats = targeted_delete(
+        spark,
+        path,
+        spark.createDataFrame([(other_key,)], "doc_id long"),
+        "doc_id",
+    )
+    assert stats["rows_deleted"] == 1
+    assert not glob.glob(os.path.join(path, "_pending_delete_*"))
+    assert not glob.glob(os.path.join(path, "_rewrite_*"))
+    after = spark.read.parquet(path)
+    # both the healed delete and the new one applied; nothing stranded
+    assert after.count() == 198
+    assert (
+        after.filter(F.col("doc_id").isin([target_key, other_key])).count()
+        == 0
+    )
+
+
+def test_targeted_delete_cleans_orphan_staging(spark, tmp_path):
+    """A crash BEFORE the manifest commit leaves only garbage: a
+    _rewrite_* dir and possibly a half-written .json.tmp manifest.
+    Originals are intact, so the next call removes both and proceeds."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.writers import (
+        targeted_delete,
+    )
+
+    path = str(tmp_path / "odocs")
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    df.repartitionByRange(2, "doc_id").write.parquet(path)
+    os.makedirs(os.path.join(path, "_rewrite_orphan"))
+    with open(
+        os.path.join(path, "_pending_delete_x.json.tmp"), "w"
+    ) as fh:
+        fh.write('{"moves": [')  # torn mid-write
+    stats = targeted_delete(
+        spark, path, spark.createDataFrame([(5,)], "doc_id long"), "doc_id"
+    )
+    assert stats["rows_deleted"] == 1
+    assert not glob.glob(os.path.join(path, "_rewrite_*"))
+    assert not glob.glob(os.path.join(path, "_pending_delete_*"))
+    assert spark.read.parquet(path).count() == 99

@@ -290,16 +290,24 @@ def targeted_delete(
     rewritten into fresh uniquely-named part-files; only then are the
     old files deleted.
 
-    Crash-safety contract (two distinct windows):
-    - A crash BEFORE the rewritten parts are moved in leaves the
-      dataset over-complete: just re-run the delete.
-    - A crash BETWEEN moving the rewritten parts in and deleting the
-      originals would duplicate the kept rows of the affected files.
-      That window is closed by a manifest: the list of originals to
-      delete is fsync'd to ``_pending_delete_*.json`` BEFORE any
-      rewritten part becomes visible, and the next call (or re-run)
-      heals by finishing those deletions first. The dataset is never
-      missing rows it shouldn't be.
+    Crash-safety contract: the commit point is one atomic rename of a
+    manifest recording the WHOLE swap — the (src, dst) move of every
+    rewritten part out of the Spark-invisible ``_rewrite_*`` staging
+    dir AND the originals to delete. The manifest is written to a
+    ``.tmp`` name, fsync'd, then ``os.replace``'d into
+    ``_pending_delete_*.json`` (so a torn write can never leave a
+    parseable-but-wrong or truncated manifest behind).
+    - Crash BEFORE the manifest rename: nothing changed — originals
+      intact, staged parts invisible; the next call garbage-collects
+      orphan ``_rewrite_*`` dirs and re-running the delete is a no-op
+      duplicate of work, never a correctness event.
+    - Crash AFTER the rename (mid-moves or mid-deletes): the next
+      call's heal loop replays the manifest in order — moves FIRST
+      (``os.replace`` is idempotent: already-moved parts are skipped),
+      THEN the original deletions — before anything reads the dataset.
+      Kept rows are therefore never stranded invisible while their
+      originals get deleted: the dataset is never missing rows it
+      shouldn't be, in any window.
 
     Keys are matched on the dataset column's NATIVE type: the targets'
     key is cast to it and the cast is validated — any target key the
@@ -315,15 +323,35 @@ def targeted_delete(
 
     from pyspark.sql import functions as F
 
-    # Heal any interrupted prior delete: finish pending original-file
-    # removals before reading, so a crash in the swap window can never
-    # surface duplicated kept rows to this (or any later) reader.
+    import shutil
+
+    # Heal any interrupted prior delete BEFORE reading: replay each
+    # manifest's moves first (stranded staged parts become visible),
+    # THEN its original-file deletions — so neither the lost-rows nor
+    # the duplicate-rows window can surface to this or a later reader.
     for manifest in glob.glob(os.path.join(path, "_pending_delete_*.json")):
         with open(manifest) as fh:
-            for local in json.load(fh):
-                if os.path.exists(local):
-                    os.remove(local)
+            m = json.load(fh)
+        if isinstance(m, list):  # legacy delete-only manifest shape
+            moves, deletes, tmp_dir = [], m, None
+        else:
+            moves, deletes, tmp_dir = m["moves"], m["delete"], m.get("tmp_dir")
+        for src, dst in moves:
+            if os.path.exists(src):
+                os.replace(src, dst)
+        for local in deletes:
+            if os.path.exists(local):
+                os.remove(local)
+        if tmp_dir:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
         os.remove(manifest)
+    # Orphans from a crash before the commit rename: half-written
+    # manifests and staging dirs no (processed) manifest references.
+    # Originals are still intact in that window, so both are garbage.
+    for stray in glob.glob(os.path.join(path, "_pending_delete_*.json.tmp")):
+        os.remove(stray)
+    for stray in glob.glob(os.path.join(path, "_rewrite_*")):
+        shutil.rmtree(stray, ignore_errors=True)
 
     base = spark.read.parquet(path)
     key_type = base.schema[key_col].dataType
@@ -368,30 +396,38 @@ def targeted_delete(
     tmp_out = os.path.join(path, f"_rewrite_{uuid.uuid4().hex[:12]}")
     kept.write.mode("overwrite").parquet(tmp_out)
     affected_local = [f.replace("file://", "") for f in affected]
-    # commit point: manifest of originals-to-delete goes durable BEFORE
-    # any rewritten part is visible — the heal loop above finishes the
-    # job if we crash mid-swap.
+    # Plan the whole swap up front with destination names fixed NOW, so
+    # a replay after a crash lands the same files in the same places.
+    moves = [
+        (
+            os.path.join(tmp_out, name),
+            os.path.join(path, f"deleted-{uuid.uuid4().hex[:8]}-{name}"),
+        )
+        for name in sorted(os.listdir(tmp_out))
+        if name.startswith("part-")
+    ]
+    # Commit point: the full swap plan (moves + originals-to-delete)
+    # goes durable in ONE atomic rename — temp write + fsync +
+    # os.replace — before any part moves. The heal loop above replays
+    # it to completion (moves first, then deletes) after any crash.
     manifest_path = os.path.join(
         path, f"_pending_delete_{uuid.uuid4().hex[:12]}.json"
     )
-    with open(manifest_path, "w") as fh:
-        json.dump(affected_local, fh)
+    with open(manifest_path + ".tmp", "w") as fh:
+        json.dump(
+            {"moves": moves, "delete": affected_local, "tmp_dir": tmp_out}, fh
+        )
         fh.flush()
         os.fsync(fh.fileno())
+    os.replace(manifest_path + ".tmp", manifest_path)
     # move rewritten parts up beside the survivors, then drop originals
-    for name in os.listdir(tmp_out):
-        if name.startswith("part-"):
-            os.replace(
-                os.path.join(tmp_out, name),
-                os.path.join(path, f"deleted-{uuid.uuid4().hex[:8]}-{name}"),
-            )
+    for src, dst in moves:
+        os.replace(src, dst)
     for local in affected_local:
         if os.path.exists(local):
             os.remove(local)
-    os.remove(manifest_path)
-    import shutil
-
     shutil.rmtree(tmp_out, ignore_errors=True)
+    os.remove(manifest_path)
     return {
         "files_total": len(all_files),
         "files_rewritten": len(affected),
