@@ -27,8 +27,11 @@ host's pinned quiet reference (0.08 s, recorded round 5); if it reads
 > 1.5x the reference the run re-measures once after a pause and, if
 still slow, SCREAMS on stderr and sets ``"canary_warning": true`` —
 every number in such a run carries roughly ``canary_ratio`` of
-invisible steal. loadavg is still recorded as a secondary note
-(``load_warning`` keeps its old meaning for artifact continuity).
+invisible steal. loadavg is still recorded as a secondary note:
+the artifact field is ``load_avg_note`` (renamed from
+``load_warning`` in round 8, VERDICT r7 #5 — the old flag kept
+false-alarming on canary-clean runs like r7's canary-1.02 artifact;
+same boolean meaning, non-warning name, the canary is the gate).
 """
 
 from __future__ import annotations
@@ -193,12 +196,13 @@ def main() -> None:
         )
 
     load_start = os.getloadavg()[0]
-    load_warning = load_start > load_max
-    if load_warning:
+    load_avg_note = load_start > load_max
+    if load_avg_note:
         print(
-            f"######## BENCH LOAD WARNING: load1={load_start:.2f} > "
-            f"{load_max} before JVM start — this run is sampling a host "
-            "spike; treat its numbers as an upper bound, not a trend.",
+            f"#### bench note: load1={load_start:.2f} > {load_max} before "
+            "JVM start. Informational only — the CPU canary is the gate "
+            "(loadavg is blind to hypervisor steal and cries wolf on "
+            "canary-clean runs; see module docstring).",
             file=sys.stderr,
         )
 
@@ -301,7 +305,7 @@ def main() -> None:
                 "n_iters": n_iters,
                 "load_avg_1m_start": round(load_start, 2),
                 "load_avg_1m_end": round(os.getloadavg()[0], 2),
-                "load_warning": load_warning,
+                "load_avg_note": load_avg_note,
                 "cpu_canary_s": round(canary, 3),
                 "cpu_canary_end_s": round(canary_end, 3),
                 "cpu_canary_quiet_ref": CANARY_QUIET_REF,

@@ -1922,6 +1922,171 @@ def test_minhash_indexed_empty_batch(spark, sf_dir, tmp_path):
     assert out.columns == ["new_doc", "index_doc", "inter_size", "union_size"]
 
 
+def _mh_pairs(df):
+    return {
+        (r.new_doc, r.index_doc, r.inter_size, r.union_size)
+        for r in df.collect()
+    }
+
+
+def test_minhash_append_then_probe_equals_fresh_build(spark, sf_dir, tmp_path):
+    """Continuous-ingestion contract (VERDICT r7 #3): building on A
+    then appending B must answer probes exactly like a fresh build
+    over A UNION B — the amortization claim exercised, not argued."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        append_minhash_index,
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    part_a = docs.filter(b < 80)
+    part_b = docs.filter((b >= 80) & (b < 90))
+    probe = docs.filter(b >= 90)
+
+    inc_path = str(tmp_path / "mh_inc")
+    write_minhash_index(part_a, inc_path)
+    stats = append_minhash_index(part_b, inc_path)
+    assert stats["postings_files"] > 0 and stats["sets_files"] > 0
+
+    fresh_path = str(tmp_path / "mh_fresh")
+    write_minhash_index(part_a.unionByName(part_b), fresh_path)
+
+    got = _mh_pairs(minhash_probe_indexed(spark, inc_path, probe, "doc_id", "text"))
+    want = _mh_pairs(
+        minhash_probe_indexed(spark, fresh_path, probe, "doc_id", "text")
+    )
+    assert got == want and len(got) > 0
+
+
+def test_minhash_index_params_validated(spark, sf_dir, tmp_path):
+    """Probe/append with dials differing from the build must raise —
+    not silently miss pairs via wrong bp/dp pruning (ADVICE r7)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        append_minhash_index,
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    path = str(tmp_path / "mh_params")
+    write_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(5)
+
+    with pytest.raises(ValueError, match="different dials"):
+        minhash_probe_indexed(spark, path, batch, "doc_id", "text", bands=8)
+    with pytest.raises(ValueError, match="different dials"):
+        append_minhash_index(batch, path, n_band_parts=16)
+    os.remove(os.path.join(path, "_index_params.json"))
+    with pytest.raises(FileNotFoundError, match="_index_params.json"):
+        minhash_probe_indexed(spark, path, batch, "doc_id", "text")
+
+
+def test_minhash_append_heal_replays_torn_swap(spark, sf_dir, tmp_path):
+    """A crash after the append manifest commit but mid-moves leaves
+    staged parquet invisible to readers; the next probe's heal loop
+    must finish the swap before reading, so answers equal the fresh
+    build's — the targeted_delete crash-safety discipline."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        append_minhash_index,
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    part_a = docs.filter(b < 80)
+    part_b = docs.filter((b >= 80) & (b < 90))
+    probe = docs.filter(b >= 90)
+
+    path = str(tmp_path / "mh_tear")
+    write_minhash_index(part_a, path)
+    append_minhash_index(part_b, path)
+
+    # simulate the tear: yank one appended postings file back into a
+    # staging dir and leave a committed manifest pointing at the move
+    appended = sorted(
+        glob.glob(os.path.join(path, "postings", "*", "app-*.parquet"))
+    )
+    assert appended, "append left no tagged postings files"
+    victim = appended[0]
+    part_dir = os.path.basename(os.path.dirname(victim))
+    tmp_dir = os.path.join(path, "_append_tear")
+    staged = os.path.join(tmp_dir, "postings", part_dir, os.path.basename(victim))
+    os.makedirs(os.path.dirname(staged))
+    os.replace(victim, staged)
+    with open(os.path.join(path, "_pending_append_tear.json"), "w") as fh:
+        json.dump({"moves": [[staged, victim]], "tmp_dir": tmp_dir}, fh)
+
+    fresh_path = str(tmp_path / "mh_tear_fresh")
+    write_minhash_index(part_a.unionByName(part_b), fresh_path)
+    got = _mh_pairs(minhash_probe_indexed(spark, path, probe, "doc_id", "text"))
+    want = _mh_pairs(
+        minhash_probe_indexed(spark, fresh_path, probe, "doc_id", "text")
+    )
+    assert got == want and len(got) > 0
+    assert not glob.glob(os.path.join(path, "_pending_append_*"))
+    assert not glob.glob(os.path.join(path, "_append_*"))
+
+
+def test_minhash_probe_eager_unpersists_intermediates(spark, sf_dir, tmp_path):
+    """Continuous-serving mode (ADVICE r7): eager=True materializes the
+    result and releases the four probe intermediates, so a serving
+    loop doesn't accumulate cached blocks batch over batch."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    index_docs, batch = docs.filter(b < 90), docs.filter(b >= 90)
+    path = str(tmp_path / "mh_eager")
+    write_minhash_index(index_docs, path)
+
+    spark.catalog.clearCache()
+    lazy = _mh_pairs(minhash_probe_indexed(spark, path, batch, "doc_id", "text"))
+    spark.catalog.clearCache()
+    served = minhash_probe_indexed(
+        spark, path, batch, "doc_id", "text", eager=True
+    )
+    assert _mh_pairs(served) == lazy and lazy
+    # only the returned (persisted) result may still hold storage
+    jsc = spark.sparkContext._jsc.sc()
+    n_cached = jsc.getRDDStorageInfo()
+    assert len(n_cached) <= 1, [str(x) for x in n_cached]
+    served.unpersist()
+
+
 def test_affine_minhash_blocked_matches_one_liner():
     """The cache-blocked minhash expansion must be bit-identical to
     the single-expression (flat[:,None]*a + b) % P it replaced."""
@@ -1963,5 +2128,36 @@ def test_knn_self_topk_arrow_matches_brute_force(spark, sf_dir):
     got = {
         (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
         for r in knn_self_topk_arrow(emb, "vec_id", "embedding", k=5).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivf_self_topk_arrow_matches_ivf_topk(spark, sf_dir):
+    """The per-cell Arrow self-kNN (the hubness audit's deployment
+    path) must reproduce ivf_topk run with the whole corpus as the
+    query set: same neighbors, same rounded cosines, same ranks —
+    pinning that routing + per-cell top-k + global re-rank is the
+    same algorithm as broadcast-probe IVF, just shuffled by cell."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        ivf_self_topk_arrow,
+        ivf_topk,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivf_topk(
+            emb, emb, cents, "vec_id", "embedding", "centroid_id", k=5, nprobe=2
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivf_self_topk_arrow(
+            emb, cents, "vec_id", "embedding", "centroid_id", k=5, nprobe=2
+        ).collect()
     }
     assert got == want and len(got) > 0

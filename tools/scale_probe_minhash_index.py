@@ -11,7 +11,11 @@ the persisted-MinHash-index story rests on:
 - ``querytime_s``: min-of-2 of minhash_lsh_pairs_against on the same
   (index corpus, fixed batch) — the number serve_s should beat and,
   unlike serve_s, grow linearly with corpus size (it re-shingles the
-  whole index corpus per batch).
+  whole index corpus per batch);
+- ``append_s`` (round 8, VERDICT r7 #3): folding the FIXED batch into
+  the on-disk index via append_minhash_index — must stay ~flat as the
+  corpus grows k-fold, since the append shingles/bands/writes only the
+  batch and never reads the live corpus.
 
 The batch is held FIXED across scales: the base replica's md5-bucket
 >= 90 docs (replica ids live in higher digit ranges, so ``doc_id <=
@@ -91,6 +95,22 @@ def probe(sf_dir: str, base_max: int) -> dict:
         n_pairs = minhash_probe_indexed(
             spark, path, batch, "doc_id", "text"
         ).count()
+        # append cost must be ~FLAT across corpus growth (VERDICT r7
+        # #3: the continuous-ingestion amortization claim, exercised):
+        # fold the FIXED batch into the index, ids shifted into a
+        # vacant range to honor the disjoint-ids contract. Last, so it
+        # doesn't perturb the serve/querytime measurements above.
+        from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+            append_minhash_index,
+        )
+
+        app_batch = batch.select(
+            (F.col("doc_id") + F.lit(10_000_000_000)).alias("doc_id"), "text"
+        )
+        spark.catalog.clearCache()
+        t0 = time.time()
+        append_minhash_index(app_batch, path)
+        append_s = round(time.time() - t0, 3)
         return {
             "sf_dir": sf_dir,
             "n_index_docs": n_index,
@@ -99,6 +119,7 @@ def probe(sf_dir: str, base_max: int) -> dict:
             "build_s": round(build_s, 3),
             "serve_s": serve_s,
             "querytime_s": querytime_s,
+            "append_s": append_s,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

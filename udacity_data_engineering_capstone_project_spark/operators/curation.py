@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import spark_hex_to_long
 from ..functions.textnorm import tokens_col
@@ -105,11 +106,17 @@ def pack_sequences(
     range; no stage ever serializes the corpus through one task. The
     output is identical for any partition count.
     """
+    # Persisted BEFORE the totals collect: repartitionByRange samples
+    # boundaries per-job, so without materialization the final job
+    # could re-derive DIFFERENT partition boundaries than the ones the
+    # broadcast offsets were computed from (partial sampling / heavy
+    # ties at scale), silently corrupting global offsets. The cache
+    # pins one boundary draw for both jobs; blocks are LRU-evictable.
     ranged = df.repartitionByRange(num_partitions, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.col(tok_col).alias("n_tokens"),
         F.spark_partition_id().alias("__pid"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = {
         r["__pid"]: r["t"]
         for r in ranged.groupBy("__pid")
@@ -738,11 +745,17 @@ def shard_snake_plan(
     Output: (id, n_tokens, shard) — deterministic pure function of
     the data.
     """
+    # Persisted BEFORE the counts collect — same rationale as
+    # pack_sequences: one range-boundary draw must serve both the
+    # offsets job and the final job, or broadcast offsets can mismatch
+    # the second job's partitioning (sampled boundaries, n_tokens ties).
     ranged = df.select(
         F.col(id_col).alias("id"), F.col(tok_col).alias("n_tokens")
     ).repartitionByRange(
         num_partitions, F.col("n_tokens").desc(), F.col("id")
-    ).select("id", "n_tokens", F.spark_partition_id().alias("__pid"))
+    ).select(
+        "id", "n_tokens", F.spark_partition_id().alias("__pid")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["__pid"]: r["c"]
         for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()

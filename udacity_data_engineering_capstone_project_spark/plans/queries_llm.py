@@ -8148,9 +8148,10 @@ def ann_hubness_audit(spark, sf_dir):
     quadratic baseline, computed by the VECTORIZED self-kNN kernel
     (knn_self_topk_arrow: sequential-cumsum dots for oracle
     bit-parity; 65 s of JVM HOF cosines -> ~3 s at sf0.1); at
-    deployment scale the same audit runs over the IVF/PQ top-k output
-    already shipped beside it — an exact n^2 graph is the wrong tool
-    past the kernel's documented broadcast bound at any speed."""
+    deployment scale the same audit runs over the IVF top-k output —
+    the ``ann_hubness_audit_ivf`` registry twin, which has no
+    vector-count ceiling — because an exact n^2 graph is the wrong
+    tool past the kernel's documented broadcast bound at any speed."""
     from ..operators.similarity import knn_self_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -8199,6 +8200,99 @@ LLM_QUERIES["ann_hubness_audit"] = (
     ORACLE_ANN_HUBNESS,
     "similarity: k-occurrence hubness histogram of the exact top-5 "
     "neighbor graph (antihubs included) — the JMLR-2010 hub diagnostic",
+)
+
+
+def ann_hubness_audit_ivf(spark, sf_dir):
+    """The hubness audit's DEPLOYMENT twin (VERDICT r7 #2): the same
+    k-occurrence histogram computed over the IVF self-kNN output
+    instead of the exact n^2 neighbor graph — the path
+    knn_self_topk_arrow's 200k-vector guard message prescribes. Every
+    corpus vector probes its 2 nearest of 8 deterministic centroid
+    cells (vec_id < 8, the ann_topk_ivf scheme) and ranks only members
+    of those cells; candidate generation is a centroid_id-keyed
+    shuffle + per-cell blocked Arrow dots (ivf_self_topk_arrow) — the
+    corpus is never broadcast, so the audit has no vector-count
+    ceiling. Approximate BY DESIGN (a true neighbor in an unprobed
+    cell is missed); the oracle replays the identical IVF algorithm,
+    not brute force — exactly as ann_topk_ivf/ivf_trained_recall do.
+    Output: (k_occurrence, n_vectors) including 0-occurrence antihubs.
+    """
+    from ..operators.similarity import ivf_self_topk_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    top5 = ivf_self_topk_arrow(
+        emb, centroids, "vec_id", "embedding", "centroid_id", k=5, nprobe=2
+    )
+    occ = top5.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("k_occ")
+    )
+    per_vec = (
+        emb.select("vec_id")
+        .join(occ, "vec_id", "left")
+        .select(F.coalesce("k_occ", F.lit(0)).cast("long").alias("k_occurrence"))
+    )
+    return per_vec.groupBy("k_occurrence").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+
+
+ORACLE_ANN_HUBNESS_IVF = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS u FROM c WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_COS_CU} DESC,
+                                       cent.centroid_id) AS rn
+    FROM c, cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_QU} DESC,
+                                       cent.centroid_id) AS rn
+    FROM q, cent
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_PC} AS cos_sim
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN c c2 ON c2.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+top5 AS (
+  SELECT neighbor_id FROM (
+    SELECT neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM cand
+  ) WHERE rank <= 5
+),
+occ AS (SELECT neighbor_id, count(*) AS k_occ FROM top5 GROUP BY neighbor_id),
+per_vec AS (
+  SELECT coalesce(o.k_occ, 0) AS k_occurrence
+  FROM c LEFT JOIN occ o ON o.neighbor_id = c.vec_id
+)
+SELECT CAST(k_occurrence AS BIGINT) AS k_occurrence,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM per_vec GROUP BY k_occurrence
+"""
+
+LLM_QUERIES["ann_hubness_audit_ivf"] = (
+    ann_hubness_audit_ivf,
+    ORACLE_ANN_HUBNESS_IVF,
+    "similarity: hubness histogram over the IVF self-kNN output — the "
+    "deployment twin of ann_hubness_audit past the exact kernel's bound",
 )
 
 
