@@ -127,6 +127,11 @@ HEADLINE = [
     "lm_stupid_backoff_scores",
     "shard_plan_balance",
     "ann_hubness_audit",
+    # round-8 addition: the hubness audit's IVF deployment twin —
+    # corpus-scaled cells, no vector-count ceiling (the exact-kernel
+    # query above refuses past 200k vectors; this one replaces it in
+    # scale runs).
+    "ann_hubness_audit_ivf",
 ]
 
 #: FROZEN round-over-round comparability subset (VERDICT r5 #7): the

@@ -321,6 +321,20 @@ def ivf_self_topk_arrow(
     )
 
 
+def ivf_cells_scaled(n: int, target_cell: int = 2048, min_cells: int = 8) -> int:
+    """Corpus-scaled IVF cell count: ``cells = max(min_cells,
+    ceil(n / target_cell))`` — per-cell population pinned at
+    ``target_cell``, so any per-cell-quadratic consumer (the IVF
+    self-kNN audit, per-cluster dedup) costs ``n * target_cell *
+    nprobe`` — LINEAR BY CONSTRUCTION at any corpus size. A pinned
+    cell count is the dial class the full-scale runs keep catching
+    (round 6: SemDeDup k; round 7: SRP band width); this is the same
+    derived-from-count(*) discipline, replayable by a static oracle.
+    Integer ceil on both engines: Python ``-(-n // t)`` here, DuckDB
+    ``CEIL(count(*)/t.0)`` in the oracle."""
+    return max(min_cells, -(-int(n) // int(target_cell)))
+
+
 def srp_rows_scaled(n: int, min_rows: int = 14, max_rows: int = 28) -> int:
     """Corpus-scaled SRP band WIDTH: ``r = clamp(ceil(log2 n) + 4,
     14, 28)``. A random pair survives an r-bit band with p = 2^-r, so

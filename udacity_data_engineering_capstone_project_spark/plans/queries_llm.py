@@ -8208,20 +8208,26 @@ def ann_hubness_audit_ivf(spark, sf_dir):
     k-occurrence histogram computed over the IVF self-kNN output
     instead of the exact n^2 neighbor graph — the path
     knn_self_topk_arrow's 200k-vector guard message prescribes. Every
-    corpus vector probes its 2 nearest of 8 deterministic centroid
-    cells (vec_id < 8, the ann_topk_ivf scheme) and ranks only members
-    of those cells; candidate generation is a centroid_id-keyed
-    shuffle + per-cell blocked Arrow dots (ivf_self_topk_arrow) — the
-    corpus is never broadcast, so the audit has no vector-count
-    ceiling. Approximate BY DESIGN (a true neighbor in an unprobed
-    cell is missed); the oracle replays the identical IVF algorithm,
-    not brute force — exactly as ann_topk_ivf/ivf_trained_recall do.
+    corpus vector probes its 2 nearest centroid cells (the first
+    ``ivf_cells_scaled(n)`` vectors as deterministic centroids — the
+    CORPUS-SCALED cell count pins per-cell population at ~2048, so
+    the audit is n*2048*nprobe dots, linear by construction; a pinned
+    cell count is the dial class the r6/r7 full-scale runs caught on
+    SemDeDup-k and SRP width) and ranks only members of those cells;
+    candidate generation is a centroid_id-keyed shuffle + per-cell
+    blocked Arrow dots (ivf_self_topk_arrow) — the corpus is never
+    broadcast, so the audit has no vector-count ceiling. Approximate
+    BY DESIGN (a true neighbor in an unprobed cell is missed); the
+    oracle replays the identical IVF algorithm including the cell
+    formula from count(*), not brute force — exactly as
+    ann_topk_ivf/ivf_trained_recall/embedding_near_dup do.
     Output: (k_occurrence, n_vectors) including 0-occurrence antihubs.
     """
-    from ..operators.similarity import ivf_self_topk_arrow
+    from ..operators.similarity import ivf_cells_scaled, ivf_self_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    n_cells = ivf_cells_scaled(emb.count())
+    centroids = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     top5 = ivf_self_topk_arrow(
@@ -8242,7 +8248,13 @@ def ann_hubness_audit_ivf(spark, sf_dir):
 
 ORACLE_ANN_HUBNESS_IVF = f"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, v AS u FROM c WHERE vec_id < 8),
+ncells AS (
+  SELECT GREATEST(8, CAST(CEIL(count(*) / 2048.0) AS BIGINT)) AS nc FROM c
+),
+cent AS (
+  SELECT vec_id AS centroid_id, v AS u FROM c
+  WHERE vec_id < (SELECT nc FROM ncells)
+),
 assign AS (
   SELECT vec_id, centroid_id FROM (
     SELECT c.vec_id, cent.centroid_id,
