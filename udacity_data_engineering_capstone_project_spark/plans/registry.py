@@ -457,13 +457,86 @@ _OLDEST_R3_R7 = [
     # joined the head; the window stays exactly 50)
 ]
 
-_seen: set = set()
+_seen_r7: set = set()
 _PRIORITY_R7 = [
     n
     for n in [*_NEW_OR_CHANGED_R7, *_R2_TAIL_R7, *_OLDEST_R3_R7]
-    if not (n in _seen or _seen.add(n))
+    if not (n in _seen_r7 or _seen_r7.add(n))
 ]
 assert len(_PRIORITY_R7) == 50, len(_PRIORITY_R7)
+
+#: Round-8 window (built from ``python tools/ledger.py --ages`` at the
+#: start of round 8 — after r7 the backlog is 22 r3-age rows + 42
+#: r4-age rows): (1) queries new to or changed in round 8; (2) ALL 22
+#: remaining rows whose last driver record is round 3 (this clears the
+#: r3 tier for good, per VERDICT r7 #4); (3) the oldest r4 rows
+#: alphabetically, filling the window to exactly 50.
+_NEW_OR_CHANGED_R8 = [
+    "ann_hubness_audit_ivf",  # new: hubness over IVF self-kNN (deployment twin)
+    "ann_hubness_audit",  # changed: kernel ships matrix via sc.broadcast
+    "minhash_pairs_indexed",  # changed: probe validates _index_params + heals appends
+    "shard_plan_balance",  # changed: ranged persisted before offsets collect
+    "sequence_packing",  # changed: same persist fix (pack_sequences)
+]
+_R3_TAIL_R8 = [
+    # last driver row r3 (age 5), alphabetical — the final r3 rows:
+    "quality_linear_score",
+    "repeated_ngram_spans",
+    "semantic_dedup_clusters",
+    "sessionize_events",
+    "soft_dedup_doc_weights",
+    "span_dedup_clean_text",
+    "stratified_doc_sample",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "subword_token_stats",
+    "text_profile_fused",
+    "token_stats_by_source",
+    "tpch_q10_returns",
+    "tpch_q12_priority",
+    "tpch_q13_histogram",
+    "tpch_q14_promo",
+    "tpch_q15_top",
+    "tpch_q22_anti",
+    "tpch_q6_scan",
+    "tpch_q9_profit",
+    "vocab_coverage_curve",
+    "winnow_fingerprints",
+]
+_OLDEST_R4_R8 = [
+    # last driver row r4 (age 4), alphabetical, filling to 50:
+    "approx_distinct_check",
+    "asof_join_events",
+    "bitmap_distinct_users",
+    "bitmap_weekly_retention",
+    "bpe_fertility",
+    "collect_sorted_names",
+    "cube_status_priority",
+    "full_outer_nation_balance",
+    "grouping_sets_orders",
+    "incremental_user_totals",
+    "intersect_except_buyers",
+    "join_semi_anti",
+    "json_extract_agg",
+    "lateral_topk_per_nation",
+    "mad_by_event_type",
+    "map_funcs",
+    "median_price",
+    "quality_checks",
+    "rolling_window_orders",
+    "rollup_flag_status",
+    "salted_join_priority_revenue",
+    "shingle_df_hist",
+    "star_join_agg",
+]
+
+_seen: set = set()
+_PRIORITY_R8 = [
+    n
+    for n in [*_NEW_OR_CHANGED_R8, *_R3_TAIL_R8, *_OLDEST_R4_R8]
+    if not (n in _seen or _seen.add(n))
+]
+assert len(_PRIORITY_R8) == 50, len(_PRIORITY_R8)
 
 #: ---- Round-6 ordering (superseded; kept for provenance) ----
 _seen_r6: set = set()
@@ -473,7 +546,7 @@ _PRIORITY_R6 = [
     if not (n in _seen_r6 or _seen_r6.add(n))
 ]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R7}
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R8}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
