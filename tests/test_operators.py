@@ -2052,6 +2052,113 @@ def test_minhash_append_heal_replays_torn_swap(spark, sf_dir, tmp_path):
     assert not glob.glob(os.path.join(path, "_append_*"))
 
 
+def test_minhash_compact_preserves_answers_and_drops_files(
+    spark, sf_dir, tmp_path
+):
+    """build -> append x2 -> COMPACT -> serve: compaction must shrink
+    the per-dir file count (append leaves one file per batch per
+    touched dir) while probe answers stay exactly the fresh build's."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    part_a = docs.filter(b < 70)
+    part_b1 = docs.filter((b >= 70) & (b < 80))
+    part_b2 = docs.filter((b >= 80) & (b < 90))
+    probe = docs.filter(b >= 90)
+
+    path = str(tmp_path / "mh_cmp")
+    write_minhash_index(part_a, path)
+    append_minhash_index(part_b1, path)
+    append_minhash_index(part_b2, path)
+    n_files = lambda: len(  # noqa: E731
+        glob.glob(os.path.join(path, "*", "*", "*.parquet"))
+    )
+    before = n_files()
+    stats = compact_minhash_index(spark, path)
+    assert stats["dirs_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"] == before
+    assert n_files() == stats["files_after"]
+
+    fresh_path = str(tmp_path / "mh_cmp_fresh")
+    write_minhash_index(
+        part_a.unionByName(part_b1).unionByName(part_b2), fresh_path
+    )
+    got = _mh_pairs(minhash_probe_indexed(spark, path, probe, "doc_id", "text"))
+    want = _mh_pairs(
+        minhash_probe_indexed(spark, fresh_path, probe, "doc_id", "text")
+    )
+    assert got == want and len(got) > 0
+
+
+def test_minhash_compact_heal_closes_duplicate_window(spark, sf_dir, tmp_path):
+    """A crash after the compaction manifest commit with moves done but
+    small-file deletes pending leaves BOTH copies on disk; the heal
+    loop must finish the deletes before any probe reads, or every
+    compacted row double-counts."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    part_a = docs.filter(b < 80)
+    part_b = docs.filter((b >= 80) & (b < 90))
+    probe = docs.filter(b >= 90)
+
+    path = str(tmp_path / "mh_dup")
+    write_minhash_index(part_a, path)
+    append_minhash_index(part_b, path)
+    want = _mh_pairs(minhash_probe_indexed(spark, path, probe, "doc_id", "text"))
+
+    compact_minhash_index(spark, path)
+    # simulate the tear: resurrect a duplicate of one compacted file
+    # and a manifest whose moves are complete but deletes are pending
+    victim = sorted(
+        glob.glob(os.path.join(path, "postings", "*", "compact-*.parquet"))
+    )[0]
+    dup = os.path.join(os.path.dirname(victim), "app-stale-part-0.parquet")
+    import shutil
+
+    shutil.copyfile(victim, dup)
+    tmp_dir = os.path.join(path, "_append_dupsim")
+    os.makedirs(tmp_dir, exist_ok=True)
+    with open(os.path.join(path, "_pending_append_dupsim.json"), "w") as fh:
+        json.dump({"moves": [], "tmp_dir": tmp_dir, "delete": [dup]}, fh)
+
+    got = _mh_pairs(minhash_probe_indexed(spark, path, probe, "doc_id", "text"))
+    assert got == want
+    assert not os.path.exists(dup)
+    assert not glob.glob(os.path.join(path, "_pending_append_*"))
+
+
 def test_minhash_probe_eager_unpersists_intermediates(spark, sf_dir, tmp_path):
     """Continuous-serving mode (ADVICE r7): eager=True materializes the
     result and releases the four probe intermediates, so a serving

@@ -964,11 +964,14 @@ def _check_minhash_params(path: str, params: dict, caller: str) -> None:
 
 
 def _heal_pending_appends(path: str) -> None:
-    """Replay any interrupted :func:`append_minhash_index` swap before
-    the index is read or appended again. Same contract as
-    targeted_delete's heal loop: the manifest records the whole move
-    plan; ``os.replace`` is idempotent, so a partially-completed swap
-    finishes exactly where it stopped."""
+    """Replay any interrupted :func:`append_minhash_index` /
+    :func:`compact_minhash_index` swap before the index is read or
+    appended again. Same contract as targeted_delete's heal loop: the
+    manifest records the whole plan; moves replay FIRST (``os.replace``
+    is idempotent, so a partially-completed swap finishes exactly
+    where it stopped), THEN the compaction's small-file deletions —
+    never a missing-rows window, and the duplicate window (compacted
+    file moved, originals not yet deleted) closes before any read."""
     import glob
     import json
     import os
@@ -983,6 +986,9 @@ def _heal_pending_appends(path: str) -> None:
             if os.path.exists(src):
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
+        for old in m.get("delete", []):
+            if os.path.exists(old):
+                os.remove(old)
         shutil.rmtree(m["tmp_dir"], ignore_errors=True)
         os.remove(manifest)
     # orphans from a crash BEFORE the manifest commit: the live index
@@ -1108,6 +1114,97 @@ def append_minhash_index(
     os.remove(manifest_path)
     n_post = sum(1 for s, _ in moves if f"{os.sep}postings{os.sep}" in s)
     return {"postings_files": n_post, "sets_files": len(moves) - n_post}
+
+
+def compact_minhash_index(
+    spark,
+    path: str,
+    small_file_threshold: int = 2,
+) -> dict:
+    """Compact a :func:`write_minhash_index` layout after repeated
+    :func:`append_minhash_index` batches — the third leg of the
+    continuous-ingestion story (build -> append -> COMPACT -> serve).
+    Every append leaves one file per touched partition dir; after
+    thousands of batches the probe's pruned scan pays file-open and
+    footer costs linear in BATCH COUNT instead of data size. This
+    pass rewrites each partition dir with more than
+    ``small_file_threshold`` files into ONE file re-sorted on the
+    dir's sort key (band_key / doc), restoring the row-group min/max
+    pruning the build's sortWithinPartitions bought — appended files
+    are each internally sorted, but their RANGES overlap, so pushed
+    ``band_key IN`` filters open every appended file; after
+    compaction they skip row groups again.
+
+    Crash-safe with the same fsync'd-manifest swap as the append: the
+    compacted file is staged in a Spark-invisible ``_append_*`` dir,
+    the manifest records the staged-file move AND the small-file
+    deletions, moves replay before deletes (never a missing-rows
+    window — the heal loop is shared with append). Each partition dir
+    compacts under its own manifest, so a crash mid-pass leaves every
+    dir either fully old or fully new.
+
+    Returns {"dirs_compacted", "files_before", "files_after"}.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    _heal_pending_appends(path)
+    sort_key = {"postings": "band_key", "sets": "doc"}
+    dirs_compacted = files_before = files_after = 0
+    for rel, key in sort_key.items():
+        for part_dir in sorted(glob.glob(os.path.join(path, rel, "*"))):
+            if not os.path.isdir(part_dir):
+                continue
+            files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+            files_before += len(files)
+            if len(files) <= small_file_threshold:
+                files_after += len(files)
+                continue
+            tag = uuid.uuid4().hex[:12]
+            tmp = os.path.join(path, f"_append_{tag}")
+            staged_dir = os.path.join(tmp, rel, os.path.basename(part_dir))
+            (
+                spark.read.parquet(*files)
+                .coalesce(1)
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .parquet(staged_dir)
+            )
+            staged = sorted(glob.glob(os.path.join(staged_dir, "part-*.parquet")))
+            moves = [
+                (
+                    s,
+                    os.path.join(
+                        part_dir, f"compact-{tag}-{os.path.basename(s)}"
+                    ),
+                )
+                for s in staged
+            ]
+            manifest_path = os.path.join(path, f"_pending_append_{tag}.json")
+            with open(manifest_path + ".tmp", "w") as fh:
+                json.dump(
+                    {"moves": moves, "tmp_dir": tmp, "delete": files}, fh
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(manifest_path + ".tmp", manifest_path)
+            for src, dst in moves:
+                os.replace(src, dst)
+            for old in files:
+                if os.path.exists(old):
+                    os.remove(old)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.remove(manifest_path)
+            dirs_compacted += 1
+            files_after += len(moves)
+    return {
+        "dirs_compacted": dirs_compacted,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def minhash_probe_indexed(

@@ -34,18 +34,32 @@ def equi_join(
 def star_join(
     fact: DataFrame,
     dims: list[tuple[DataFrame, Column, str]],
-    broadcast_dims: bool = True,
+    broadcast_dims: bool | list[bool] = True,
 ) -> DataFrame:
     """J4: chain fact -> dim joins (the reference's 5-way star,
     ipynb cell 82: 1 inner date join + 4 left dim joins).
 
-    ``dims``: list of (dim_df, join_cond, how). All dims broadcast by
-    default — at 100 TB the fact side must never shuffle for a
-    few-hundred-row dimension.
+    ``dims``: list of (dim_df, join_cond, how). ``broadcast_dims``
+    pins the broadcast hint per dim: a single bool applies to all, a
+    list gives per-dim control. Pin True ONLY for dims BOUNDED by the
+    data model (lookup tables, date dims — at 100 TB the fact side
+    must never shuffle for a few-hundred-row dimension); leave False
+    for any relation that GROWS with the fact (orders, customer) so
+    AQE decides at runtime — it broadcasts small actual sizes and
+    falls back to a shuffle join past the threshold. A pinned
+    broadcast of a scale-growing relation is the dial class the
+    round-8 1000x run caught here: the hint overrides AQE
+    unconditionally, and the driver-side collect of a 150M-row orders
+    build blew spark.driver.maxResultSize in warm-up.
     """
+    flags = (
+        broadcast_dims
+        if isinstance(broadcast_dims, list)
+        else [broadcast_dims] * len(dims)
+    )
     out = fact
-    for dim, cond, how in dims:
-        d = F.broadcast(dim) if broadcast_dims else dim
+    for (dim, cond, how), bc in zip(dims, flags):
+        d = F.broadcast(dim) if bc else dim
         out = out.join(d, cond, how.lower())
     return out
 

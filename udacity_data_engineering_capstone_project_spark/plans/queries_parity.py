@@ -274,10 +274,16 @@ def star_join_agg(spark, sf_dir):
     joins up the dimension chain customer -> nation -> region, revenue
     by region/nation.
 
-    Scale: orders co-shuffles with lineitem on the order key (at real
-    scale both sides bucket on it); customer/nation/region are
-    broadcast so the fact never shuffles for dimensions. AQE handles
-    the final two-column aggregate."""
+    Scale: orders and customer GROW with the fact, so they carry NO
+    broadcast pin — AQE broadcasts them while their runtime size is
+    under threshold (every fixture SF) and falls back to shuffle joins
+    past it (orders co-shuffles with lineitem on the order key; at
+    real scale both sides bucket on it). Only nation/region — bounded
+    by the data model at 25/5 rows — are pinned broadcast. The r8
+    1000x run caught the previous all-pinned version collecting a
+    150M-row orders broadcast into the driver (maxResultSize abort in
+    warm-up): a broadcast HINT overrides AQE unconditionally, so
+    pinning is reserved for model-bounded dims."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -291,7 +297,7 @@ def star_join_agg(spark, sf_dir):
             (n, c["c_nationkey"] == n["n_nationkey"], "left"),
             (r, n["n_regionkey"] == r["r_regionkey"], "left"),
         ],
-        broadcast_dims=True,
+        broadcast_dims=[False, False, True, True],
     )
     return starred.groupBy("r_name", "n_name").agg(
         F.count("*").alias("n_items"),
