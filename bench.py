@@ -226,6 +226,10 @@ def main() -> None:
     # EXECUTION at the target SF (scans, shuffles, aggregations all
     # re-run; only compiled code is reused).
     for name in headline:
+        # one stderr line per query so a scale-run failure names its
+        # culprit immediately (the r8 1000x run died twice in warm-up
+        # before this existed; stage numbers don't identify queries)
+        print(f"[bench] warm-up: {name}", file=sys.stderr, flush=True)
         fns[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
 

@@ -94,7 +94,14 @@ def curate_corpus(
     keepers = exact_dedup(gated, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
     )
-    exact_kept = gated.join(F.broadcast(keepers), "doc_id", "left_semi")
+    # NO broadcast pin on keepers/drop/contaminated: all three are
+    # corpus-FRACTION id lists (keepers is ~the whole corpus), so a
+    # pinned broadcast collects GBs into the driver at scale — the r8
+    # 1000x run aborted exactly here (maxResultSize on a 5M-doc
+    # keeper list). Hint-free, AQE broadcasts them while small and
+    # shuffle-semi-joins past the threshold (doc_id-keyed, co-shuffles
+    # with the corpus it filters).
+    exact_kept = gated.join(keepers, "doc_id", "left_semi")
     audits.append(_audit("exact_dedup", 2, exact_kept))
 
     # 3. near-dup: LSH pairs -> components -> canonical keeper (min id)
@@ -110,7 +117,7 @@ def curate_corpus(
     drop = comp.filter(F.col("doc") != F.col("component")).select(
         F.col("doc").alias("doc_id")
     )
-    near_kept = exact_kept.join(F.broadcast(drop), "doc_id", "left_anti").persist()
+    near_kept = exact_kept.join(drop, "doc_id", "left_anti").persist()
     audits.append(_audit("near_dedup", 3, near_kept))
 
     # 4. benchmark decontamination (eval split = md5 bucket >= 90 of
@@ -122,7 +129,7 @@ def curate_corpus(
         .filter(F.col("contaminated") == 1)
         .select(F.col("doc").alias("doc_id"))
     )
-    clean = near_kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    clean = near_kept.join(contaminated, "doc_id", "left_anti")
     audits.append(_audit("decontaminate", 4, clean))
 
     # 5. PII redaction (map-only rewrite; text column replaced)
