@@ -41,6 +41,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Shuffle-partition count must SCALE WITH DATA, not stay pinned
+        # at the core count: the r8 1000x run OOM'd the SMJ sort in
+        # star_join_agg (600M-row join / 32 partitions = 19M rows per
+        # task sort, x32 concurrent tasks > 48g heap). The dial is
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS (read above), sized so a
+        # partition's sort fits task memory at the target SF — 512 for
+        # the .scratch/sf100 run (~1.2M rows/task); a 1000-executor
+        # cluster would run thousands. MEASURED NEGATIVE RESULT kept
+        # for the record: setting adaptive coalescePartitions.
+        # initialPartitionNum=2048 instead (the "AQE will coalesce it
+        # back" shape) cost minhash_pairs 2.35 -> 40.2 s at sf0.1 —
+        # the post-shuffle stages feeding Arrow/Python kernels did NOT
+        # coalesce, and 2048-task waves of ~5 ms Python worker
+        # round-trips dominated. AQE coalescing starts from
+        # shuffle.partitions here, so the env dial keeps fixture plans
+        # identical while scale runs raise the ceiling explicitly.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
