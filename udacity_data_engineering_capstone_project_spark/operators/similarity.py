@@ -442,19 +442,35 @@ def embedding_near_dup(
         .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
         .distinct()
     )
-    # Verification without shuffling the corpus: candidate ids are a
-    # sliver of the corpus in the regime LSH exists for, so (1) persist
-    # the candidate pairs (referenced three times below), (2) broadcast
-    # the candidate-id set as a semi-join FILTER on the corpus — the
+    # Verification without shuffling the corpus when candidates are a
+    # sliver (the regime LSH exists for): (1) persist the candidate
+    # pairs (referenced three times below), (2) broadcast the
+    # candidate-id set as a semi-join FILTER on the corpus — the
     # (id, vector) rows never hit an exchange — and (3) broadcast the
     # small filtered-corpus slice into both verification joins.
+    # GUARDED, not pinned (r8 1000x catch): when a corpus is dup-heavy
+    # the candidate-id set is a corpus FRACTION, and the pinned
+    # vector-slice broadcast collected >1 GB into the driver at 2M
+    # vectors (maxResultSize abort). Past the bound the same joins run
+    # hint-free: the semi-join and both verification joins become
+    # vid-keyed shuffles — linear, just not exchange-free. The dedup
+    # operators' _bc discipline, applied here.
     candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     ids = (
         candidates.select(F.col("id_a").alias("vid"))
         .unionByName(candidates.select(F.col("id_b").alias("vid")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cf = c.join(F.broadcast(ids), "vid", "left_semi").persist(
+    n_ids = ids.count()
+    # vector rows are ~(8 + dim*8) bytes; bound the broadcast build at
+    # ~250 MB so 32 concurrent task copies never press the heap
+    id_bound = max(1, 250_000_000 // (8 + dim * 8))
+
+    def _bc(d):
+        return F.broadcast(d) if n_ids <= id_bound else d
+
+    cf = c.join(_bc(ids), "vid", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # Exact-cosine verification as ONE vectorized Arrow kernel, not the
@@ -471,8 +487,8 @@ def embedding_near_dup(
     ca = cf.alias("ca")
     cb = cf.alias("cb")
     return (
-        candidates.join(F.broadcast(ca), F.col("id_a") == F.col("ca.vid"))
-        .join(F.broadcast(cb), F.col("id_b") == F.col("cb.vid"))
+        candidates.join(_bc(ca), F.col("id_a") == F.col("ca.vid"))
+        .join(_bc(cb), F.col("id_b") == F.col("cb.vid"))
         .select(
             "id_a",
             "id_b",
