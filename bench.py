@@ -225,17 +225,25 @@ def main() -> None:
     # between iterations, so the timed region below is steady-state
     # EXECUTION at the target SF (scans, shuffles, aggregations all
     # re-run; only compiled code is reused).
-    for name in headline:
-        # one stderr line per query so a scale-run failure names its
-        # culprit immediately (the r8 1000x run died twice in warm-up
-        # before this existed; stage numbers don't identify queries)
-        print(f"[bench] warm-up: {name}", file=sys.stderr, flush=True)
-        fns[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        spark.catalog.clearCache()
+    # SPARK_GRAFT_SKIP_WARMUP=1 folds JIT/codegen latency (~5-15 s per
+    # query, data-size-independent) into the single timed iteration —
+    # ONLY for wall-clock-capped scale runs where queries run minutes
+    # each and the inflation is bounded; artifacts from such runs must
+    # carry a methodology note. Never set for sf0.1 trend benches.
+    if os.environ.get("SPARK_GRAFT_SKIP_WARMUP") != "1":
+        for name in headline:
+            # one stderr line per query so a scale-run failure names
+            # its culprit immediately (the r8 1000x run died twice in
+            # warm-up before this existed; stage numbers don't
+            # identify queries)
+            print(f"[bench] warm-up: {name}", file=sys.stderr, flush=True)
+            fns[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in headline:
+        print(f"[bench] timing: {name}", file=sys.stderr, flush=True)
         samples = []
         for _ in range(n_iters):
             t0 = time.time()

@@ -2138,7 +2138,8 @@ def test_minhash_compact_heal_closes_duplicate_window(spark, sf_dir, tmp_path):
     append_minhash_index(part_b, path)
     want = _mh_pairs(minhash_probe_indexed(spark, path, probe, "doc_id", "text"))
 
-    compact_minhash_index(spark, path)
+    # threshold 1 forces compaction with a single append (2 files/dir)
+    compact_minhash_index(spark, path, small_file_threshold=1)
     # simulate the tear: resurrect a duplicate of one compacted file
     # and a manifest whose moves are complete but deletes are pending
     victim = sorted(
@@ -2187,9 +2188,16 @@ def test_minhash_probe_eager_unpersists_intermediates(spark, sf_dir, tmp_path):
         spark, path, batch, "doc_id", "text", eager=True
     )
     assert _mh_pairs(served) == lazy and lazy
-    # only the returned (persisted) result may still hold storage
+    # only the returned (persisted) result may still hold storage;
+    # unpersist is async, so poll briefly before judging
+    import time as _time
+
     jsc = spark.sparkContext._jsc.sc()
-    n_cached = jsc.getRDDStorageInfo()
+    for _ in range(20):
+        n_cached = jsc.getRDDStorageInfo()
+        if len(n_cached) <= 1:
+            break
+        _time.sleep(0.5)
     assert len(n_cached) <= 1, [str(x) for x in n_cached]
     served.unpersist()
 

@@ -236,29 +236,42 @@ def ivf_self_topk_arrow(
     cent_norms = np.sqrt(np.cumsum(cent_mat * cent_mat, axis=1)[:, -1])
     npb, kk, chunk = int(nprobe), int(k), int(query_chunk)
 
+    # the routing temporary is rows x cells x dim doubles — CHUNK the
+    # rows so it stays ~32 MB at ANY cell count (the r8 1000x run
+    # kernel-OOM'd here: a 10k-row Arrow batch x 977 corpus-scaled
+    # cells x 64 dims is 5 GB per worker, x32 workers > box RAM; at
+    # the fixture's 8 cells the same batch was 41 MB — the classic
+    # fixture-size-blind allocation)
+    n_cells = max(1, len(cent_ids))
+    dim_guess = cent_mat.shape[1] if cent_mat.ndim == 2 else 64
+    route_chunk = max(16, (4 << 20) // (n_cells * dim_guess))
+
     def route(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            vs = pdf["v"].to_numpy()
-            m = np.vstack(vs)
-            prod = m[:, None, :] * cent_mat[None, :, :]
-            dots = np.cumsum(prod, axis=2)[:, :, -1]
-            nn = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
-            cos = dots / (nn[:, None] * cent_norms[None, :])
-            cos = np.floor(cos * 1e4 + 0.5) / 1e4
-            cell_o, id_o, v_o, mem_o = [], [], [], []
-            for i in range(len(ids)):
-                order = np.lexsort((cent_ids, -cos[i]))[:npb]
-                for j, ci in enumerate(order):
-                    cell_o.append(int(cent_ids[ci]))
-                    id_o.append(int(ids[i]))
-                    v_o.append(vs[i])
-                    mem_o.append(j == 0)
-            yield pd.DataFrame(
-                {"cell": cell_o, "id": id_o, "v": v_o, "is_member": mem_o}
-            )
+            all_ids = pdf["id"].to_numpy(dtype=np.int64)
+            all_vs = pdf["v"].to_numpy()
+            for s in range(0, len(all_ids), route_chunk):
+                e = min(s + route_chunk, len(all_ids))
+                ids, vs = all_ids[s:e], all_vs[s:e]
+                m = np.vstack(vs)
+                prod = m[:, None, :] * cent_mat[None, :, :]
+                dots = np.cumsum(prod, axis=2)[:, :, -1]
+                nn = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+                cos = dots / (nn[:, None] * cent_norms[None, :])
+                cos = np.floor(cos * 1e4 + 0.5) / 1e4
+                cell_o, id_o, v_o, mem_o = [], [], [], []
+                for i in range(len(ids)):
+                    order = np.lexsort((cent_ids, -cos[i]))[:npb]
+                    for j, ci in enumerate(order):
+                        cell_o.append(int(cent_ids[ci]))
+                        id_o.append(int(ids[i]))
+                        v_o.append(vs[i])
+                        mem_o.append(j == 0)
+                yield pd.DataFrame(
+                    {"cell": cell_o, "id": id_o, "v": v_o, "is_member": mem_o}
+                )
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -278,9 +291,13 @@ def ivf_self_topk_arrow(
         m_norms = np.sqrt(np.cumsum(m_mat * m_mat, axis=1)[:, -1])
         q_ids = pdf["id"].to_numpy(dtype=np.int64)
         q_mat = np.vstack(pdf["v"].to_numpy())
+        # adaptive query chunk: the dot temporary is chunk x |members|
+        # x dim — a skewed hot cell would blow a fixed chunk (same
+        # fixture-blind class as the route kernel), so bound it ~32 MB
+        chunk_q = max(1, min(chunk, (4 << 20) // max(1, len(m_ids) * m_mat.shape[1])))
         out_q, out_n, out_c = [], [], []
-        for s in range(0, len(q_ids), chunk):
-            e = min(s + chunk, len(q_ids))
+        for s in range(0, len(q_ids), chunk_q):
+            e = min(s + chunk_q, len(q_ids))
             blk = q_mat[s:e]
             prod = blk[:, None, :] * m_mat[None, :, :]
             dots = np.cumsum(prod, axis=2)[:, :, -1]
