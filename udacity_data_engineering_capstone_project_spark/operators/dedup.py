@@ -946,8 +946,9 @@ def _check_minhash_params(path: str, params: dict, caller: str) -> None:
     if not os.path.exists(src):
         raise FileNotFoundError(
             f"{caller}: no {_MINHASH_PARAMS_FILE} under {path} — not a "
-            "write_minhash_index layout (or built before round 8; "
-            "rebuild to stamp the dials)"
+            "write_minhash_index layout, or built before the dials were "
+            "persisted; if you know the build dials, migrate with "
+            "stamp_minhash_params(path, ...) instead of rebuilding"
         )
     with open(src) as fh:
         built = json.load(fh)
@@ -963,6 +964,55 @@ def _check_minhash_params(path: str, params: dict, caller: str) -> None:
         )
 
 
+#: staging dirs younger than this (by their ``.inprogress`` marker's
+#: mtime) are NOT garbage-collected by the heal loop — a live append
+#: may still be writing into them (ADVICE r8: the unconditional rmtree
+#: raced an in-flight append and silently dropped its batch).
+_APPEND_GC_GRACE_S = 3600.0
+
+
+def stamp_minhash_params(
+    path: str,
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    n_band_parts: int = 64,
+    n_doc_parts: int = 32,
+) -> None:
+    """One-time migration for an index built BEFORE the dials were
+    persisted (pre-``_index_params.json``): explicitly stamp the dials
+    the index was built with, so probes/appends validate against them
+    instead of raising FileNotFoundError and forcing a full rebuild
+    (ADVICE r8). Refuses to overwrite an existing stamp — a mismatch
+    there is a real error, not a migration. The caller owns the claim
+    that these ARE the build dials; a wrong stamp reintroduces exactly
+    the silent-miss the validation exists to prevent."""
+    import os
+
+    if os.path.exists(os.path.join(path, _MINHASH_PARAMS_FILE)):
+        raise FileExistsError(
+            f"stamp_minhash_params: {path} already has "
+            f"{_MINHASH_PARAMS_FILE}; this helper only migrates "
+            "pre-stamp indexes (delete the file first if you really "
+            "mean to re-stamp)"
+        )
+    if not os.path.isdir(os.path.join(path, "postings")):
+        raise FileNotFoundError(
+            f"stamp_minhash_params: {path} is not a minhash index "
+            "layout (no postings/ dir)"
+        )
+    _write_minhash_params(
+        path,
+        {
+            "n": int(n),
+            "n_hashes": int(n_hashes),
+            "bands": int(bands),
+            "n_band_parts": int(n_band_parts),
+            "n_doc_parts": int(n_doc_parts),
+        },
+    )
+
+
 def _heal_pending_appends(path: str) -> None:
     """Replay any interrupted :func:`append_minhash_index` /
     :func:`compact_minhash_index` swap before the index is read or
@@ -971,11 +1021,22 @@ def _heal_pending_appends(path: str) -> None:
     is idempotent, so a partially-completed swap finishes exactly
     where it stopped), THEN the compaction's small-file deletions —
     never a missing-rows window, and the duplicate window (compacted
-    file moved, originals not yet deleted) closes before any read."""
+    file moved, originals not yet deleted) closes before any read.
+
+    Maintenance concurrency contract: ONE writer (append/compact) at a
+    time per index — probes may run concurrently with a writer. The
+    stray-staging GC below respects an in-flight writer by skipping
+    ``_append_*`` dirs whose ``.inprogress`` marker is younger than
+    :data:`_APPEND_GC_GRACE_S`; markerless or stale dirs are crash
+    leftovers from BEFORE the manifest commit (the live index never
+    referenced them) and are garbage. Two writers racing the same
+    index is outside the contract (as for any single-writer table
+    format without a lock service)."""
     import glob
     import json
     import os
     import shutil
+    import time
 
     for manifest in sorted(
         glob.glob(os.path.join(path, "_pending_append_*.json"))
@@ -992,10 +1053,18 @@ def _heal_pending_appends(path: str) -> None:
         shutil.rmtree(m["tmp_dir"], ignore_errors=True)
         os.remove(manifest)
     # orphans from a crash BEFORE the manifest commit: the live index
-    # never referenced them, so both are garbage
+    # never referenced them, so both are garbage — but an in-flight
+    # append's staging (fresh .inprogress marker) is LIVE, not orphaned
     for stray in glob.glob(os.path.join(path, "_pending_append_*.json.tmp")):
         os.remove(stray)
+    now = time.time()
     for stray in glob.glob(os.path.join(path, "_append_*")):
+        marker = os.path.join(stray, ".inprogress")
+        try:
+            if now - os.path.getmtime(marker) < _APPEND_GC_GRACE_S:
+                continue
+        except OSError:
+            pass  # no marker: pre-marker crash leftover — garbage
         shutil.rmtree(stray, ignore_errors=True)
 
 
@@ -1064,6 +1133,12 @@ def append_minhash_index(
     )
     tag = uuid.uuid4().hex[:12]
     tmp = os.path.join(path, f"_append_{tag}")
+    # .inprogress marker BEFORE any staging write: a concurrent probe's
+    # heal loop skips fresh-marked staging instead of sweeping the live
+    # batch out from under this append (ADVICE r8 silent-miss race)
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, ".inprogress"), "w") as fh:
+        fh.write(tag)
     postings = sets.select(
         "doc", F.explode(band_keys("hs")).alias("band_key")
     ).withColumn(
@@ -1101,6 +1176,19 @@ def append_minhash_index(
             moves.append(
                 (src, os.path.join(path, rel, part_dir, f"app-{tag}-{name}"))
             )
+    if not os.path.exists(os.path.join(tmp, ".inprogress")):
+        raise RuntimeError(
+            f"append_minhash_index: staging dir {tmp} was swept while "
+            "this append was writing (a concurrent writer's heal loop "
+            "past the GC grace, or manual cleanup) — the batch was NOT "
+            "appended; retry. Maintenance contract is one writer per "
+            "index at a time."
+        )
+    if not moves and not docs.isEmpty():
+        raise RuntimeError(
+            f"append_minhash_index: non-empty batch staged zero files "
+            f"under {tmp} — refusing the success-shaped empty commit"
+        )
     manifest_path = os.path.join(path, f"_pending_append_{tag}.json")
     with open(manifest_path + ".tmp", "w") as fh:
         json.dump({"moves": moves, "tmp_dir": tmp}, fh)
@@ -1165,6 +1253,9 @@ def compact_minhash_index(
                 continue
             tag = uuid.uuid4().hex[:12]
             tmp = os.path.join(path, f"_append_{tag}")
+            os.makedirs(tmp, exist_ok=True)
+            with open(os.path.join(tmp, ".inprogress"), "w") as fh:
+                fh.write(tag)  # same GC-grace marker as the append path
             staged_dir = os.path.join(tmp, rel, os.path.basename(part_dir))
             (
                 spark.read.parquet(*files)

@@ -57,6 +57,13 @@ def star_join(
         if isinstance(broadcast_dims, list)
         else [broadcast_dims] * len(dims)
     )
+    if len(flags) != len(dims):
+        # zip would silently TRUNCATE: a short flag list drops trailing
+        # dim joins entirely (wrong results, not an error) — ADVICE r8
+        raise ValueError(
+            f"star_join: broadcast_dims has {len(flags)} flags for "
+            f"{len(dims)} dims; pass one flag per dim (or a single bool)"
+        )
     out = fact
     for (dim, cond, how), bc in zip(dims, flags):
         d = F.broadcast(dim) if bc else dim

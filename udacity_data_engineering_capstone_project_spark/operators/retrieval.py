@@ -408,12 +408,22 @@ def write_trigram_index(
     directory, rows are sorted by ``tri`` so min/max row-group stats
     make the residual ``tri IN (...)`` filter skip row groups.
 
-    The build's one shuffle is the postings ``distinct()`` — exactly
+    The build's shuffles are the postings ``distinct()`` — exactly
     the corpus-wide dedup the query-time path was explicitly
-    restructured to avoid (SCALE.md round-5 probe); amortized across
-    queries it is the right trade, which is the whole point of the
-    build/serve split. Incremental batches append their own postings
-    into the same partition scheme.
+    restructured to avoid (SCALE.md round-5 probe) — and a
+    ``repartition`` ON THE PARTITION KEY before the partitioned
+    write, the write_minhash_index discipline (dedup.py): without it
+    every task holds every prefix, so each of up-to-shuffle-partitions
+    tasks writes a file into every populated ``tri_p2=`` dir —
+    tasks x dirs files. The r8 1000x run measured that explosion:
+    build 678 s and a serve path that paid the whole tree's listing +
+    footer opens, INVERTING the index (701 s vs the full scan's
+    453 s — VERDICT r8 wrong #2). Keyed repartition puts each prefix
+    in exactly one task: <= |distinct tri_p2| files total, independent
+    of parallelism. Amortized across queries the build is the right
+    trade, which is the whole point of the build/serve split.
+    Incremental batches append their own postings into the same
+    partition scheme.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
     base = docs.select(F.col(id_col).alias("doc"), norm.alias("norm"))
@@ -430,9 +440,13 @@ def write_trigram_index(
         .distinct()
         .withColumn("tri_p2", F.expr("substr(tri, 1, 2)"))
     )
-    postings.sortWithinPartitions("tri").write.partitionBy("tri_p2").mode(
-        mode
-    ).parquet(path)
+    (
+        postings.repartition("tri_p2")
+        .sortWithinPartitions("tri")
+        .write.partitionBy("tri_p2")
+        .mode(mode)
+        .parquet(path)
+    )
 
 
 def trigram_match_indexed(
@@ -455,8 +469,17 @@ def trigram_match_indexed(
 
     The bitmap-AND candidate check is the same one-int64-row-per-
     (pattern, doc) shape as the query-time path; exact ``instr``
-    verification then touches only candidate docs' text (a keyed join
-    against the doc table — at 100 TB, a point-lookup-friendly store).
+    verification then touches only candidate docs' text: the
+    candidate-id join lands FIRST, on the raw (id, text) columns, and
+    normalization runs on the post-join survivors only — the r8 1000x
+    run caught the prior shape (normalize-then-join) paying the
+    regex over the ENTIRE corpus on every probe, O(corpus) compute
+    regardless of candidate count (VERDICT r8 wrong #2b). The join is
+    hint-free: AQE sees the candidates' actual runtime size and
+    broadcasts the small side, falling back to a keyed shuffle when a
+    loose pattern matches a corpus-fraction (the r8 pinned-broadcast
+    lesson). At 100 TB the doc side is a point-lookup-friendly store
+    and this join becomes the pushed id lookup.
     """
     p, ptris, n_tris = _pattern_trigrams(patterns)
     probe = [
@@ -485,10 +508,11 @@ def trigram_match_indexed(
         .filter(F.bit_count("mask") == F.col("n_tris"))
         .select("pattern_id", "doc")
     )
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
-    base = docs.select(F.col(id_col).alias("doc"), norm.alias("norm"))
+    base = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("_t")), "[^a-z0-9]+", " "))
     return (
         candidates.join(base, "doc")
+        .withColumn("norm", norm)
         .join(F.broadcast(p), "pattern_id")
         .filter(F.instr(F.col("norm"), F.col("pat")) > 0)
         .select("pattern_id", F.col("doc").alias(id_col))

@@ -123,8 +123,14 @@ def knn_self_topk_arrow(
     registry query). Broadcast, not closure capture, so the matrix is
     shipped once per executor instead of re-pickled into every
     stage's task binary if the kernel feeds multiple actions
-    (VERDICT r7 finding #2). Output: (query_id, neighbor_id,
-    cos_sim, rank).
+    (VERDICT r7 finding #2). Broadcast LIFETIME is caller-side, like
+    minhash_probe_indexed's eager mode: the handle is exposed as the
+    returned DataFrame's ``_corpus_broadcast`` attribute — a serving
+    loop calling this kernel repeatedly should
+    ``df._corpus_broadcast.destroy()`` after consuming each result,
+    or up-to-100 MB broadcasts accumulate until Python GC reaps the
+    closure (ADVICE r8). One-shot plans may ignore it. Output:
+    (query_id, neighbor_id, cos_sim, rank).
     """
     rows = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -180,10 +186,12 @@ def knn_self_topk_arrow(
     src = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    return src.mapInPandas(
+    out = src.mapInPandas(
         topk_batches,
         "query_id long, neighbor_id long, cos_sim double, rank int",
     )
+    out._corpus_broadcast = bc  # caller-side lifetime, see docstring
+    return out
 
 
 def ivf_self_topk_arrow(
@@ -241,10 +249,16 @@ def ivf_self_topk_arrow(
     # kernel-OOM'd here: a 10k-row Arrow batch x 977 corpus-scaled
     # cells x 64 dims is 5 GB per worker, x32 workers > box RAM; at
     # the fixture's 8 cells the same batch was 41 MB — the classic
-    # fixture-size-blind allocation)
+    # fixture-size-blind allocation). Row floor is 1, NOT 16 (ADVICE
+    # r8: a 16-row floor lets the temporary grow linearly with cell
+    # count again past 256k cells*dim); when even ONE row's
+    # cells-x-dim product exceeds the budget, the CENTROID axis is
+    # blocked too — cumsum along dim is per-element, so cell-block
+    # boundaries are bit-invisible to the cosines.
     n_cells = max(1, len(cent_ids))
     dim_guess = cent_mat.shape[1] if cent_mat.ndim == 2 else 64
-    route_chunk = max(16, (4 << 20) // (n_cells * dim_guess))
+    route_chunk = max(1, (4 << 20) // (n_cells * dim_guess))
+    cent_block = max(1, min(n_cells, (4 << 20) // (route_chunk * dim_guess)))
 
     def route(batches):
         for pdf in batches:
@@ -256,10 +270,15 @@ def ivf_self_topk_arrow(
                 e = min(s + route_chunk, len(all_ids))
                 ids, vs = all_ids[s:e], all_vs[s:e]
                 m = np.vstack(vs)
-                prod = m[:, None, :] * cent_mat[None, :, :]
-                dots = np.cumsum(prod, axis=2)[:, :, -1]
                 nn = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
-                cos = dots / (nn[:, None] * cent_norms[None, :])
+                cos = np.empty((len(ids), n_cells), dtype=np.float64)
+                for cs in range(0, n_cells, cent_block):
+                    ce = min(cs + cent_block, n_cells)
+                    prod = m[:, None, :] * cent_mat[None, cs:ce, :]
+                    dots = np.cumsum(prod, axis=2)[:, :, -1]
+                    cos[:, cs:ce] = dots / (
+                        nn[:, None] * cent_norms[None, cs:ce]
+                    )
                 cos = np.floor(cos * 1e4 + 0.5) / 1e4
                 cell_o, id_o, v_o, mem_o = [], [], [], []
                 for i in range(len(ids)):
@@ -293,16 +312,24 @@ def ivf_self_topk_arrow(
         q_mat = np.vstack(pdf["v"].to_numpy())
         # adaptive query chunk: the dot temporary is chunk x |members|
         # x dim — a skewed hot cell would blow a fixed chunk (same
-        # fixture-blind class as the route kernel), so bound it ~32 MB
-        chunk_q = max(1, min(chunk, (4 << 20) // max(1, len(m_ids) * m_mat.shape[1])))
+        # fixture-blind class as the route kernel), so bound it ~32 MB;
+        # and when ONE query row's members-x-dim product exceeds the
+        # budget, block the MEMBER axis too (same two-axis discipline
+        # as the route kernel — per-element arithmetic, bit-invisible)
+        n_mem, dim_m = len(m_ids), m_mat.shape[1]
+        chunk_q = max(1, min(chunk, (4 << 20) // max(1, n_mem * dim_m)))
+        mem_block = max(1, min(n_mem, (4 << 20) // (chunk_q * dim_m)))
         out_q, out_n, out_c = [], [], []
         for s in range(0, len(q_ids), chunk_q):
             e = min(s + chunk_q, len(q_ids))
             blk = q_mat[s:e]
-            prod = blk[:, None, :] * m_mat[None, :, :]
-            dots = np.cumsum(prod, axis=2)[:, :, -1]
             bn = np.sqrt(np.cumsum(blk * blk, axis=1)[:, -1])
-            cos = dots / (bn[:, None] * m_norms[None, :])
+            cos = np.empty((e - s, n_mem), dtype=np.float64)
+            for ms in range(0, n_mem, mem_block):
+                me = min(ms + mem_block, n_mem)
+                prod = blk[:, None, :] * m_mat[None, ms:me, :]
+                dots = np.cumsum(prod, axis=2)[:, :, -1]
+                cos[:, ms:me] = dots / (bn[:, None] * m_norms[None, ms:me])
             cos = np.floor(cos * 1e4 + 0.5) / 1e4
             for i in range(e - s):
                 mask = m_ids != q_ids[s + i]
@@ -338,18 +365,26 @@ def ivf_self_topk_arrow(
     )
 
 
-def ivf_cells_scaled(n: int, target_cell: int = 2048, min_cells: int = 8) -> int:
-    """Corpus-scaled IVF cell count: ``cells = max(min_cells,
-    ceil(n / target_cell))`` — per-cell population pinned at
-    ``target_cell``, so any per-cell-quadratic consumer (the IVF
-    self-kNN audit, per-cluster dedup) costs ``n * target_cell *
-    nprobe`` — LINEAR BY CONSTRUCTION at any corpus size. A pinned
-    cell count is the dial class the full-scale runs keep catching
-    (round 6: SemDeDup k; round 7: SRP band width); this is the same
-    derived-from-count(*) discipline, replayable by a static oracle.
-    Integer ceil on both engines: Python ``-(-n // t)`` here, DuckDB
-    ``CEIL(count(*)/t.0)`` in the oracle."""
-    return max(min_cells, -(-int(n) // int(target_cell)))
+def ivf_cells_scaled(n: int, min_cells: int = 8) -> int:
+    """Corpus-scaled IVF cell count, the FAISS nlist rule:
+    ``cells = max(min_cells, ceil(sqrt(n)))``. sqrt — not n/const —
+    because BOTH phases of an IVF pass grow with the dial: routing
+    costs ``n * cells * dim`` FLOPs and the per-cell phase costs
+    ``n * (n / cells) * nprobe * dim``; they balance at cells ~ sqrt(n),
+    where each is O(n^1.5 * dim). The round-8 dial (cells = n/2048)
+    pinned the per-cell phase linear but let ROUTING grow as
+    n^2*dim/2048 — the 1000x run measured it (ann_hubness_audit_ivf
+    306 s at 2M vectors, VERDICT r8 wrong #3); a quadratic hidden in
+    the dial is the same fixture-size-blind class as a pinned cell
+    count (round 6: SemDeDup k; round 7: SRP width), caught one decade
+    later. Derived-from-count(*) and replayable by a static oracle on
+    both engines: Python ``ceil(sqrt(n))`` here, DuckDB
+    ``CEIL(SQRT(count(*)))`` in the oracle — IEEE double sqrt is
+    exactly rounded and n < 2^52 is exact in double, so the two ceils
+    agree bit-for-bit."""
+    import math
+
+    return max(min_cells, math.ceil(math.sqrt(max(int(n), 0))))
 
 
 def srp_rows_scaled(n: int, min_rows: int = 14, max_rows: int = 28) -> int:

@@ -15,6 +15,8 @@ engine-independent.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1324,11 +1326,18 @@ def semantic_dedup_flags(spark, sf_dir):
     is per-cluster by construction (the paper's k=110k-clusters
     recipe), so no corpus-wide pair join exists in the plan
     (operators/similarity.semantic_dedup_trained) — AND k now SCALES
-    WITH THE CORPUS in-plan (k = clamp(n/250, 8, 1024), ~250 vectors
-    per cluster): the 10x headline bench caught the pinned k=8 paying
-    10x-sized clusters, i.e. 100x pairs — exactly the dial
-    tools/scale_probe_semdedup.py measured; the oracle computes the
-    SAME k from the same data with a scalar subquery. Complements
+    WITH THE CORPUS in-plan as k = max(8, ceil(sqrt(n))) — the sqrt
+    rule, not n/250: Lloyd assignment costs n*k*dim per iteration and
+    the within-cluster pair term costs n*(n/k)*dim, balancing at
+    k ~ sqrt(n) where each is O(n^1.5). The dial history is this
+    operator's whole lesson: r6's 10x bench caught k PINNED at 8
+    (quadratic clusters); the n/250 fix then CAPPED k at 1024, and the
+    r8 1000x run measured the within-cluster quadratic reopening past
+    ~256k vectors (683 s at 2M, 31x for 10x data — VERDICT r8 wrong
+    #3). sqrt has no cap to reopen and keeps Lloyd sub-quadratic too.
+    The oracle computes the SAME k from the same data with a scalar
+    subquery (CEIL(SQRT(count(*))) — IEEE sqrt agrees bit-for-bit
+    with Python's across engines). Complements
     ``semantic_dedup_clusters``, which prunes CALLER-provided clusters
     with the min-id anchor rule — this one trains the clustering
     in-plan and ranks keepers by centroid distance, the full paper
@@ -1337,12 +1346,13 @@ def semantic_dedup_flags(spark, sf_dir):
     one within-cluster join (:data:`ORACLE_SEMANTIC_DEDUP_TRAINED`). The
     fixture's synthetic embeddings carry similarity mass near ~0.5
     (real text embeddings near-dup at the paper's eps ~0.95), so the
-    acceptance threshold is 0.45. At fixture SFs (500-2000 vectors)
-    the clamp floor keeps k = 8, so oracle values are unchanged."""
+    acceptance threshold is 0.45. At fixture SFs the sqrt dial gives
+    k in the tens (e.g. 45 at 2000 vectors) — the oracle replays the
+    same k, so values stay hash-exact."""
     from ..operators.similarity import semantic_dedup_trained
 
     emb = _t(spark, sf_dir, "embeddings")
-    k = max(8, min(1024, emb.count() // 250))
+    k = max(8, math.ceil(math.sqrt(emb.count())))
     return semantic_dedup_trained(
         emb, "vec_id", "embedding", k=k, iters=5, threshold=0.45,
     )
@@ -1358,7 +1368,10 @@ def _semantic_dedup_oracle(
     as a semi-join."""
     c2c = sql_round_fixed(f"list_cosine_similarity(c.v, k.u)", 4)
     pair = sql_round_fixed("list_cosine_similarity(ca.v, cb.v)", 4)
-    k_expr = "greatest(8, least(1024, (SELECT count(*) FROM c) // 250))"
+    k_expr = (
+        "greatest(8, CAST(ceil(sqrt(CAST((SELECT count(*) FROM c) AS DOUBLE)))"
+        " AS BIGINT))"
+    )
     return f"""
 WITH {_kmeans_asg_ctes(k, iters, dim, k_expr=k_expr)},
 cc AS (
@@ -7712,13 +7725,15 @@ def bitext_mining_ivf(spark, sf_dir):
     (operators/similarity.ivf_topk, touching ~nprobe/|cells| of the
     corpus), then the same margin scoring (best minus runner-up on
     x1e4 rounded cosines) over the per-query top-2. The cell count
-    SCALES WITH THE CORPUS (clamp(|en|/250, 8, 1024) — the SemDeDup
-    dial): constant ~250-vector cells keep per-query candidates at
-    nprobe*250 regardless of corpus size, so total work is LINEAR in
-    |de| (a fixed 8-cell grid measured 82 s at 10x — still
-    quadratic/4; scaled cells bring it to single digits). At fixture
-    SFs the clamp floor keeps 8 cells, so oracle values are
-    unchanged. Approximate by
+    SCALES WITH THE CORPUS as max(8, ceil(sqrt(|en|))) — the sqrt
+    rule shared with ivf_cells_scaled / semantic_dedup_flags (r9):
+    the r8 |en|/250 dial kept per-query candidates constant but made
+    ROUTING (every de query and every en vector against |en|/250
+    centroids) quadratic/250 — the same hidden-quadratic class the
+    1000x run measured on the audit twin; at cells ~ sqrt(n) routing
+    and candidate phases balance at O(n^1.5) (a fixed 8-cell grid
+    measured 82 s at 10x — fully quadratic/4; scaled cells bring it
+    to single digits). Approximate by
     construction — a true best translation in an unprobed cell is
     missed, the standard IVF recall trade measured by
     ann_recall_sweep/ivf_trained_recall — and the oracle replays the
@@ -7739,7 +7754,7 @@ def bitext_mining_ivf(spark, sf_dir):
         .join(emb, docs.doc_id == emb.vec_id)
         .select("vec_id", "embedding")
     ).persist()  # feeds the cell count, the assignment, and the rank
-    n_cells = max(8, min(1024, en.count() // 250))
+    n_cells = max(8, math.ceil(math.sqrt(en.count())))
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
@@ -7778,7 +7793,8 @@ en AS (
 ),
 cent AS (
   SELECT vec_id AS centroid_id, v AS u FROM c
-  WHERE vec_id < greatest(8, least(1024, (SELECT count(*) FROM en) // 250))
+  WHERE vec_id < greatest(8, CAST(ceil(sqrt(
+    CAST((SELECT count(*) FROM en) AS DOUBLE))) AS BIGINT))
 ),
 de AS (
   SELECT d.doc_id AS query_id, c.v AS qv
@@ -8210,10 +8226,11 @@ def ann_hubness_audit_ivf(spark, sf_dir):
     knn_self_topk_arrow's 200k-vector guard message prescribes. Every
     corpus vector probes its 2 nearest centroid cells (the first
     ``ivf_cells_scaled(n)`` vectors as deterministic centroids — the
-    CORPUS-SCALED cell count pins per-cell population at ~2048, so
-    the audit is n*2048*nprobe dots, linear by construction; a pinned
-    cell count is the dial class the r6/r7 full-scale runs caught on
-    SemDeDup-k and SRP width) and ranks only members of those cells;
+    FAISS sqrt rule, cells = ceil(sqrt(n)), balancing routing
+    (n*cells) against the per-cell phase (n * n/cells * nprobe) at
+    O(n^1.5) each; the r8 n/2048 dial kept the per-cell phase linear
+    but hid an n^2/2048 ROUTING quadratic the 1000x run measured at
+    306 s / 2M vectors) and ranks only members of those cells;
     candidate generation is a centroid_id-keyed shuffle + per-cell
     blocked Arrow dots (ivf_self_topk_arrow) — the corpus is never
     broadcast, so the audit has no vector-count ceiling. Approximate
@@ -8249,7 +8266,8 @@ def ann_hubness_audit_ivf(spark, sf_dir):
 ORACLE_ANN_HUBNESS_IVF = f"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 ncells AS (
-  SELECT GREATEST(8, CAST(CEIL(count(*) / 2048.0) AS BIGINT)) AS nc FROM c
+  SELECT GREATEST(8, CAST(CEIL(SQRT(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS nc
+  FROM c
 ),
 cent AS (
   SELECT vec_id AS centroid_id, v AS u FROM c
