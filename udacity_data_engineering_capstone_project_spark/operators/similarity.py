@@ -96,13 +96,34 @@ def cosine_arrow_udf():
     return cos_r_arrow
 
 
+def _seq_dot_mat(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise dot matrix between the rows of ``a`` (q x d) and ``b``
+    (c x d) with EXACT left-fold (sequential) per-element add order —
+    bit-identical to ``np.cumsum(a[:,None,:] * b[None,:,:],
+    axis=2)[:,:,-1]`` (the rounding contract shared with DuckDB's
+    sequential accumulation; np.matmul/BLAS uses pairwise/blocked sums
+    and is NOT bit-equal) — but WITHOUT materializing the q x c x d
+    temporary: a d-step accumulate over one reused q x c buffer. The
+    cumsum form streams q*c*d doubles through DRAM three times (write
+    products, scan cumsum, read the last plane); this form touches
+    2*q*c per step on cache-resident buffers — measured ~4-6x faster
+    at the kernels' chunk sizes, and the temporary no longer scales
+    with dim, which is what let the chunk budgets grow (r9)."""
+    acc = np.outer(a[:, 0], b[:, 0])
+    tmp = np.empty_like(acc)
+    for j in range(1, a.shape[1]):
+        np.outer(a[:, j], b[:, j], out=tmp)
+        acc += tmp
+    return acc
+
+
 def knn_self_topk_arrow(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
     max_broadcast_vectors: int = 200_000,
-    query_chunk: int = 32,
+    query_chunk: int = 4096,
 ) -> DataFrame:
     """Exact self-kNN (every corpus vector queries the whole corpus,
     self excluded) as ONE Arrow kernel instead of the crossJoin + JVM
@@ -148,10 +169,13 @@ def knn_self_topk_arrow(
     bc = corpus.sparkSession.sparkContext.broadcast(
         (ids_l, mat_l, c_norms_l)
     )
-    kk, chunk = int(k), int(query_chunk)
+    kk, chunk_cap = int(k), int(query_chunk)
 
     def topk_batches(batches):
         ids, mat, c_norms = bc.value
+        # working set is chunk x n doubles (the _seq_dot_mat
+        # accumulator): budget ~32 MB, capped by the caller's dial
+        chunk = max(1, min(chunk_cap, (4 << 20) // max(1, len(ids))))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -161,8 +185,7 @@ def knn_self_topk_arrow(
             for s in range(0, len(q_ids), chunk):
                 e = min(s + chunk, len(q_ids))
                 blk = q[s:e]  # b x d
-                prod = blk[:, None, :] * mat[None, :, :]  # b x n x d
-                dots = np.cumsum(prod, axis=2)[:, :, -1]
+                dots = _seq_dot_mat(blk, mat)  # b x n, left-fold order
                 bn = np.sqrt(np.cumsum(blk * blk, axis=1)[:, -1])
                 cos = dots / (bn[:, None] * c_norms[None, :])
                 cos = np.floor(cos * 1e4 + 0.5) / 1e4
@@ -202,7 +225,7 @@ def ivf_self_topk_arrow(
     centroid_id_col: str = "centroid_id",
     k: int = 5,
     nprobe: int = 2,
-    query_chunk: int = 32,
+    query_chunk: int = 4096,
 ) -> DataFrame:
     """IVF SELF-kNN: every corpus vector queries the corpus through the
     IVF route (probe its ``nprobe`` nearest cells, rank only vectors
@@ -244,21 +267,18 @@ def ivf_self_topk_arrow(
     cent_norms = np.sqrt(np.cumsum(cent_mat * cent_mat, axis=1)[:, -1])
     npb, kk, chunk = int(nprobe), int(k), int(query_chunk)
 
-    # the routing temporary is rows x cells x dim doubles — CHUNK the
-    # rows so it stays ~32 MB at ANY cell count (the r8 1000x run
-    # kernel-OOM'd here: a 10k-row Arrow batch x 977 corpus-scaled
-    # cells x 64 dims is 5 GB per worker, x32 workers > box RAM; at
-    # the fixture's 8 cells the same batch was 41 MB — the classic
-    # fixture-size-blind allocation). Row floor is 1, NOT 16 (ADVICE
-    # r8: a 16-row floor lets the temporary grow linearly with cell
-    # count again past 256k cells*dim); when even ONE row's
-    # cells-x-dim product exceeds the budget, the CENTROID axis is
-    # blocked too — cumsum along dim is per-element, so cell-block
-    # boundaries are bit-invisible to the cosines.
+    # the routing working set is rows x cells doubles (the _seq_dot_mat
+    # accumulator — the r8 rows x cells x DIM temporary is gone with
+    # the cumsum form; that one kernel-OOM'd the 1000x run at 5 GB per
+    # worker) — CHUNK the rows so it stays ~32 MB at ANY cell count.
+    # Row floor is 1, NOT 16 (ADVICE r8: a 16-row floor lets the
+    # working set grow linearly with cell count past the budget); when
+    # even ONE row's cell axis exceeds the budget, the CENTROID axis
+    # is blocked too — the left-fold add order is per-element, so
+    # cell-block boundaries are bit-invisible to the cosines.
     n_cells = max(1, len(cent_ids))
-    dim_guess = cent_mat.shape[1] if cent_mat.ndim == 2 else 64
-    route_chunk = max(1, (4 << 20) // (n_cells * dim_guess))
-    cent_block = max(1, min(n_cells, (4 << 20) // (route_chunk * dim_guess)))
+    route_chunk = max(1, (4 << 20) // n_cells)
+    cent_block = max(1, min(n_cells, (4 << 20) // route_chunk))
 
     def route(batches):
         for pdf in batches:
@@ -274,8 +294,7 @@ def ivf_self_topk_arrow(
                 cos = np.empty((len(ids), n_cells), dtype=np.float64)
                 for cs in range(0, n_cells, cent_block):
                     ce = min(cs + cent_block, n_cells)
-                    prod = m[:, None, :] * cent_mat[None, cs:ce, :]
-                    dots = np.cumsum(prod, axis=2)[:, :, -1]
+                    dots = _seq_dot_mat(m, cent_mat[cs:ce])
                     cos[:, cs:ce] = dots / (
                         nn[:, None] * cent_norms[None, cs:ce]
                     )
@@ -310,15 +329,16 @@ def ivf_self_topk_arrow(
         m_norms = np.sqrt(np.cumsum(m_mat * m_mat, axis=1)[:, -1])
         q_ids = pdf["id"].to_numpy(dtype=np.int64)
         q_mat = np.vstack(pdf["v"].to_numpy())
-        # adaptive query chunk: the dot temporary is chunk x |members|
-        # x dim — a skewed hot cell would blow a fixed chunk (same
-        # fixture-blind class as the route kernel), so bound it ~32 MB;
-        # and when ONE query row's members-x-dim product exceeds the
-        # budget, block the MEMBER axis too (same two-axis discipline
-        # as the route kernel — per-element arithmetic, bit-invisible)
-        n_mem, dim_m = len(m_ids), m_mat.shape[1]
-        chunk_q = max(1, min(chunk, (4 << 20) // max(1, n_mem * dim_m)))
-        mem_block = max(1, min(n_mem, (4 << 20) // (chunk_q * dim_m)))
+        # adaptive query chunk: the working set is chunk x |members|
+        # doubles (the _seq_dot_mat accumulator) — a skewed hot cell
+        # would blow a fixed chunk (same fixture-blind class as the
+        # route kernel), so bound it ~32 MB; and when ONE query row's
+        # member axis exceeds the budget, block the MEMBER axis too
+        # (same two-axis discipline — per-element add order, so block
+        # boundaries are bit-invisible)
+        n_mem = len(m_ids)
+        chunk_q = max(1, min(chunk, (4 << 20) // max(1, n_mem)))
+        mem_block = max(1, min(n_mem, (4 << 20) // chunk_q))
         out_q, out_n, out_c = [], [], []
         for s in range(0, len(q_ids), chunk_q):
             e = min(s + chunk_q, len(q_ids))
@@ -327,8 +347,7 @@ def ivf_self_topk_arrow(
             cos = np.empty((e - s, n_mem), dtype=np.float64)
             for ms in range(0, n_mem, mem_block):
                 me = min(ms + mem_block, n_mem)
-                prod = blk[:, None, :] * m_mat[None, ms:me, :]
-                dots = np.cumsum(prod, axis=2)[:, :, -1]
+                dots = _seq_dot_mat(blk, m_mat[ms:me])
                 cos[:, ms:me] = dots / (bn[:, None] * m_norms[None, ms:me])
             cos = np.floor(cos * 1e4 + 0.5) / 1e4
             for i in range(e - s):
@@ -1319,11 +1338,15 @@ def semantic_dedup_trained(
     term is bounded per cluster. Shape here is exactly that contract:
     one k-means training pass (broadcast-argmax assignment, one
     (cluster, dim) shuffle per iteration — the kmeans_assign plan),
-    then ONE self-join co-partitioned on the cluster id, never a
-    corpus-wide pair explosion. Pairwise cosine runs once per
-    candidate pair in the shared Arrow kernel (cosine_arrow_udf —
-    a column-expression fold would be inlined into the join and
-    evaluated twice; the PPJoin lesson).
+    then ONE cluster-keyed ``applyInPandas`` kernel — never a
+    corpus-wide pair explosion, and (r9) never a MATERIALIZED pair
+    relation either: the r8 self-join shape shipped O(pop^2) rows each
+    carrying two dim-sized vectors through Arrow (~1 KB/pair — the
+    1000x run spent its 683 s mostly serializing that relation); the
+    kernel computes the same rounded pairwise cosines in-task from the
+    cluster's pop x dim matrix via the shared left-fold dot
+    (_seq_dot_mat), blocked to a ~32 MB budget, and emits one
+    (vid, dropped) row per member.
 
     Determinism for the cross-engine oracle: ranks order by the
     ROUNDED (4 dp) centroid cosine with id tie-break, the drop rule is
@@ -1360,37 +1383,54 @@ def semantic_dedup_trained(
             cosine_cols(F.col("cv"), F.col("u")).alias("c2c_r"),
         )
     )
-    w = Window.partitionBy("cluster").orderBy(F.col("c2c_r").asc(), F.col("vid"))
-    ranked = m.withColumn("rk", F.row_number().over(w)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    cos_r_arrow = cosine_arrow_udf()
-    x = ranked.select(
-        "cluster", F.col("cv").alias("cva"), F.col("rk").alias("rka")
-    )
-    y = ranked.select(
-        "cluster",
-        F.col("vid").alias("id_drop"),
-        F.col("cv").alias("cvb"),
-        F.col("rk").alias("rkb"),
-    )
-    dropped = (
-        x.join(y, "cluster")
-        .filter(F.col("rka") < F.col("rkb"))
-        .select("id_drop", cos_r_arrow(F.col("cva"), F.col("cvb")).alias("cos_r"))
-        .filter(F.col("cos_r") >= F.lit(threshold))
-        .select("id_drop")
-        .distinct()
-        .withColumn("d", F.lit(1))
-    )
+    thr = float(threshold)
+
+    def cluster_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-cluster EXISTS-earlier-dup, in-kernel: the r8 shape was a
+        # rka < rkb self-JOIN whose pair relation carries TWO dim-sized
+        # vectors per row — O(pop^2) rows x ~1 KB of Arrow traffic per
+        # cluster (the 1000x run measured 683 s mostly serializing it);
+        # here the same pairwise rounded cosines come from _seq_dot_mat
+        # on the cluster's pop x dim matrix (bit-identical left-fold
+        # dots, same floor rounding as cosine_arrow_udf), blocked to
+        # the ~32 MB budget, and only (vid, dropped) rows leave the
+        # kernel. Members arrive UNSORTED; rank order is recomputed
+        # from (c2c_r, vid) — the same key the window used.
+        order = np.lexsort(
+            (pdf["vid"].to_numpy(dtype=np.int64), pdf["c2c_r"].to_numpy())
+        )
+        p = pdf.iloc[order]
+        mat = np.vstack(p["cv"].to_numpy())
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        pop = len(p)
+        blk = max(1, (4 << 20) // max(1, pop))
+        dropped = np.zeros(pop, dtype=np.int32)
+        for s in range(0, pop, blk):
+            e = min(s + blk, pop)
+            cos = _seq_dot_mat(mat[s:e], mat) / (
+                norms[s:e, None] * norms[None, :]
+            )
+            cos = np.floor(cos * 1e4 + 0.5) / 1e4
+            for i in range(s, e):
+                if i and (cos[i - s, :i] >= thr).any():
+                    dropped[i] = 1
+        return pd.DataFrame(
+            {
+                "vid": p["vid"].to_numpy(dtype=np.int64),
+                "cluster": p["cluster"].to_numpy(dtype=np.int32),
+                "c2c_r": p["c2c_r"].to_numpy(dtype=np.float64),
+                "dropped": dropped,
+            }
+        )
+
     return (
-        ranked.join(
-            dropped.withColumnRenamed("id_drop", "vid"), "vid", "left"
+        m.select("vid", "cluster", "cv", "c2c_r")
+        .groupBy("cluster")
+        .applyInPandas(
+            cluster_drops,
+            "vid long, cluster int, c2c_r double, dropped int",
         )
         .select(
-            F.col("vid").alias(id_col),
-            "cluster",
-            "c2c_r",
-            F.coalesce(F.col("d"), F.lit(0)).cast("int").alias("dropped"),
+            F.col("vid").alias(id_col), "cluster", "c2c_r", "dropped"
         )
     )
