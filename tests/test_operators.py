@@ -2184,24 +2184,29 @@ def test_minhash_probe_eager_unpersists_intermediates(spark, sf_dir, tmp_path):
     spark.catalog.clearCache()
     lazy = _mh_pairs(minhash_probe_indexed(spark, path, batch, "doc_id", "text"))
     spark.catalog.clearCache()
+    # snapshot cached-RDD ids BEFORE the eager call: the assertion must
+    # judge only blocks THIS call created — counting the whole session
+    # made the test hostage to other tests' async clearCache turnaround
+    # (the r8 in-suite flake: passes in isolation, fails whenever the
+    # shared session's cleaner lags, which is GC-timing, not load)
+    import time as _time
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = {x.id() for x in jsc.getRDDStorageInfo()}
     served = minhash_probe_indexed(
         spark, path, batch, "doc_id", "text", eager=True
     )
     assert _mh_pairs(served) == lazy and lazy
-    # only the returned (persisted) result may still hold storage;
-    # unpersist is ASYNC and its listener-thread turnaround has no
-    # latency bound on a loaded box (the r8 judge saw this time out at
-    # 10 s under a concurrent oracle sweep, passing in isolation) — so
-    # poll against a generous wall-clock deadline, not a fixed count
-    import time as _time
-
-    jsc = spark.sparkContext._jsc.sc()
+    # only the returned (persisted) result may still hold storage among
+    # the NEW blocks; unpersist is ASYNC, so poll a generous deadline
     deadline = _time.monotonic() + 120.0
-    n_cached = jsc.getRDDStorageInfo()
-    while len(n_cached) > 1 and _time.monotonic() < deadline:
+    new_cached = [x for x in jsc.getRDDStorageInfo() if x.id() not in before]
+    while len(new_cached) > 1 and _time.monotonic() < deadline:
         _time.sleep(0.5)
-        n_cached = jsc.getRDDStorageInfo()
-    assert len(n_cached) <= 1, [str(x) for x in n_cached]
+        new_cached = [
+            x for x in jsc.getRDDStorageInfo() if x.id() not in before
+        ]
+    assert len(new_cached) <= 1, [str(x) for x in new_cached]
     served.unpersist()
 
 

@@ -712,6 +712,100 @@ def semantic_dedup(
     )
 
 
+def _nearest_cells_arrow(
+    df: DataFrame,
+    id_name: str,
+    vec_name: str,
+    centroids: DataFrame,
+    centroid_id_col: str,
+    vec_col: str,
+    nprobe: int,
+    keep_vec: bool = False,
+    with_cos: bool = False,
+) -> DataFrame:
+    """Top-``nprobe`` nearest centroid cells per input row — the shared
+    routing kernel behind :func:`build_ivf_assignments` and the probe
+    phase of :func:`ivf_topk` / :func:`ivf_topk_from_index`.
+
+    The r1-r8 shape was ``crossJoin(broadcast(cent))`` + a
+    ``row_number`` window: n x cells ROWS materialized and shuffled on
+    the row id just to keep the best nprobe — at the sqrt cell dial
+    and 1000x data that is ~7e8 window rows for the bitext en-side
+    alone (the O(n^1.5) routing term paid in shuffle rows AND HOF
+    dots). Here routing is one ``mapInPandas`` pass: centroids ride
+    the closure (<= ~sqrt(n) rows by the ivf_cells_scaled dial — a few
+    MB), dots come from the blocked left-fold kernel (_seq_dot_mat),
+    and only the winning (row, cell) pairs leave the kernel — zero
+    shuffle, zero n x cells relation.
+
+    Bit-parity with the window it replaces: cosines are rounded
+    floor(x*1e4+0.5)/1e4 of sequential left-fold dots (= cosine_cols;
+    the aggregate's 0.0 seed is IEEE-exact), and the (cos DESC,
+    centroid_id ASC) order falls out of sorting the centroid columns
+    by id once and taking ``argmax`` (first max = lowest id) for
+    nprobe=1 / STABLE argsort on -cos for nprobe>1. Output ids keep
+    the caller's column dtypes."""
+    cent = _with_double_vec(centroids, vec_col, "uv").select(
+        F.col(centroid_id_col).alias("centroid_id"), "uv"
+    )
+    cid_type = dict(cent.dtypes)["centroid_id"]
+    id_type = dict(df.dtypes)[id_name]
+    rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+    cent_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    cent_mat = np.array([r["uv"] for r in rows], dtype=np.float64)
+    cent_norms = np.sqrt(np.cumsum(cent_mat * cent_mat, axis=1)[:, -1])
+    n_cells = max(1, len(cent_ids))
+    # ~32 MB working set (the _seq_dot_mat accumulator is rows x cells)
+    row_chunk = max(1, (4 << 20) // n_cells)
+    cent_block = max(1, min(n_cells, (4 << 20) // row_chunk))
+    npb = int(nprobe)
+
+    fields = [f"{id_name} long", "centroid_id long"]
+    if with_cos:
+        fields.append("cos_sim double")
+    if keep_vec:
+        fields.append(f"{vec_name} array<double>")
+    out_schema = ", ".join(fields)
+
+    def route(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_all = pdf[id_name].to_numpy(dtype=np.int64)
+            vs_all = pdf[vec_name].to_numpy()
+            for s in range(0, len(ids_all), row_chunk):
+                e = min(s + row_chunk, len(ids_all))
+                m = np.vstack(vs_all[s:e])
+                nn = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+                cos = np.empty((e - s, n_cells), dtype=np.float64)
+                for cs in range(0, n_cells, cent_block):
+                    ce = min(cs + cent_block, n_cells)
+                    cos[:, cs:ce] = _seq_dot_mat(m, cent_mat[cs:ce]) / (
+                        nn[:, None] * cent_norms[None, cs:ce]
+                    )
+                cos = np.floor(cos * 1e4 + 0.5) / 1e4
+                if npb == 1:
+                    sel = np.argmax(cos, axis=1)[:, None]
+                else:
+                    sel = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
+                ridx = np.repeat(np.arange(e - s), sel.shape[1])
+                cidx = sel.ravel()
+                data = {
+                    id_name: ids_all[s:e][ridx],
+                    "centroid_id": cent_ids[cidx],
+                }
+                if with_cos:
+                    data["cos_sim"] = cos[ridx, cidx]
+                if keep_vec:
+                    data[vec_name] = vs_all[s:e][ridx]
+                yield pd.DataFrame(data)
+
+    out = df.mapInPandas(route, out_schema)
+    return out.withColumn(
+        "centroid_id", F.col("centroid_id").cast(cid_type)
+    ).withColumn(id_name, F.col(id_name).cast(id_type))
+
+
 def build_ivf_assignments(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -720,28 +814,16 @@ def build_ivf_assignments(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """IVF build: assign every corpus vector to its nearest centroid
-    (max cosine; centroid id breaks ties). One broadcast join + one
-    window — at scale this is a single pass over the corpus.
-
-    Output: (vec_id, centroid_id, cos_sim)."""
+    (max cosine; centroid id breaks ties) — one Arrow routing pass
+    over the corpus (:func:`_nearest_cells_arrow`), no n x cells
+    relation, no shuffle. Output: (vec_id, centroid_id, cos_sim),
+    values bit-identical to the crossJoin + window shape it replaces."""
     c = _with_double_vec(corpus, vec_col, "cv").select(
         F.col(id_col).alias("vec_id"), "cv"
     )
-    cent = _with_double_vec(centroids, vec_col, "uv").select(
-        F.col(centroid_id_col).alias("centroid_id"), "uv"
-    )
-    scored = c.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        cosine_cols(F.col("cv"), F.col("uv")).alias("cos_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("centroid_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return _nearest_cells_arrow(
+        c, "vec_id", "cv", centroids, centroid_id_col, vec_col,
+        nprobe=1, keep_vec=False, with_cos=True,
     )
 
 
@@ -766,30 +848,20 @@ def ivf_topk(
     q = _with_double_vec(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
-    cent = _with_double_vec(centroids, vec_col, "uv").select(
-        F.col(centroid_id_col).alias("centroid_id"), "uv"
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("centroid_id")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qv",
-            "centroid_id",
-            cosine_cols(F.col("qv"), F.col("uv")).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
-    )
+    probes = _nearest_cells_arrow(
+        q, "query_id", "qv", centroids, centroid_id_col, vec_col,
+        nprobe=nprobe, keep_vec=True,
+    ).select("query_id", "qv", "centroid_id")
 
     c = _with_double_vec(corpus, vec_col, "cv").select(
         F.col(id_col).alias("neighbor_id"), "cv"
     )
+    # hint-free probes join: for a handful of queries AQE broadcasts
+    # the actual runtime size; for corpus-fraction query sets (bitext's
+    # de side) a pinned broadcast is the r8 1000x failure class — AQE
+    # falls back to the keyed shuffle instead
     candidates = (
-        assignments.join(F.broadcast(probes), "centroid_id")
+        assignments.join(probes, "centroid_id")
         .join(c, F.col("vec_id") == F.col("neighbor_id"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
@@ -1220,24 +1292,10 @@ def ivf_topk_from_index(
     q = _with_double_vec(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
-    cent = _with_double_vec(centroids, vec_col, "uv").select(
-        F.col(centroid_id_col).alias("centroid_id"), "uv"
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("centroid_id")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qv",
-            "centroid_id",
-            cosine_cols(F.col("qv"), F.col("uv")).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
-    )
+    probes = _nearest_cells_arrow(
+        q, "query_id", "qv", centroids, centroid_id_col, vec_col,
+        nprobe=nprobe, keep_vec=True,
+    ).select("query_id", "qv", "centroid_id")
     cells = sorted(
         r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
     )

@@ -538,6 +538,83 @@ _PRIORITY_R8 = [
 ]
 assert len(_PRIORITY_R8) == 50, len(_PRIORITY_R8)
 
+#: Round-9 window (built from ``python tools/ledger.py --ages`` at the
+#: start of round 9 — after r8 the backlog is 19 r4-age rows + 48
+#: r5-age rows): (1) queries changed in round 9 (the sqrt IVF/k-means
+#: dials, the Arrow cell router replacing the crossJoin+window routing,
+#: the left-fold dot kernels, the trigram index build/serve fixes);
+#: (2) ALL 19 remaining rows whose last driver record is round 4 (this
+#: clears the r4 tier for good, per VERDICT r8 #8); (3) the oldest r5
+#: rows alphabetically, filling the window to exactly 50.
+_NEW_OR_CHANGED_R9 = [
+    "semantic_dedup_flags",  # changed: k = ceil(sqrt(n)) + in-kernel pair phase
+    "ann_hubness_audit_ivf",  # changed: cells = ceil(sqrt(n)) + left-fold kernels
+    "bitext_mining_ivf",  # changed: sqrt cells + Arrow routing, hint-free probes
+    "ann_topk_ivf",  # changed: ivf_topk routes via _nearest_cells_arrow
+    "ann_recall_sweep",  # changed: same ivf_topk routing
+    "ivf_trained_recall",  # changed: same ivf_topk routing
+    "trigram_search_indexed",  # changed: keyed-repartition build, join-then-normalize serve
+    "ann_hubness_audit",  # changed: knn kernel left-fold dots + broadcast handle
+]
+_R4_TAIL_R9 = [
+    # last driver row r4 (age 5), alphabetical — the final r4 rows:
+    "stream_bitmap_distinct",
+    "stream_dedup",
+    "stream_stream_join",
+    "text_quality",
+    "tpch_q1",
+    "tpch_q11_having",
+    "tpch_q17_scalar",
+    "tpch_q18_large",
+    "tpch_q19_bands",
+    "tpch_q3_sql",
+    "tpch_q4_exists",
+    "tpch_q5_sql",
+    "tpch_q7_volume",
+    "tpch_q8_share",
+    "unpivot_status",
+    "user_value_trend",
+    "window_distribution_orders",
+    "window_topk_per_group",
+    "window_value_functions",
+]
+_OLDEST_R5_R9 = [
+    # last driver row r5 (age 4), alphabetical, filling to 50
+    # (ann_recall_sweep / ann_topk_ivf / ivf_trained_recall moved to
+    # the changed head):
+    "ann_topk_bruteforce",
+    "asof_forward_tolerance",
+    "bm25_search_topk",
+    "cast_derive",
+    "cluster_topic_terms",
+    "custom_pyds_scan",
+    "daily_agg",
+    "date_dim",
+    "date_funcs",
+    "dedup_rows",
+    "distinct_counts",
+    "distinctive_terms_by_source",
+    "drop_columns",
+    "event_pattern_counts",
+    "filter_compound",
+    "group_minmax_avg",
+    "hybrid_rrf_retrieval",
+    "incremental_dedup_probe",
+    "int8_quant_error",
+    "jaccard_pairs_prefix_filter",
+    "join_inner_agg",
+    "join_key_skew_audit",
+    "join_left_agg",
+]
+
+_seen_r9: set = set()
+_PRIORITY_R9 = [
+    n
+    for n in [*_NEW_OR_CHANGED_R9, *_R4_TAIL_R9, *_OLDEST_R5_R9]
+    if not (n in _seen_r9 or _seen_r9.add(n))
+]
+assert len(_PRIORITY_R9) == 50, len(_PRIORITY_R9)
+
 #: ---- Round-6 ordering (superseded; kept for provenance) ----
 _seen_r6: set = set()
 _PRIORITY_R6 = [
@@ -546,7 +623,7 @@ _PRIORITY_R6 = [
     if not (n in _seen_r6 or _seen_r6.add(n))
 ]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R8}
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R9}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
