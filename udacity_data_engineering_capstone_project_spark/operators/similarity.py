@@ -840,43 +840,134 @@ def ivf_topk(
     """IVF search: probe the ``nprobe`` nearest cells per query and rank
     only vectors assigned to those cells. Approximate (a true neighbor
     in an unprobed cell is missed) but touches nprobe/|cells| of the
-    corpus. Output: (query_id, neighbor_id, cos_sim, rank)."""
-    assignments = build_ivf_assignments(
-        corpus, centroids, id_col, vec_col, centroid_id_col
-    ).select("vec_id", "centroid_id")
+    corpus. Output: (query_id, neighbor_id, cos_sim, rank).
 
+    Candidate scoring is IN-KERNEL (round 9): members (one routing
+    pass, nprobe=1 — identical to :func:`build_ivf_assignments`) and
+    probers (nprobe cells per query) are unioned into ONE
+    centroid-keyed shuffle, and a ``groupBy(cell).applyInPandas``
+    kernel computes the blocked left-fold dots per cell — the shuffle
+    carries each vector nprobe(+1) times and only
+    (query_id, neighbor_id, cos_sim) rows leave the kernel. The
+    r1-r9.0 shape scored candidates through a JOIN that materialized
+    BOTH vectors on every (query, member) candidate row: for
+    corpus-fraction query sets at the sqrt cell dial that relation is
+    ~|q| * nprobe * sqrt(n) rows x ~1 KB — the round-9 full-method
+    1000x run measured it as a >60 GB sort spill ENOSPC on
+    bitext_mining_ivf's warm-up (~1.4e9 candidate rows), the same
+    pair-materialization class the r9 SemDeDup in-kernel fix removed.
+    Per-cell top-k contains the global top-k (membership cells are
+    disjoint, so a neighbor appears in at most one probed cell per
+    query); one global window re-rank over <= nprobe*k rows per query
+    finishes. Bit-parity with the join+cosine_cols shape it replaces:
+    same left-fold dots/norms (_seq_dot_mat), same
+    floor(x*1e4+0.5)/1e4 rounding, same (cos DESC, neighbor_id)
+    order — the construction ivf_self_topk_arrow already pins against
+    the DuckDB oracle."""
     q = _with_double_vec(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
+    )
+    c = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"), "cv"
+    )
+    members = _nearest_cells_arrow(
+        c, "neighbor_id", "cv", centroids, centroid_id_col, vec_col,
+        nprobe=1, keep_vec=True,
+    ).select(
+        F.col("centroid_id").cast("long").alias("cell"),
+        F.col("neighbor_id").cast("long").alias("rid"),
+        F.col("cv").alias("rv"),
+        F.lit(False).alias("is_q"),
     )
     probes = _nearest_cells_arrow(
         q, "query_id", "qv", centroids, centroid_id_col, vec_col,
         nprobe=nprobe, keep_vec=True,
-    ).select("query_id", "qv", "centroid_id")
-
-    c = _with_double_vec(corpus, vec_col, "cv").select(
-        F.col(id_col).alias("neighbor_id"), "cv"
+    ).select(
+        F.col("centroid_id").cast("long").alias("cell"),
+        F.col("query_id").cast("long").alias("rid"),
+        F.col("qv").alias("rv"),
+        F.lit(True).alias("is_q"),
     )
-    # hint-free probes join: for a handful of queries AQE broadcasts
-    # the actual runtime size; for corpus-fraction query sets (bitext's
-    # de side) a pinned broadcast is the r8 1000x failure class — AQE
-    # falls back to the keyed shuffle instead
-    candidates = (
-        assignments.join(probes, "centroid_id")
-        .join(c, F.col("vec_id") == F.col("neighbor_id"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+    per_cell = (
+        members.unionByName(probes)
+        .groupBy("cell")
+        .applyInPandas(
+            _make_cell_topk_qc(int(k)),
+            "query_id long, neighbor_id long, cos_sim double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
+    q_id_type = dict(queries.dtypes)[id_col]
+    c_id_type = dict(corpus.dtypes)[id_col]
     return (
-        candidates.select(
-            "query_id",
-            "neighbor_id",
-            cosine_cols(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        per_cell.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .withColumn("query_id", F.col("query_id").cast(q_id_type))
+        .withColumn("neighbor_id", F.col("neighbor_id").cast(c_id_type))
     )
+
+
+def _make_cell_topk_qc(kk: int):
+    """Per-cell top-k kernel for :func:`ivf_topk` with distinct
+    query/member roles (``is_q``): blocked left-fold dots between the
+    cell's probers and members, ~32 MB working set at any cell size or
+    skew (two-axis adaptive blocking — the ivf_self_topk_arrow
+    discipline; block boundaries are bit-invisible because the add
+    order is per-element)."""
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        mem = pdf[~pdf["is_q"]]
+        qs = pdf[pdf["is_q"]]
+        if not len(mem) or not len(qs):
+            return empty
+        m_ids = mem["rid"].to_numpy(dtype=np.int64)
+        m_mat = np.vstack(mem["rv"].to_numpy())
+        m_norms = np.sqrt(np.cumsum(m_mat * m_mat, axis=1)[:, -1])
+        q_ids = qs["rid"].to_numpy(dtype=np.int64)
+        q_mat = np.vstack(qs["rv"].to_numpy())
+        n_mem = len(m_ids)
+        chunk_q = max(1, min(4096, (4 << 20) // max(1, n_mem)))
+        mem_block = max(1, min(n_mem, (4 << 20) // chunk_q))
+        out_q, out_n, out_c = [], [], []
+        for s in range(0, len(q_ids), chunk_q):
+            e = min(s + chunk_q, len(q_ids))
+            blk = q_mat[s:e]
+            bn = np.sqrt(np.cumsum(blk * blk, axis=1)[:, -1])
+            cos = np.empty((e - s, n_mem), dtype=np.float64)
+            for ms in range(0, n_mem, mem_block):
+                me = min(ms + mem_block, n_mem)
+                dots = _seq_dot_mat(blk, m_mat[ms:me])
+                cos[:, ms:me] = dots / (bn[:, None] * m_norms[None, ms:me])
+            cos = np.floor(cos * 1e4 + 0.5) / 1e4
+            for i in range(e - s):
+                mask = m_ids != q_ids[s + i]
+                cand_ids, cand_cos = m_ids[mask], cos[i][mask]
+                order = np.lexsort((cand_ids, -cand_cos))[:kk]
+                out_q.append(np.full(len(order), q_ids[s + i]))
+                out_n.append(cand_ids[order])
+                out_c.append(cand_cos[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    return cell_topk
 
 
 def kmeans_pp_init(
