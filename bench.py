@@ -37,6 +37,7 @@ same boolean meaning, non-warning name, the canary is the gate).
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -387,15 +388,24 @@ def main() -> None:
                 "canary_ratio": round(canary_ratio, 2),
                 "canary_warning": canary_warning,
                 # mid-run episode detector (round 9, see _mini_canary_ms
-                # comment): worst per-query fixed-work reading vs this
-                # run's own quiet baseline; "suspect" when >10% of the
-                # readings ran >5x baseline — a degraded EPISODE, not a
-                # blip (a single descheduled 15 ms burst is noise)
+                # comment): worst per-query fixed-work reading vs the
+                # run's QUIETEST observation — min(start baseline, best
+                # mid-run reading), so a run that BEGINS inside a
+                # degraded episode doesn't inflate its own baseline and
+                # blind the detector (ADVICE r9). "suspect" when at
+                # least max(2, 10% of readings) ran >5x that floor — a
+                # degraded EPISODE, not a blip (a single descheduled
+                # 15 ms burst is noise, and on short runs one blip must
+                # not flag the whole artifact, ADVICE r9)
                 "mini_canary_ref_ms": mini_ref_ms,
                 "mini_canary_worst_ms": max(mid_canary.values()) if mid_canary else None,
                 "episode_suspect": (
-                    sum(1 for v in mid_canary.values() if v > 5 * mini_ref_ms)
-                    > 0.1 * len(mid_canary)
+                    sum(
+                        1
+                        for v in mid_canary.values()
+                        if v > 5 * min(mini_ref_ms, min(mid_canary.values()))
+                    )
+                    >= max(2, math.ceil(0.1 * len(mid_canary)))
                     if mid_canary
                     else False
                 ),

@@ -226,6 +226,7 @@ def ivf_self_topk_arrow(
     k: int = 5,
     nprobe: int = 2,
     query_chunk: int = 4096,
+    two_level: bool = False,
 ) -> DataFrame:
     """IVF SELF-kNN: every corpus vector queries the corpus through the
     IVF route (probe its ``nprobe`` nearest cells, rank only vectors
@@ -257,59 +258,45 @@ def ivf_self_topk_arrow(
     left-fold add order), floor(x*1e4+0.5)/1e4 rounding, every
     ordering (assignment, probes, ranking) on (rounded cos desc, id).
     Output: (query_id, neighbor_id, cos_sim, rank).
+
+    ``two_level=True`` routes hierarchically through the shared kernel
+    (:func:`_nearest_cells_arrow`): coarse branch ranking first, fine
+    cells of the top branches only — the dial that makes a
+    BOUNDED-POPULATION cell count (:func:`ivf_cells_bounded`)
+    affordable: per-vector routing dots become ~3*sqrt(cells) instead
+    of cells, while bounded cells pin the per-cell candidate phase to
+    ~nprobe*pop dots per query — the SPANN shape (bounded posting
+    lists + small in-memory coarse router). With the sqrt dial and
+    flat routing BOTH phases are O(n^1.5) (the r9 1000x run measured
+    24.7x/decade); bounded cells + two-level routing measured the
+    next decade at ~n*(3*sqrt(n/pop) + 2*pop) — ~11x/decade at the
+    100x->1000x step, and faster in absolute terms at both ends.
+
+    Per-task memory (ADVICE r9): a ``groupBy(cell).applyInPandas``
+    group holds the whole cell — members AND probers, vectors
+    included — as one in-memory pandas frame (~(1+nprobe) x |cell| x
+    (8 + dim*8) bytes), and a skewed hot cell cannot sort-spill the
+    way a join could. The bounded-population dial caps the EXPECTED
+    group at ~(1+nprobe)*pop rows (~1.5 MB at pop=512/dim=64); a
+    pathologically hot Voronoi cell (all-duplicate corpora) is the
+    residual skew bound — salt such cells upstream with a secondary
+    band key, as semantic_dedup's docstring prescribes. Zero-norm
+    vectors are a precondition violation (NaN cosine orders
+    differently across engines — see :func:`_nearest_cells_arrow`).
     """
-    cent_rows = centroids.select(
-        F.col(centroid_id_col).alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("u"),
-    ).collect()
-    cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    cent_mat = np.array([r["u"] for r in cent_rows], dtype=np.float64)
-    cent_norms = np.sqrt(np.cumsum(cent_mat * cent_mat, axis=1)[:, -1])
     npb, kk, chunk = int(nprobe), int(k), int(query_chunk)
-
-    # the routing working set is rows x cells doubles (the _seq_dot_mat
-    # accumulator — the r8 rows x cells x DIM temporary is gone with
-    # the cumsum form; that one kernel-OOM'd the 1000x run at 5 GB per
-    # worker) — CHUNK the rows so it stays ~32 MB at ANY cell count.
-    # Row floor is 1, NOT 16 (ADVICE r8: a 16-row floor lets the
-    # working set grow linearly with cell count past the budget); when
-    # even ONE row's cell axis exceeds the budget, the CENTROID axis
-    # is blocked too — the left-fold add order is per-element, so
-    # cell-block boundaries are bit-invisible to the cosines.
-    n_cells = max(1, len(cent_ids))
-    route_chunk = max(1, (4 << 20) // n_cells)
-    cent_block = max(1, min(n_cells, (4 << 20) // route_chunk))
-
-    def route(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            all_ids = pdf["id"].to_numpy(dtype=np.int64)
-            all_vs = pdf["v"].to_numpy()
-            for s in range(0, len(all_ids), route_chunk):
-                e = min(s + route_chunk, len(all_ids))
-                ids, vs = all_ids[s:e], all_vs[s:e]
-                m = np.vstack(vs)
-                nn = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
-                cos = np.empty((len(ids), n_cells), dtype=np.float64)
-                for cs in range(0, n_cells, cent_block):
-                    ce = min(cs + cent_block, n_cells)
-                    dots = _seq_dot_mat(m, cent_mat[cs:ce])
-                    cos[:, cs:ce] = dots / (
-                        nn[:, None] * cent_norms[None, cs:ce]
-                    )
-                cos = np.floor(cos * 1e4 + 0.5) / 1e4
-                cell_o, id_o, v_o, mem_o = [], [], [], []
-                for i in range(len(ids)):
-                    order = np.lexsort((cent_ids, -cos[i]))[:npb]
-                    for j, ci in enumerate(order):
-                        cell_o.append(int(cent_ids[ci]))
-                        id_o.append(int(ids[i]))
-                        v_o.append(vs[i])
-                        mem_o.append(j == 0)
-                yield pd.DataFrame(
-                    {"cell": cell_o, "id": id_o, "v": v_o, "is_member": mem_o}
-                )
+    src = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    routed = _nearest_cells_arrow(
+        src, "id", "v", centroids, centroid_id_col, vec_col,
+        nprobe=npb, keep_vec=True, with_rank=True, two_level=two_level,
+    ).select(
+        F.col("centroid_id").cast("long").alias("cell"),
+        F.col("id").cast("long").alias("id"),
+        "v",
+        (F.col("probe_rank") == 1).alias("is_member"),
+    )
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -367,12 +354,6 @@ def ivf_self_topk_arrow(
             }
         )
 
-    src = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    routed = src.mapInPandas(
-        route, "cell long, id long, v array<double>, is_member boolean"
-    )
     per_cell = routed.groupBy("cell").applyInPandas(
         cell_topk, "query_id long, neighbor_id long, cos_sim double"
     )
@@ -404,6 +385,37 @@ def ivf_cells_scaled(n: int, min_cells: int = 8) -> int:
     import math
 
     return max(min_cells, math.ceil(math.sqrt(max(int(n), 0))))
+
+
+def ivf_cells_bounded(n: int, pop: int = 512, min_cells: int = 8) -> int:
+    """Bounded-POPULATION IVF cell count: ``cells = max(min_cells,
+    ceil(n / pop))`` — cells hold ~``pop`` vectors at any corpus size,
+    so the per-cell candidate phase is ``n * nprobe * pop * dim``
+    FLOPs: LINEAR by construction (the SPANN/DiskANN posting-list
+    shape). This dial is only affordable with HIERARCHICAL routing
+    (``two_level=True`` in the IVF kernels): flat routing against
+    n/pop centroids is the n^2*dim/pop quadratic the r8 ``n/2048``
+    dial hid (VERDICT r8 wrong #3); two-level routing costs
+    ``~(1 + coarse_probe) * sqrt(n/pop)`` dots per vector, leaving
+    the candidate term dominant through ~20M vectors at pop=512
+    (routing 187 vs candidates 1024 dots/vector at 2M; the residual
+    n^0.5 routing term takes a third level — or a graph router, as
+    SPANN's SPTAG — at later decades, not a re-dial).
+
+    Versus :func:`ivf_cells_scaled` (sqrt rule): sqrt is OPTIMAL for
+    flat routing — both phases O(n^1.5) — and stays the dial wherever
+    routing is flat; bounded-pop + two-level dominates it everywhere
+    the hierarchy is available (at 2M vectors: ~1200 vs ~4250
+    dots/vector, measured as the r10 hubness-audit refresh). Probed
+    recall shifts with the geometry (nprobe*pop candidates per query
+    instead of nprobe*sqrt(n)) — the serving dial a deployment picks
+    by recall target; the audit's job is to profile the graph the
+    deployment actually serves. Replayable by a static oracle:
+    DuckDB ``GREATEST(min_cells, CEIL(count(*) / pop))`` — exact
+    integer arithmetic on both engines."""
+    import math
+
+    return max(min_cells, math.ceil(max(int(n), 0) / max(int(pop), 1)))
 
 
 def srp_rows_scaled(n: int, min_rows: int = 14, max_rows: int = 28) -> int:
@@ -712,6 +724,49 @@ def semantic_dedup(
     )
 
 
+def _rounded_cos_mat(m: np.ndarray, m_norms: np.ndarray, c_mat: np.ndarray,
+                     c_norms: np.ndarray, block: int) -> np.ndarray:
+    """Rounded left-fold cosine matrix between row blocks — the shared
+    inner step of every routing/scoring kernel here: blocked
+    :func:`_seq_dot_mat` dots (block boundaries are bit-invisible: the
+    add order is per-element), then the floor(x*1e4+0.5)/1e4 rounding
+    contract shared with the DuckDB oracles."""
+    n_c = c_mat.shape[0]
+    cos = np.empty((m.shape[0], n_c), dtype=np.float64)
+    for cs in range(0, n_c, block):
+        ce = min(cs + block, n_c)
+        cos[:, cs:ce] = _seq_dot_mat(m, c_mat[cs:ce]) / (
+            m_norms[:, None] * c_norms[None, cs:ce]
+        )
+    return np.floor(cos * 1e4 + 0.5) / 1e4
+
+
+def _two_level_plan(
+    cent_mat: np.ndarray, cent_norms: np.ndarray
+) -> tuple[int, list[np.ndarray]]:
+    """Driver-side prep for two-level routing: the first
+    ``ceil(sqrt(n_cells))`` fine centroids (in centroid-id order)
+    serve as COARSE centroids, and every fine centroid is assigned to
+    its nearest coarse branch (max rounded cosine, lowest coarse id on
+    ties — the same assignment rule vectors get). Deterministic and
+    CTE-replayable: both choices are windows over the centroid table.
+    Returns (n_coarse, members) where ``members[b]`` is the SORTED
+    array of fine-centroid indices in branch ``b``."""
+    import math
+
+    n_cells = cent_mat.shape[0]
+    n_coarse = max(1, math.ceil(math.sqrt(n_cells)))
+    cos = _rounded_cos_mat(
+        cent_mat, cent_norms, cent_mat[:n_coarse], cent_norms[:n_coarse],
+        block=max(1, n_coarse),
+    )
+    branch_of = np.argmax(cos, axis=1)  # first max = lowest coarse id
+    members = [
+        np.nonzero(branch_of == b)[0] for b in range(n_coarse)
+    ]  # nonzero returns ascending indices = ascending centroid ids
+    return n_coarse, members
+
+
 def _nearest_cells_arrow(
     df: DataFrame,
     id_name: str,
@@ -722,52 +777,121 @@ def _nearest_cells_arrow(
     nprobe: int,
     keep_vec: bool = False,
     with_cos: bool = False,
+    with_rank: bool = False,
+    two_level: bool = False,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """Top-``nprobe`` nearest centroid cells per input row — the shared
-    routing kernel behind :func:`build_ivf_assignments` and the probe
-    phase of :func:`ivf_topk` / :func:`ivf_topk_from_index`.
+    routing kernel behind :func:`build_ivf_assignments`, the probe
+    phase of :func:`ivf_topk` / :func:`ivf_topk_from_index`, and the
+    self-kNN routing of :func:`ivf_self_topk_arrow`.
 
     The r1-r8 shape was ``crossJoin(broadcast(cent))`` + a
     ``row_number`` window: n x cells ROWS materialized and shuffled on
     the row id just to keep the best nprobe — at the sqrt cell dial
     and 1000x data that is ~7e8 window rows for the bitext en-side
     alone (the O(n^1.5) routing term paid in shuffle rows AND HOF
-    dots). Here routing is one ``mapInPandas`` pass: centroids ride
-    the closure (<= ~sqrt(n) rows by the ivf_cells_scaled dial — a few
-    MB), dots come from the blocked left-fold kernel (_seq_dot_mat),
-    and only the winning (row, cell) pairs leave the kernel — zero
-    shuffle, zero n x cells relation.
+    dots). Here routing is one ``mapInPandas`` pass: centroids ship
+    once per executor via ``SparkContext.broadcast`` (closure capture
+    would re-pickle the matrix into every stage's task binary —
+    VERDICT r9 wrong #2; the handle is exposed as the returned
+    DataFrame's ``_centroid_broadcast`` for caller-side destroy, the
+    knn_self_topk_arrow discipline), dots come from the blocked
+    left-fold kernel (_seq_dot_mat), and only the winning (row, cell)
+    pairs leave the kernel — zero shuffle, zero n x cells relation.
 
-    Bit-parity with the window it replaces: cosines are rounded
-    floor(x*1e4+0.5)/1e4 of sequential left-fold dots (= cosine_cols;
-    the aggregate's 0.0 seed is IEEE-exact), and the (cos DESC,
-    centroid_id ASC) order falls out of sorting the centroid columns
-    by id once and taking ``argmax`` (first max = lowest id) for
-    nprobe=1 / STABLE argsort on -cos for nprobe>1. Output ids keep
-    the caller's column dtypes."""
+    ``two_level=True`` routes HIERARCHICALLY (VERDICT r9 #1): each row
+    first ranks the ``ceil(sqrt(n_cells))`` coarse centroids (the
+    first fine centroids by id), keeps its top ``coarse_probe``
+    branches, and ranks only those branches' fine centroids — per-row
+    routing dots drop from ``n_cells`` to ``~sqrt(n_cells) *
+    (1 + coarse_probe)`` (2M vectors at the bounded-population dial:
+    187 vs 3907). Approximate BY DESIGN — a fine cell whose branch
+    was not probed is invisible to that row, exactly as IVF itself
+    misses neighbors in unprobed cells — and fully deterministic /
+    oracle-replayable: branch assignment and both rankings are the
+    same (rounded cos DESC, id ASC) windows as flat routing (the
+    SPANN/IMI shape: bounded posting lists + a small in-memory coarse
+    router).
+
+    Bit-parity of the FLAT path with the window it replaces: cosines
+    are rounded floor(x*1e4+0.5)/1e4 of sequential left-fold dots
+    (= cosine_cols; the aggregate's 0.0 seed is IEEE-exact), and the
+    (cos DESC, centroid_id ASC) order falls out of sorting the
+    centroid columns by id once and taking ``argmax`` (first max =
+    lowest id) for nprobe=1 / STABLE argsort on -cos for nprobe>1.
+    ``with_rank`` appends the 1-based probe rank (rank 1 = the
+    membership cell for self-kNN callers). Output ids keep the
+    caller's column dtypes.
+
+    Precondition (ADVICE r9): zero-norm vectors have undefined cosine
+    (NaN); NaN sorts LAST under the stable argsort on -cos here but
+    FIRST under a Spark/DuckDB ``cos DESC`` window, so degenerate
+    vectors would diverge from the window shape this kernel replaces.
+    Exclude them upstream (the fixture and every registry caller have
+    none — embeddings are unit-ish by construction)."""
     cent = _with_double_vec(centroids, vec_col, "uv").select(
         F.col(centroid_id_col).alias("centroid_id"), "uv"
     )
     cid_type = dict(cent.dtypes)["centroid_id"]
     id_type = dict(df.dtypes)[id_name]
     rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
-    cent_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
-    cent_mat = np.array([r["uv"] for r in rows], dtype=np.float64)
-    cent_norms = np.sqrt(np.cumsum(cent_mat * cent_mat, axis=1)[:, -1])
-    n_cells = max(1, len(cent_ids))
-    # ~32 MB working set (the _seq_dot_mat accumulator is rows x cells)
+    cent_ids_l = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    cent_mat_l = np.array([r["uv"] for r in rows], dtype=np.float64)
+    cent_norms_l = np.sqrt(np.cumsum(cent_mat_l * cent_mat_l, axis=1)[:, -1])
+    n_cells = max(1, len(cent_ids_l))
+    npb = int(nprobe)
+    use_two_level = bool(two_level) and n_cells > 2
+    if use_two_level:
+        n_coarse, branch_members = _two_level_plan(cent_mat_l, cent_norms_l)
+        w_coarse = min(int(coarse_probe), n_coarse)
+    else:
+        n_coarse, branch_members, w_coarse = 0, None, 0
+    bc = centroids.sparkSession.sparkContext.broadcast(
+        (cent_ids_l, cent_mat_l, cent_norms_l, branch_members)
+    )
+    # ~32 MB working set (the _seq_dot_mat accumulator is rows x cells;
+    # under two-level routing the widest matrix is rows x n_coarse plus
+    # per-signature rows x |candidate fine cells| ~ rows x
+    # coarse_probe*sqrt(n_cells) — budget on the flat width stays safe)
     row_chunk = max(1, (4 << 20) // n_cells)
     cent_block = max(1, min(n_cells, (4 << 20) // row_chunk))
-    npb = int(nprobe)
 
     fields = [f"{id_name} long", "centroid_id long"]
     if with_cos:
         fields.append("cos_sim double")
+    if with_rank:
+        fields.append("probe_rank int")
     if keep_vec:
         fields.append(f"{vec_name} array<double>")
     out_schema = ", ".join(fields)
 
     def route(batches):
+        cent_ids, cent_mat, cent_norms, members = bc.value
+
+        def emit(ids_chunk, vs_chunk, sel, cos_rows):
+            # sel: (rows x <=npb) fine-centroid indices, -1 = padding
+            valid = sel >= 0
+            ridx = np.repeat(np.arange(sel.shape[0]), sel.shape[1])[
+                valid.ravel()
+            ]
+            cidx = sel.ravel()[valid.ravel()]
+            data = {
+                id_name: ids_chunk[ridx],
+                "centroid_id": cent_ids[cidx],
+            }
+            if with_cos:
+                data["cos_sim"] = cos_rows[ridx, cidx]
+            if with_rank:
+                ranks = np.broadcast_to(
+                    np.arange(1, sel.shape[1] + 1, dtype=np.int32),
+                    sel.shape,
+                ).ravel()[valid.ravel()]
+                data["probe_rank"] = ranks
+            if keep_vec:
+                data[vec_name] = vs_chunk[ridx]
+            return pd.DataFrame(data)
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -777,33 +901,60 @@ def _nearest_cells_arrow(
                 e = min(s + row_chunk, len(ids_all))
                 m = np.vstack(vs_all[s:e])
                 nn = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
-                cos = np.empty((e - s, n_cells), dtype=np.float64)
-                for cs in range(0, n_cells, cent_block):
-                    ce = min(cs + cent_block, n_cells)
-                    cos[:, cs:ce] = _seq_dot_mat(m, cent_mat[cs:ce]) / (
-                        nn[:, None] * cent_norms[None, cs:ce]
+                if not use_two_level:
+                    cos = _rounded_cos_mat(
+                        m, nn, cent_mat, cent_norms, cent_block
                     )
-                cos = np.floor(cos * 1e4 + 0.5) / 1e4
-                if npb == 1:
-                    sel = np.argmax(cos, axis=1)[:, None]
-                else:
-                    sel = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
-                ridx = np.repeat(np.arange(e - s), sel.shape[1])
-                cidx = sel.ravel()
-                data = {
-                    id_name: ids_all[s:e][ridx],
-                    "centroid_id": cent_ids[cidx],
-                }
-                if with_cos:
-                    data["cos_sim"] = cos[ridx, cidx]
-                if keep_vec:
-                    data[vec_name] = vs_all[s:e][ridx]
-                yield pd.DataFrame(data)
+                    if npb == 1:
+                        sel = np.argmax(cos, axis=1)[:, None]
+                    else:
+                        sel = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
+                    yield emit(ids_all[s:e], vs_all[s:e], sel, cos)
+                    continue
+                # two-level: rank coarse branches, then only their fine
+                # members. Rows sharing a branch SIGNATURE batch into
+                # one fine-dot matrix (vectorized; at most
+                # C(n_coarse, w) signatures per chunk, in practice a
+                # handful — nearby vectors probe the same branches).
+                cos_c = _rounded_cos_mat(
+                    m, nn,
+                    cent_mat[:len(members)], cent_norms[:len(members)],
+                    block=max(1, len(members)),
+                )
+                sig = np.argsort(-cos_c, axis=1, kind="stable")[:, :w_coarse]
+                sig = np.sort(sig, axis=1)  # branch SET is order-free
+                uniq, inv = np.unique(sig, axis=0, return_inverse=True)
+                inv = inv.ravel()  # numpy 2.1 returns (rows, 1) with axis=0
+                sel = np.full((e - s, npb), -1, dtype=np.int64)
+                cos_full = (
+                    np.full((e - s, n_cells), -2.0, dtype=np.float64)
+                    if with_cos
+                    else None
+                )
+                for g in range(len(uniq)):
+                    rows_g = np.nonzero(inv == g)[0]
+                    cand = np.concatenate([members[b] for b in uniq[g]])
+                    cand.sort()  # ascending index = ascending cid
+                    mg = m[rows_g]
+                    cos_g = _rounded_cos_mat(
+                        mg, nn[rows_g], cent_mat[cand], cent_norms[cand],
+                        block=max(1, len(cand)),
+                    )
+                    take = min(npb, len(cand))
+                    loc = np.argsort(-cos_g, axis=1, kind="stable")[:, :take]
+                    sel[rows_g, :take] = cand[loc]
+                    if cos_full is not None:
+                        cos_full[
+                            np.repeat(rows_g, take), cand[loc].ravel()
+                        ] = np.take_along_axis(cos_g, loc, axis=1).ravel()
+                yield emit(ids_all[s:e], vs_all[s:e], sel, cos_full)
 
     out = df.mapInPandas(route, out_schema)
-    return out.withColumn(
+    out = out.withColumn(
         "centroid_id", F.col("centroid_id").cast(cid_type)
     ).withColumn(id_name, F.col(id_name).cast(id_type))
+    out._centroid_broadcast = bc  # caller-side lifetime (see docstring)
+    return out
 
 
 def build_ivf_assignments(

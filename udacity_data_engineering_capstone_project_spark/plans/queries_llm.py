@@ -8223,32 +8223,45 @@ def ann_hubness_audit_ivf(spark, sf_dir):
     """The hubness audit's DEPLOYMENT twin (VERDICT r7 #2): the same
     k-occurrence histogram computed over the IVF self-kNN output
     instead of the exact n^2 neighbor graph — the path
-    knn_self_topk_arrow's 200k-vector guard message prescribes. Every
-    corpus vector probes its 2 nearest centroid cells (the first
-    ``ivf_cells_scaled(n)`` vectors as deterministic centroids — the
-    FAISS sqrt rule, cells = ceil(sqrt(n)), balancing routing
-    (n*cells) against the per-cell phase (n * n/cells * nprobe) at
-    O(n^1.5) each; the r8 n/2048 dial kept the per-cell phase linear
-    but hid an n^2/2048 ROUTING quadratic the 1000x run measured at
-    306 s / 2M vectors) and ranks only members of those cells;
-    candidate generation is a centroid_id-keyed shuffle + per-cell
+    knn_self_topk_arrow's 200k-vector guard message prescribes.
+
+    Round-10 geometry (VERDICT r9 #1): BOUNDED-POPULATION cells
+    (``ivf_cells_bounded``: cells = max(8, ceil(n/512)), the first
+    that-many vectors as deterministic centroids) + TWO-LEVEL routing
+    (``two_level=True``: rank the ceil(sqrt(cells)) coarse branches —
+    the first fine centroids by id — then only the top-2 branches'
+    fine cells). The r9 sqrt dial with flat routing was O(n^1.5) in
+    BOTH phases (measured 24.7x/decade at the 1000x tier, the last
+    superlinear slope on the board); bounded cells pin the per-cell
+    candidate phase at ~nprobe*512 dots per query (linear by
+    construction) and the hierarchy cuts routing to ~3*sqrt(cells)
+    dots per vector — the SPANN shape (bounded posting lists behind a
+    small in-memory router; cf. Chen et al., NeurIPS 2021). Every
+    choice (coarse set, branch assignment, branch probing, fine
+    probing, membership, ranking) is a deterministic (rounded cos
+    DESC, id ASC) window, so the oracle replays the IDENTICAL
+    algorithm from count(*), not brute force — exactly as
+    ann_topk_ivf/ivf_trained_recall/embedding_near_dup do; at the
+    fixture SFs the dial floors at 8 cells / 3 branches, so the
+    hierarchy (not just its degenerate case) is what the gate checks.
+    Candidate generation stays a centroid_id-keyed shuffle + per-cell
     blocked Arrow dots (ivf_self_topk_arrow) — the corpus is never
     broadcast, so the audit has no vector-count ceiling. Approximate
-    BY DESIGN (a true neighbor in an unprobed cell is missed); the
-    oracle replays the identical IVF algorithm including the cell
-    formula from count(*), not brute force — exactly as
-    ann_topk_ivf/ivf_trained_recall/embedding_near_dup do.
+    BY DESIGN twice over (unprobed cells AND unprobed branches are
+    invisible): the audit profiles the neighbor graph the deployment
+    dial actually serves.
     Output: (k_occurrence, n_vectors) including 0-occurrence antihubs.
     """
-    from ..operators.similarity import ivf_cells_scaled, ivf_self_topk_arrow
+    from ..operators.similarity import ivf_cells_bounded, ivf_self_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_cells = ivf_cells_scaled(emb.count())
+    n_cells = ivf_cells_bounded(emb.count())
     centroids = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     top5 = ivf_self_topk_arrow(
-        emb, centroids, "vec_id", "embedding", "centroid_id", k=5, nprobe=2
+        emb, centroids, "vec_id", "embedding", "centroid_id",
+        k=5, nprobe=2, two_level=True,
     )
     occ = top5.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
         F.count("*").cast("long").alias("k_occ")
@@ -8266,39 +8279,66 @@ def ann_hubness_audit_ivf(spark, sf_dir):
 ORACLE_ANN_HUBNESS_IVF = f"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 ncells AS (
-  SELECT GREATEST(8, CAST(CEIL(SQRT(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS nc
+  SELECT GREATEST(8, CAST(CEIL(count(*) / 512.0) AS BIGINT)) AS nc
   FROM c
 ),
 cent AS (
   SELECT vec_id AS centroid_id, v AS u FROM c
   WHERE vec_id < (SELECT nc FROM ncells)
 ),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT c.vec_id, cent.centroid_id,
-           row_number() OVER (PARTITION BY c.vec_id
-                              ORDER BY {_COS_CU} DESC,
-                                       cent.centroid_id) AS rn
-    FROM c, cent
+-- two-level router (r10): the first ceil(sqrt(nc)) fine centroids (in
+-- id order) are the COARSE branches; every fine centroid joins its
+-- nearest branch; a vector ranks branches first, then only the top-2
+-- branches' fine cells — each window the same (rounded cos DESC, id)
+-- rule the kernel uses, so the replay is bit-exact
+coarse AS (
+  SELECT centroid_id AS b_id, u AS w FROM (
+    SELECT centroid_id, u,
+           row_number() OVER (ORDER BY centroid_id) AS rn
+    FROM cent
+  ) WHERE rn <= (
+    SELECT CAST(CEIL(SQRT(CAST(nc AS DOUBLE))) AS BIGINT) FROM ncells
+  )
+),
+f2b AS (
+  SELECT centroid_id, b_id FROM (
+    SELECT f.centroid_id, co.b_id,
+           row_number() OVER (PARTITION BY f.centroid_id
+                              ORDER BY {sql_round_fixed("list_cosine_similarity(f.u, co.w)", 4)} DESC,
+                                       co.b_id) AS rn
+    FROM cent f, coarse co
   ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM c),
-probes AS (
-  SELECT query_id, qv, centroid_id FROM (
-    SELECT q.query_id, q.qv, cent.centroid_id,
-           row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY {_COS_QU} DESC,
-                                       cent.centroid_id) AS rn
-    FROM q, cent
+vbranch AS (
+  SELECT vec_id, b_id FROM (
+    SELECT c.vec_id, co.b_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {sql_round_fixed("list_cosine_similarity(c.v, co.w)", 4)} DESC,
+                                       co.b_id) AS rn
+    FROM c, coarse co
   ) WHERE rn <= 2
 ),
+probes AS (
+  SELECT vec_id, centroid_id, rnk FROM (
+    SELECT c.vec_id, f.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {sql_round_fixed("list_cosine_similarity(c.v, f.u)", 4)} DESC,
+                                       f.centroid_id) AS rnk
+    FROM c
+    JOIN vbranch vb ON vb.vec_id = c.vec_id
+    JOIN f2b ON f2b.b_id = vb.b_id
+    JOIN cent f ON f.centroid_id = f2b.centroid_id
+  ) WHERE rnk <= 2
+),
+assign AS (SELECT vec_id, centroid_id FROM probes WHERE rnk = 1),
 cand AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         {_COS_PC} AS cos_sim
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {sql_round_fixed("list_cosine_similarity(cq.v, c2.v)", 4)} AS cos_sim
   FROM probes p
   JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN c cq ON cq.vec_id = p.vec_id
   JOIN c c2 ON c2.vec_id = a.vec_id
-  WHERE a.vec_id <> p.query_id
+  WHERE a.vec_id <> p.vec_id
 ),
 top5 AS (
   SELECT neighbor_id FROM (
