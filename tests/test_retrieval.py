@@ -248,3 +248,181 @@ def test_trigram_index_incremental_append(spark, tmp_path):
         for r in trigram_match(union, pats).collect()
     }
     assert got == want and (1, 4) in got and (2, 3) in got
+
+
+def _tri_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "slow red fox"),
+            (3, "quick red dogs"),
+            (4, "brown fox again"),
+            (5, "a lazy dog naps"),
+            (6, "red brown quick"),
+        ],
+        "doc_id long, text string",
+    )
+    pats = spark.createDataFrame(
+        [(1, "brown fox"), (2, "red"), (3, "quick")],
+        "pattern_id int, pattern string",
+    )
+    return docs, pats
+
+
+def _tri_matches(spark, path, docs, pats):
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+        trigram_match_indexed,
+    )
+
+    return {
+        (r.pattern_id, r.doc_id)
+        for r in trigram_match_indexed(spark, path, docs, pats).collect()
+    }
+
+
+def test_trigram_append_then_probe_equals_fresh_build(spark, tmp_path):
+    """Continuous-ingestion contract for the trigram index (VERDICT r9
+    #3): build on A, append B through the crash-safe manifest path —
+    probes must answer exactly like a fresh build over A UNION B."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+        append_trigram_index,
+        write_trigram_index,
+    )
+
+    docs, pats = _tri_corpus(spark)
+    part_a = docs.filter(F.col("doc_id") <= 4)
+    part_b = docs.filter(F.col("doc_id") > 4)
+
+    inc = str(tmp_path / "tri_inc")
+    write_trigram_index(part_a, inc)
+    stats = append_trigram_index(part_b, inc)
+    assert stats["postings_files"] > 0
+
+    fresh = str(tmp_path / "tri_fresh")
+    write_trigram_index(docs, fresh)
+    got = _tri_matches(spark, inc, docs, pats)
+    want = _tri_matches(spark, fresh, docs, pats)
+    assert got == want and len(got) > 0
+
+
+def test_trigram_append_heal_replays_torn_swap(spark, tmp_path):
+    """A crash after the append manifest commit but mid-moves leaves
+    staged postings invisible; the next serve's heal loop must finish
+    the swap before reading."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+        append_trigram_index,
+        write_trigram_index,
+    )
+
+    docs, pats = _tri_corpus(spark)
+    part_a = docs.filter(F.col("doc_id") <= 4)
+    part_b = docs.filter(F.col("doc_id") > 4)
+    path = str(tmp_path / "tri_tear")
+    write_trigram_index(part_a, path)
+    append_trigram_index(part_b, path)
+
+    appended = sorted(glob.glob(os.path.join(path, "tri_p2=*", "app-*.parquet")))
+    assert appended, "append left no tagged postings files"
+    victim = appended[0]
+    part_dir = os.path.basename(os.path.dirname(victim))
+    tmp_dir = os.path.join(path, "_append_tear")
+    staged = os.path.join(tmp_dir, "staged", part_dir, os.path.basename(victim))
+    os.makedirs(os.path.dirname(staged))
+    os.replace(victim, staged)
+    with open(os.path.join(path, "_pending_append_tear.json"), "w") as fh:
+        json.dump({"moves": [[staged, victim]], "tmp_dir": tmp_dir}, fh)
+
+    fresh = str(tmp_path / "tri_tear_fresh")
+    write_trigram_index(docs, fresh)
+    got = _tri_matches(spark, path, docs, pats)
+    want = _tri_matches(spark, fresh, docs, pats)
+    assert got == want and len(got) > 0
+    assert not glob.glob(os.path.join(path, "_pending_append_*"))
+    assert not glob.glob(os.path.join(path, "_append_*"))
+
+
+def test_trigram_index_params_validated(spark, tmp_path):
+    """Serve/append against a layout whose stamp mismatches (or is
+    missing) must raise — a probe under a different normalization
+    silently misses matches. stamp_trigram_params migrates pre-stamp
+    layouts and refuses to overwrite an existing stamp."""
+    import json
+    import os
+
+    import pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+        append_trigram_index,
+        stamp_trigram_params,
+        trigram_match_indexed,
+        write_trigram_index,
+    )
+
+    docs, pats = _tri_corpus(spark)
+    path = str(tmp_path / "tri_params")
+    write_trigram_index(docs, path)
+    stamp = os.path.join(path, "_index_params.json")
+
+    with pytest.raises(FileExistsError, match="already has"):
+        stamp_trigram_params(path)
+
+    with open(stamp) as fh:
+        params = json.load(fh)
+    params["norm_regex"] = "[^a-z]+"
+    with open(stamp, "w") as fh:
+        json.dump(params, fh)
+    with pytest.raises(ValueError, match="different dials"):
+        trigram_match_indexed(spark, path, docs, pats)
+    with pytest.raises(ValueError, match="different dials"):
+        append_trigram_index(docs.limit(1), path)
+
+    os.remove(stamp)
+    with pytest.raises(FileNotFoundError, match="_index_params.json"):
+        trigram_match_indexed(spark, path, docs, pats)
+    stamp_trigram_params(path)  # the documented migration
+    got = _tri_matches(spark, path, docs, pats)
+    assert len(got) > 0
+
+
+def test_trigram_compact_preserves_answers_and_drops_files(spark, tmp_path):
+    """build -> append x2 -> COMPACT -> serve: per-dir file count must
+    shrink while probe answers stay exactly the fresh build's."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+        append_trigram_index,
+        compact_trigram_index,
+        write_trigram_index,
+    )
+
+    docs, pats = _tri_corpus(spark)
+    path = str(tmp_path / "tri_cmp")
+    write_trigram_index(docs.filter(F.col("doc_id") <= 2), path)
+    append_trigram_index(docs.filter(F.col("doc_id").isin(3, 4)), path)
+    append_trigram_index(docs.filter(F.col("doc_id") > 4), path)
+
+    n_files = lambda: len(  # noqa: E731
+        glob.glob(os.path.join(path, "tri_p2=*", "*.parquet"))
+    )
+    before = n_files()
+    stats = compact_trigram_index(spark, path, small_file_threshold=1)
+    assert stats["dirs_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"] == before
+    assert n_files() == stats["files_after"]
+
+    fresh = str(tmp_path / "tri_cmp_fresh")
+    write_trigram_index(docs, fresh)
+    got = _tri_matches(spark, path, docs, pats)
+    want = _tri_matches(spark, fresh, docs, pats)
+    assert got == want and len(got) > 0

@@ -5785,6 +5785,68 @@ LLM_QUERIES["trigram_search_indexed"] = (
 )
 
 
+_TRIGRAM_APPEND_INDEX_CACHE: dict = {}
+
+
+def _trigram_appended_index_path(spark, sf_dir: str) -> str:
+    """Build-on-80% + append-20% cache for the probe-after-append row:
+    the INDEX CONTENT ends up identical to a full build (append folds
+    the disjoint remainder in), but the layout carries real appended
+    ``app-*`` files behind the crash-safe manifest path — what the
+    serve validates, heals and reads (VERDICT r9 #3)."""
+    import tempfile
+
+    path = _TRIGRAM_APPEND_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        from ..operators.retrieval import (
+            append_trigram_index,
+            write_trigram_index,
+        )
+        from .build_costs import recording
+
+        docs = _t(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="trigram_index_app_") + "/postings"
+        with recording("trigram_search_appended", sf_dir):
+            write_trigram_index(docs.filter(F.col("doc_id") % 5 != 0), path)
+            append_trigram_index(docs.filter(F.col("doc_id") % 5 == 0), path)
+        _TRIGRAM_APPEND_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def trigram_search_appended(spark, sf_dir):
+    """Substring search served from a trigram index maintained by the
+    CONTINUOUS-INGESTION path (VERDICT r9 #3): built on 80% of the
+    corpus, the remaining batch folded in by append_trigram_index
+    (staged partition-mirrored write + fsync'd manifest swap + params
+    validation), then served exactly like trigram_search_indexed —
+    the serve heals any interrupted swap and validates the layout's
+    ``_index_params.json`` stamp before reading. Answers must equal
+    the full-scan LIKE oracle over the WHOLE corpus: appended
+    postings are first-class, or matches in the appended 20% vanish.
+    The batch-proportional append replaces the per-batch full rebuild
+    (551.7 s at the r9 1000x tier) in the ingest loop; compaction
+    (compact_trigram_index) restores row-group pruning on the usual
+    small-file cadence."""
+    from ..operators.retrieval import trigram_match_indexed
+
+    docs = _t(spark, sf_dir, "documents")
+    pats = spark.createDataFrame(
+        TRIGRAM_INDEXED_PATTERNS, "pattern_id int, pattern string"
+    )
+    return trigram_match_indexed(
+        spark, _trigram_appended_index_path(spark, sf_dir), docs, pats
+    )
+
+
+LLM_QUERIES["trigram_search_appended"] = (
+    trigram_search_appended,
+    ORACLE_TRIGRAM_INDEXED,
+    "retrieval: substring search served after a crash-safe incremental "
+    "append into the trigram index — probe-after-append equals the "
+    "full-corpus LIKE oracle",
+)
+
+
 def cluster_topic_terms(spark, sf_dir):
     """What is each embedding CLUSTER about? — the corpus-cartography
     pass (cluster-then-label, the SemDeDup/ k-means map-of-the-corpus
