@@ -133,6 +133,14 @@ HEADLINE = [
     # query above refuses past 200k vectors; this one replaces it in
     # scale runs).
     "ann_hubness_audit_ivf",
+    # round-10 additions: the star join's bucket-co-located layout twin
+    # (measures the exchange-free SMJ recipe against star_join_agg's
+    # broadcast->SMJ transition at the scale tiers; first call pays the
+    # shared bucketed-table build, min-of-N reports serving) and the
+    # probe-after-append trigram serve (the incremental-ingest path;
+    # its build field records build+append together).
+    "star_join_bucketed",
+    "trigram_search_appended",
 ]
 
 #: FROZEN round-over-round comparability subset (VERDICT r5 #7): the

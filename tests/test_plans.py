@@ -667,6 +667,22 @@ def test_bucketed_join_no_exchange_below_agg(spark):
     assert "BroadcastHashJoin" not in plan  # co-location, not a broadcast
 
 
+def test_star_join_bucketed_fact_edge_exchange_free(spark):
+    """The star join's layout twin: the fact⋈orders edge must consume
+    the bucket co-location (a pinned SMJ with NO exchange on either
+    join key) — the shipped recipe for the decade where AQE stops
+    broadcasting the fact-scaled sides. The dim chain above may
+    broadcast (nation/region pinned; customer AQE's choice); the only
+    hash exchanges allowed are the final groupBy (and customer's,
+    if AQE declines the broadcast)."""
+    plan = _plan(spark, "star_join_bucketed")
+    assert "SortMergeJoin" in plan
+    for key in ("l_orderkey", "o_orderkey"):
+        assert f"Exchange hashpartitioning({key}" not in plan
+    assert _shuffles(plan) <= 2
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region pins
+
+
 def test_zorder_box_pushes_both_range_predicates(spark):
     import contextlib
     import io

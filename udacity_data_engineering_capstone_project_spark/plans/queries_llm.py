@@ -6618,7 +6618,7 @@ def _bucketed_tables(spark, sf_dir: str):
         # vanilla-session driver smoke).
         base = tempfile.mkdtemp(prefix="bucketed_tables_")
         li = _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity", "l_extendedprice"
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
         )
         # bucket COUNT is a per-table-size dial: it caps read
         # parallelism forever after (8 buckets = 8-way scans at any
@@ -6641,7 +6641,7 @@ def _bucketed_tables(spark, sf_dir: str):
             )
             write_bucketed(
                 _t(spark, sf_dir, "orders").select(
-                    "o_orderkey", "o_orderpriority"
+                    "o_orderkey", "o_orderpriority", "o_custkey"
                 ),
                 ot,
                 "o_orderkey",
@@ -6692,6 +6692,63 @@ LLM_QUERIES["bucketed_join_colocated"] = (
     ORACLE_BUCKETED_JOIN,
     "layout: order-priority rollup over a bucket-co-located SMJ — "
     "zero exchanges below the final agg, write-time shuffle amortized",
+)
+
+
+def star_join_bucketed(spark, sf_dir):
+    """star_join_agg's layout twin for the decade where broadcast dies
+    (VERDICT r9 #2): the r9 1000x tier measured the plain star join at
+    14.4x/decade — the broadcast->SMJ TRANSITION, where AQE stops
+    broadcasting the fact-scaled orders/customer sides and the plan
+    starts paying two fact-sized shuffles per run. The shipped recipe
+    (SCALE.md) is to pay the big shuffle ONCE at ingest: lineitem and
+    orders are bucketed on the order key (the shared build cache with
+    bucketed_join_colocated), so the fact⋈orders edge is an
+    exchange-free co-located SMJ at ANY scale — the ``merge`` hint
+    pins it so the plan guard proves co-location rather than a
+    fixture-sized broadcast accident. The dimension chain above
+    (customer hint-free for AQE, nation/region pinned broadcast —
+    model-bounded at 25/5 rows) is star_join_agg's exactly. Bucketing
+    is pure layout: the oracle is the identical SQL over the plain
+    views, results bit-equal."""
+    lt, ot = _bucketed_tables(spark, sf_dir)
+    li, o = spark.table(lt), spark.table(ot)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    starred = (
+        li.hint("merge")
+        .join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+        .join(c, o["o_custkey"] == c["c_custkey"], "left")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+    )
+    return starred.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_items"),
+        round_fixed(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue_r"),
+    )
+
+
+ORACLE_STAR_JOIN_BUCKETED = f"""
+SELECT r_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {sql_round_fixed('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue_r
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+LLM_QUERIES["star_join_bucketed"] = (
+    star_join_bucketed,
+    ORACLE_STAR_JOIN_BUCKETED,
+    "layout: the flagship star join served from bucket-co-located "
+    "fact/orders tables — the exchange-free SMJ recipe for the decade "
+    "where AQE stops broadcasting the fact-scaled sides",
 )
 
 

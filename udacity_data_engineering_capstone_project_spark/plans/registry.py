@@ -615,6 +615,82 @@ _PRIORITY_R9 = [
 ]
 assert len(_PRIORITY_R9) == 50, len(_PRIORITY_R9)
 
+#: Round-10 window (built from ``python tools/ledger.py --ages`` at the
+#: start of round 10 — after r9 the backlog is 22 r5-age rows + 40
+#: r6-age rows): (1) queries new to or changed in round 10 (the
+#: two-level IVF router + bounded-population cell dial, the trigram
+#: append/compact/params discipline, the bucketed star-join twin);
+#: (2) ALL 22 remaining rows whose last driver record is round 5
+#: (clearing the r5 tier, per VERDICT r9 #7); (3) the oldest r6 rows
+#: alphabetically, filling the window to exactly 50.
+_NEW_OR_CHANGED_R10 = [
+    "ann_hubness_audit_ivf",  # changed: two-level router + cells = ceil(n/512)
+    "trigram_search_appended",  # new: probe-after-append serve (crash-safe fold)
+    "star_join_bucketed",  # new: exchange-free SMJ star twin
+    "trigram_search_indexed",  # changed: serve validates _index_params + heals
+    "bucketed_join_colocated",  # changed: shared bucketed tables widened
+    "ann_topk_ivf",  # changed: router ships centroids via sc.broadcast
+    "ann_recall_sweep",  # changed: same router
+    "ivf_trained_recall",  # changed: same router
+    "bitext_mining_ivf",  # changed: same router
+]
+_R5_TAIL_R10 = [
+    # last driver row r5 (age 5), alphabetical — the final r5 rows:
+    "kmeans_assign",
+    "null_handling",
+    "order_gaps_surrogate",
+    "per_source_entropy_buckets",
+    "pivot_status",
+    "pruned_scan",
+    "range_join_tiers",
+    "rename_project",
+    "scalar_funcs",
+    "season_agg",
+    "source_dup_overlap_matrix",
+    "spot_lookup",
+    "string_funcs",
+    "tfidf_doc_keywords",
+    "token_entropy_quality",
+    "topk_orders",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_surplus",
+    "tpch_q2_mincost",
+    "trigram_search_like",
+    "union_distinct_dates",
+    "variant_props_rollup",
+]
+_OLDEST_R6_R10 = [
+    # last driver row r6 (age 4), alphabetical, filling to 50
+    # (bucketed_join_colocated moved to the changed head):
+    "ann_truncated_dim_recall",
+    "bitext_mining_pairs",
+    "bpe_train_merges",
+    "canonical_docs",
+    "cohort_retention",
+    "copurchase_pairs",
+    "corpus_split_stats",
+    "decontaminate_overlap",
+    "dedup_components",
+    "dedup_exact",
+    "doc_surprisal",
+    "dpp_partitioned_join",
+    "embedding_top_pc_power",
+    "event_transitions",
+    "ewma_user_value",
+    "funnel_counts",
+    "fuzzy_name_pairs",
+    "gap_fill_daily",
+    "group_quantiles",
+]
+
+_seen_r10: set = set()
+_PRIORITY_R10 = [
+    n
+    for n in [*_NEW_OR_CHANGED_R10, *_R5_TAIL_R10, *_OLDEST_R6_R10]
+    if not (n in _seen_r10 or _seen_r10.add(n))
+]
+assert len(_PRIORITY_R10) == 50, len(_PRIORITY_R10)
+
 #: ---- Round-6 ordering (superseded; kept for provenance) ----
 _seen_r6: set = set()
 _PRIORITY_R6 = [
@@ -623,7 +699,7 @@ _PRIORITY_R6 = [
     if not (n in _seen_r6 or _seen_r6.add(n))
 ]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R9}
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R10}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
