@@ -1014,7 +1014,12 @@ def ivf_topk(
     same left-fold dots/norms (_seq_dot_mat), same
     floor(x*1e4+0.5)/1e4 rounding, same (cos DESC, neighbor_id)
     order — the construction ivf_self_topk_arrow already pins against
-    the DuckDB oracle."""
+    the DuckDB oracle. Zero-norm vectors are a precondition violation:
+    their cosine is NaN, which the in-kernel lexsort on -cos orders
+    LAST while the join+window shape this replaces (and a DuckDB
+    ``cos DESC`` window) orders NaN FIRST — exclude degenerate vectors
+    upstream (ADVICE r9; the fixture and every registry caller have
+    none)."""
     q = _with_double_vec(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
