@@ -2334,6 +2334,39 @@ def test_ivf_self_topk_arrow_matches_ivf_topk(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_ivf_topk_two_level_matches_self_kernel(spark, sf_dir):
+    """The serving path's two-level geometry (ivf_topk(two_level=True))
+    must equal the audit kernel's (ivf_self_topk_arrow(two_level=True))
+    when the corpus queries itself — members and probers share the
+    hierarchical router, so the per-cell candidate containment
+    property holds under the bounded-population dial too."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        ivf_self_topk_arrow,
+        ivf_topk,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivf_topk(
+            emb, emb, cents, "vec_id", "embedding", "centroid_id",
+            k=5, nprobe=2, two_level=True,
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivf_self_topk_arrow(
+            emb, cents, "vec_id", "embedding", "centroid_id",
+            k=5, nprobe=2, two_level=True,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_two_level_routing_with_all_branches_probed_equals_flat(spark, sf_dir):
     """Two-level routing that probes EVERY coarse branch ranks exactly
     the full fine-centroid set, so it must be bit-identical to flat

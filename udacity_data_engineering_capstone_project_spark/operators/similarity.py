@@ -963,18 +963,24 @@ def build_ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    two_level: bool = False,
 ) -> DataFrame:
     """IVF build: assign every corpus vector to its nearest centroid
     (max cosine; centroid id breaks ties) — one Arrow routing pass
     over the corpus (:func:`_nearest_cells_arrow`), no n x cells
     relation, no shuffle. Output: (vec_id, centroid_id, cos_sim),
-    values bit-identical to the crossJoin + window shape it replaces."""
+    values bit-identical to the crossJoin + window shape it replaces.
+    ``two_level=True`` routes hierarchically (see
+    :func:`_nearest_cells_arrow`) — pair it with the
+    :func:`ivf_cells_bounded` dial when the cell count outgrows flat
+    routing; assignment then lands in the best fine cell of the top-2
+    coarse branches (the deployment's serving geometry)."""
     c = _with_double_vec(corpus, vec_col, "cv").select(
         F.col(id_col).alias("vec_id"), "cv"
     )
     return _nearest_cells_arrow(
         c, "vec_id", "cv", centroids, centroid_id_col, vec_col,
-        nprobe=1, keep_vec=False, with_cos=True,
+        nprobe=1, keep_vec=False, with_cos=True, two_level=two_level,
     )
 
 
@@ -987,6 +993,7 @@ def ivf_topk(
     centroid_id_col: str = "centroid_id",
     k: int = 5,
     nprobe: int = 2,
+    two_level: bool = False,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest cells per query and rank
     only vectors assigned to those cells. Approximate (a true neighbor
@@ -1019,7 +1026,11 @@ def ivf_topk(
     LAST while the join+window shape this replaces (and a DuckDB
     ``cos DESC`` window) orders NaN FIRST — exclude degenerate vectors
     upstream (ADVICE r9; the fixture and every registry caller have
-    none)."""
+    none). ``two_level=True`` applies the hierarchical router to both
+    membership and probe routing (members and probers MUST share the
+    routing geometry or per-cell candidate sets lose their containment
+    property) — the serving-side knob for the bounded-population dial
+    (:func:`ivf_cells_bounded`)."""
     q = _with_double_vec(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
@@ -1028,7 +1039,7 @@ def ivf_topk(
     )
     members = _nearest_cells_arrow(
         c, "neighbor_id", "cv", centroids, centroid_id_col, vec_col,
-        nprobe=1, keep_vec=True,
+        nprobe=1, keep_vec=True, two_level=two_level,
     ).select(
         F.col("centroid_id").cast("long").alias("cell"),
         F.col("neighbor_id").cast("long").alias("rid"),
@@ -1037,7 +1048,7 @@ def ivf_topk(
     )
     probes = _nearest_cells_arrow(
         q, "query_id", "qv", centroids, centroid_id_col, vec_col,
-        nprobe=nprobe, keep_vec=True,
+        nprobe=nprobe, keep_vec=True, two_level=two_level,
     ).select(
         F.col("centroid_id").cast("long").alias("cell"),
         F.col("query_id").cast("long").alias("rid"),
@@ -1541,7 +1552,7 @@ def ivf_topk_from_index(
     )
     probes = _nearest_cells_arrow(
         q, "query_id", "qv", centroids, centroid_id_col, vec_col,
-        nprobe=nprobe, keep_vec=True,
+        nprobe=nprobe, keep_vec=True, two_level=two_level,
     ).select("query_id", "qv", "centroid_id")
     cells = sorted(
         r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
