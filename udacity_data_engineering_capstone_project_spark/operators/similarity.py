@@ -850,11 +850,22 @@ def _nearest_cells_arrow(
     bc = centroids.sparkSession.sparkContext.broadcast(
         (cent_ids_l, cent_mat_l, cent_norms_l, branch_members)
     )
-    # ~32 MB working set (the _seq_dot_mat accumulator is rows x cells;
-    # under two-level routing the widest matrix is rows x n_coarse plus
-    # per-signature rows x |candidate fine cells| ~ rows x
-    # coarse_probe*sqrt(n_cells) — budget on the flat width stays safe)
-    row_chunk = max(1, (4 << 20) // n_cells)
+    # ~32 MB working set (the _seq_dot_mat accumulator is rows x width).
+    # Width differs by path: flat = n_cells; two-level = n_coarse plus
+    # the per-signature candidate axis (~coarse_probe * cells/coarse) —
+    # budgeting the two-level path on the FLAT width would shrink
+    # chunks ~cells/(3*sqrt(cells))-fold, fragmenting the branch-
+    # signature groups into near-single-row matrices (per-group Python
+    # overhead swamps the dots at high cell counts). with_cos under
+    # two-level allocates a rows x n_cells gather buffer, so that
+    # combination keeps the flat budget.
+    if use_two_level and not with_cos:
+        eff_width = n_coarse + int(coarse_probe) * max(
+            1, -(-n_cells // n_coarse)
+        )
+    else:
+        eff_width = n_cells
+    row_chunk = max(1, (4 << 20) // eff_width)
     cent_block = max(1, min(n_cells, (4 << 20) // row_chunk))
 
     fields = [f"{id_name} long", "centroid_id long"]
@@ -932,21 +943,29 @@ def _nearest_cells_arrow(
                     else None
                 )
                 for g in range(len(uniq)):
-                    rows_g = np.nonzero(inv == g)[0]
+                    rows_all = np.nonzero(inv == g)[0]
                     cand = np.concatenate([members[b] for b in uniq[g]])
                     cand.sort()  # ascending index = ascending cid
-                    mg = m[rows_g]
-                    cos_g = _rounded_cos_mat(
-                        mg, nn[rows_g], cent_mat[cand], cent_norms[cand],
-                        block=max(1, len(cand)),
-                    )
-                    take = min(npb, len(cand))
-                    loc = np.argsort(-cos_g, axis=1, kind="stable")[:, :take]
-                    sel[rows_g, :take] = cand[loc]
-                    if cos_full is not None:
-                        cos_full[
-                            np.repeat(rows_g, take), cand[loc].ravel()
-                        ] = np.take_along_axis(cos_g, loc, axis=1).ravel()
+                    # a SKEWED branch can hold a large share of the
+                    # fine cells — slice the group's rows so the
+                    # rows x |cand| buffer stays ~32 MB at any skew
+                    g_rows = max(1, (4 << 20) // max(1, len(cand)))
+                    for gs in range(0, len(rows_all), g_rows):
+                        rows_g = rows_all[gs:gs + g_rows]
+                        cos_g = _rounded_cos_mat(
+                            m[rows_g], nn[rows_g],
+                            cent_mat[cand], cent_norms[cand],
+                            block=max(1, len(cand)),
+                        )
+                        take = min(npb, len(cand))
+                        loc = np.argsort(
+                            -cos_g, axis=1, kind="stable"
+                        )[:, :take]
+                        sel[rows_g, :take] = cand[loc]
+                        if cos_full is not None:
+                            cos_full[
+                                np.repeat(rows_g, take), cand[loc].ravel()
+                            ] = np.take_along_axis(cos_g, loc, axis=1).ravel()
                 yield emit(ids_all[s:e], vs_all[s:e], sel, cos_full)
 
     out = df.mapInPandas(route, out_schema)
