@@ -58,6 +58,17 @@ def get_spark(
         # shuffle.partitions here, so the env dial keeps fixture plans
         # identical while scale runs raise the ceiling explicitly.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Bucketed scans hide their sortBy order since Spark 3.0
+        # (SPARK-28595) unless this is set AND each bucket holds
+        # exactly one file — without it every bucket-co-located SMJ
+        # re-SORTS both sides at read time, which at the 1000x tier
+        # made the bucketed star join 1.8x SLOWER than the plain plan
+        # (120 s vs 66 s: exchange-free is not sort-free). Writers
+        # guarantee the one-file-per-bucket precondition by keyed
+        # repartition before bucketBy (sources/writers.write_bucketed);
+        # with multiple files per bucket Spark just keeps the sort, so
+        # the flag is never a correctness risk.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)

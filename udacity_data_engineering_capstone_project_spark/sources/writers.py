@@ -70,8 +70,28 @@ def write_bucketed(
     directory outlives the in-memory catalog, so a NEW process hits
     LOCATION_ALREADY_EXISTS on the leftover dir (overwrite can't help
     — the fresh catalog has no table to overwrite).
+
+    The keyed ``repartition`` before the write guarantees ONE file per
+    bucket (repartition's HashPartitioning and the bucket id share the
+    same murmur3-mod expression, so each task holds exactly one
+    bucket's rows): without it every write task emits a file into
+    every bucket it touches — tasks x buckets files — and, decisively,
+    Spark only trusts a bucketed scan's ``sortBy`` order when each
+    bucket is a single file (SPARK-28595 +
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering``, set in
+    session.py). Multi-file buckets re-SORT both sides inside every
+    downstream SMJ — the r10 1000x run measured the bucketed star
+    join 1.8x SLOWER than the plain plan before this (120 s vs 66 s):
+    exchange-free is not sort-free.
     """
-    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_by)
+    from pyspark.sql import functions as F
+
+    writer = (
+        df.repartition(n_buckets, F.col(bucket_by))
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_by)
+    )
     if sort_by:
         writer = writer.sortBy(sort_by)
     if path:
