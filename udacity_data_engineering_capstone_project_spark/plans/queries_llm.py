@@ -62,6 +62,25 @@ _COS_CU = sql_round_fixed("list_cosine_similarity(c.v, cent.u)", 4)
 _COS_QU = sql_round_fixed("list_cosine_similarity(q.qv, cent.u)", 4)
 _COS_PC = sql_round_fixed("list_cosine_similarity(p.qv, c2.v)", 4)
 
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-process scratch dir for the build/serve caches, reaped at
+    interpreter exit: scale runs materialize multi-GB artifacts
+    (bucketed tables ~7 GB, trigram indexes ~3 GB each at the 1000x
+    replica) and repeated bench invocations accumulated them until the
+    r10 part-C run died ENOSPC mid-warm-up. atexit is best-effort by
+    design — a SIGKILL'd process still leaks, which a box-level /tmp
+    TTL sweep handles; what matters is that every NORMAL bench/test
+    process returns its scratch."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 # --------------------------------------------------------------------------
 # shared oracle SQL fragments (DuckDB dialect)
 
@@ -3675,7 +3694,7 @@ def _minhash_index_path(spark, sf_dir: str) -> str:
 
         docs = _t(spark, sf_dir, "documents")
         b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
-        path = tempfile.mkdtemp(prefix="minhash_index_") + "/idx"
+        path = _scratch_dir("minhash_index_") + "/idx"
         with recording("minhash_pairs_indexed", sf_dir):
             write_minhash_index(docs.filter(b < 90), path)
         _MINHASH_INDEX_CACHE[sf_dir] = path
@@ -4519,7 +4538,7 @@ def bloom_prefilter_decontaminate(spark, sf_dir):
         docs.filter(b >= 90),
         threshold_num=1,
         threshold_den=5,
-        materialize_dir=tempfile.mkdtemp(prefix="bloom_train_sh_"),
+        materialize_dir=_scratch_dir("bloom_train_sh_"),
     )
 
 
@@ -5739,7 +5758,7 @@ def _trigram_index_path(spark, sf_dir: str) -> str:
         from ..operators.retrieval import write_trigram_index
         from .build_costs import recording
 
-        path = tempfile.mkdtemp(prefix="trigram_index_") + "/postings"
+        path = _scratch_dir("trigram_index_") + "/postings"
         with recording("trigram_search_indexed", sf_dir):
             write_trigram_index(_t(spark, sf_dir, "documents"), path)
         _TRIGRAM_INDEX_CACHE[sf_dir] = path
@@ -5805,7 +5824,7 @@ def _trigram_appended_index_path(spark, sf_dir: str) -> str:
         from .build_costs import recording
 
         docs = _t(spark, sf_dir, "documents")
-        path = tempfile.mkdtemp(prefix="trigram_index_app_") + "/postings"
+        path = _scratch_dir("trigram_index_app_") + "/postings"
         with recording("trigram_search_appended", sf_dir):
             write_trigram_index(docs.filter(F.col("doc_id") % 5 != 0), path)
             append_trigram_index(docs.filter(F.col("doc_id") % 5 == 0), path)
@@ -6326,7 +6345,7 @@ def aqp_revenue_from_sample(spark, sf_dir):
                 8,
             )
         )
-        path = tempfile.mkdtemp(prefix="aqp_sample_") + "/lineitem_s1pct"
+        path = _scratch_dir("aqp_sample_") + "/lineitem_s1pct"
         with recording("aqp_revenue_from_sample", sf_dir):
             li.filter(h % 100 == 0).select(
                 "l_returnflag",
@@ -6616,7 +6635,7 @@ def _bucketed_tables(spark, sf_dir: str):
         # table's warehouse dir outlives the in-memory catalog, so a
         # new process would hit LOCATION_ALREADY_EXISTS (caught by the
         # vanilla-session driver smoke).
-        base = tempfile.mkdtemp(prefix="bucketed_tables_")
+        base = _scratch_dir("bucketed_tables_")
         li = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
         )
@@ -6767,7 +6786,7 @@ def _zorder_layout_path(spark, sf_dir: str) -> str:
         from ..sources.writers import write_zordered
         from .build_costs import recording
 
-        path = tempfile.mkdtemp(prefix="zorder_lineitem_") + "/lineitem_z"
+        path = _scratch_dir("zorder_lineitem_") + "/lineitem_z"
         with recording("zorder_box_serve", sf_dir):
             write_zordered(
                 _t(spark, sf_dir, "lineitem").select(
@@ -7010,7 +7029,7 @@ def _dpp_orders_path(spark, sf_dir: str) -> str:
     if path is None:
         from .build_costs import recording
 
-        path = tempfile.mkdtemp(prefix="dpp_orders_") + "/orders_by_month"
+        path = _scratch_dir("dpp_orders_") + "/orders_by_month"
         with recording("dpp_partitioned_join", sf_dir):
             (
                 _t(spark, sf_dir, "orders")
@@ -7282,7 +7301,7 @@ def _evolved_orders_path(spark, sf_dir: str) -> str:
     if path is None:
         from .build_costs import recording
 
-        path = tempfile.mkdtemp(prefix="evolved_orders_") + "/orders_evolved"
+        path = _scratch_dir("evolved_orders_") + "/orders_evolved"
         o = _t(spark, sf_dir, "orders")
         old = o.filter(F.col("o_orderdate") < "1997-01-01").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
