@@ -50,32 +50,46 @@ def main() -> None:
     scaling = json.load(open("BENCH_SCALING.json"))
     a100_1 = last_json(".scratch/bench_100x_r10.json")
     a100_2 = last_json(".scratch/bench_100x_r10b.json")
+    a100_3 = last_json(".scratch/bench_100x_r10c.json")  # targeted, iters=3
+    runs100 = (("run1", a100_1), ("run2", a100_2), ("run3", a100_3))
     base, base_src = {}, {}
-    for q in set(a100_1["queries"]) | set(a100_2["queries"]):
-        v1 = a100_1["queries"].get(q)
-        v2 = a100_2["queries"].get(q)
-        cands = [(v, s) for v, s in ((v1, "run1"), (v2, "run2")) if v]
+    for q in {q for _, a in runs100 for q in a["queries"]}:
+        cands = [
+            (a["queries"][q], name)
+            for name, a in runs100
+            if a["queries"].get(q)
+        ]
         base[q], base_src[q] = min(cands)
-    builds = dict(a100_1.get("builds") or {})
-    for k, v in (a100_2.get("builds") or {}).items():
-        builds[k] = min(v, builds.get(k, v))
+    builds = {}
+    for _, a in runs100:
+        for k, v in (a.get("builds") or {}).items():
+            builds[k] = min(v, builds.get(k, v))
 
     pa = last_json(".scratch/bench_1000x_r10a.json")
     pc = last_json(".scratch/bench_1000x_r10c.json")
+    pd_ = last_json(".scratch/bench_1000x_r10d.json")  # variance defense
     b1000, b_src = {}, {}
     for q, t in pa["queries"].items():
         if q not in KERNEL_AFFECTED:
             b1000[q], b_src[q] = t, "partA"
-    for q, t in pc["queries"].items():
-        if q in b1000 and q not in KERNEL_AFFECTED:
-            # same code in both parts (e.g. star_join_agg,
-            # trigram_search_appended): per-query min across runs
-            if t < b1000[q]:
-                b1000[q], b_src[q] = t, "partC"
-        else:
-            b1000[q], b_src[q] = t, "partC"
+    # parts C and D run on the SAME final code as HEAD; for queries the
+    # r10 second-wave changes did not touch, part A is also same-code —
+    # per-query min across same-code runs (the episode defense). For
+    # KERNEL_AFFECTED queries part A is old-code and stays discarded.
+    for name, art in (("partC", pc), ("partD", pd_)):
+        for q, t in art["queries"].items():
+            if q in b1000 and q not in KERNEL_AFFECTED:
+                if t < b1000[q]:
+                    b1000[q], b_src[q] = t, name
+            elif q in KERNEL_AFFECTED and name == "partD" and q in b1000:
+                if t < b1000[q]:
+                    b1000[q], b_src[q] = t, name
+            elif q not in b1000:
+                b1000[q], b_src[q] = t, name
     builds_1000 = dict(pa.get("builds") or {})
-    builds_1000.update(pc.get("builds") or {})
+    for art in (pc, pd_):
+        for k, v in (art.get("builds") or {}).items():
+            builds_1000[k] = min(v, builds_1000.get(k, v))
 
     ratios = {
         q: round(t / base[q], 1) for q, t in b1000.items() if base.get(q)
@@ -118,12 +132,13 @@ def main() -> None:
                     "episode_suspect",
                 )
             }
-            for name, art in (("run1", a100_1), ("run2", a100_2))
+            for name, art in runs100
         },
         "methodology": (
             "Round-10 SINGLE-VINTAGE 100x base (VERDICT r9 #5): per-query "
-            "MIN across two full-method runs of the SAME final r10 commit "
-            "(warmed, n_iters=1; bitext_mining_pairs excluded as the "
+            "MIN across THREE same-code 100x runs — two full-headline "
+            "passes (warmed, n_iters=1) plus one targeted iters=3 pass "
+            "over the round's hot queries (run3); bitext_mining_pairs excluded as the "
             "labeled quadratic ceiling, ann_hubness_audit excluded at its "
             "200k bound — its one measurement is in sf10f_100x_r9_refresh). "
             "Both runs carried degraded-episode readings on this box "
@@ -149,7 +164,7 @@ def main() -> None:
                     "episode_suspect",
                 )
             }
-            for name, art in (("partA", pa), ("partC", pc))
+            for name, art in (("partA", pa), ("partC", pc), ("partD", pd_))
         },
         "methodology": (
             "Round-10 FULL-METHOD 1000x tier: part A = the r9 stable "
@@ -157,7 +172,10 @@ def main() -> None:
             "part A ran (BLAS-boundary-guard cosine kernel, sorted "
             "bucketed scan) plus the new r10 rows — part-A values for "
             "those queries are old-code and DISCARDED (never min'd across "
-            "code vintages). Same tier standard throughout: per-query "
+            "code vintages); part D = a same-code variance-defense rerun "
+            "of the shuffle-heavy part-A rows (part A ran while the disk "
+            "was near-full — spill-sensitive queries carried that), "
+            "folded by per-query min. Same tier standard throughout: per-query "
             "warm-up then ONE timed iteration, "
             "SPARK_GRAFT_SHUFFLE_PARTITIONS=512, canary + per-query "
             "mini-canary gating. Ratios vs sf10f_100x_r10 only. "
