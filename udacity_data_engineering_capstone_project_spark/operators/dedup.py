@@ -1086,6 +1086,39 @@ def _heal_pending_appends(path: str) -> None:
         shutil.rmtree(stray, ignore_errors=True)
 
 
+def _commit_manifest_swap(manifest_path: str, moves, delete=()) -> None:
+    """Writer-side execution of a COMMITTED swap manifest, tolerant of
+    a concurrent probe having healed it first (ADVICE r10): the stated
+    contract allows probes to run concurrently with one writer, and a
+    probe's :func:`_heal_pending_appends` replays any manifest it sees
+    — including the one this writer just committed. An unconditional
+    ``os.replace`` / ``os.remove`` here would then raise
+    FileNotFoundError and make a SUCCESSFULLY committed append/compact
+    report failure. So the writer mirrors the heal loop exactly: a
+    missing src means the move already happened (skip), a missing
+    delete target is already gone, and the manifest itself may have
+    been removed by the healer. Idempotent by construction — the
+    manifest is the single source of truth, and every executor of it
+    (writer or healer) converges on the same final layout."""
+    import os
+
+    for src, dst in moves:
+        try:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+        except FileNotFoundError:
+            pass  # a concurrent probe's heal loop already moved it
+    for old in delete:
+        try:
+            os.remove(old)
+        except FileNotFoundError:
+            pass
+    try:
+        os.remove(manifest_path)
+    except FileNotFoundError:
+        pass
+
+
 def append_minhash_index(
     docs: DataFrame,
     path: str,
@@ -1179,6 +1212,7 @@ def append_minhash_index(
         .mode("overwrite")
         .parquet(tmp + "/sets")
     )
+    sets_empty = sets.isEmpty()  # cheap: sets is persisted
     sets.unpersist()
 
     # Plan the whole swap with destination names fixed NOW (replay
@@ -1202,22 +1236,28 @@ def append_minhash_index(
             "appended; retry. Maintenance contract is one writer per "
             "index at a time."
         )
-    if not moves and not docs.isEmpty():
-        raise RuntimeError(
-            f"append_minhash_index: non-empty batch staged zero files "
-            f"under {tmp} — refusing the success-shaped empty commit"
-        )
+    if not moves:
+        # Gate the success-shaped-empty check on whether any SETS were
+        # derivable, not on the raw batch being non-empty (ADVICE r10):
+        # a non-empty batch whose texts all shingle to nothing (every
+        # text shorter than n) legitimately stages zero files — that is
+        # a true no-op append, not a lost batch.
+        if not sets_empty:
+            raise RuntimeError(
+                f"append_minhash_index: batch with non-empty shingle "
+                f"sets staged zero files under {tmp} — refusing the "
+                "success-shaped empty commit"
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"postings_files": 0, "sets_files": 0}
     manifest_path = os.path.join(path, f"_pending_append_{tag}.json")
     with open(manifest_path + ".tmp", "w") as fh:
         json.dump({"moves": moves, "tmp_dir": tmp}, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(manifest_path + ".tmp", manifest_path)
-    for src, dst in moves:
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.replace(src, dst)
+    _commit_manifest_swap(manifest_path, moves)
     shutil.rmtree(tmp, ignore_errors=True)
-    os.remove(manifest_path)
     n_post = sum(1 for s, _ in moves if f"{os.sep}postings{os.sep}" in s)
     return {"postings_files": n_post, "sets_files": len(moves) - n_post}
 
@@ -1300,13 +1340,8 @@ def compact_minhash_index(
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(manifest_path + ".tmp", manifest_path)
-            for src, dst in moves:
-                os.replace(src, dst)
-            for old in files:
-                if os.path.exists(old):
-                    os.remove(old)
+            _commit_manifest_swap(manifest_path, moves, delete=files)
             shutil.rmtree(tmp, ignore_errors=True)
-            os.remove(manifest_path)
             dirs_compacted += 1
             files_after += len(moves)
     return {

@@ -108,7 +108,13 @@ def _seq_dot_mat(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     products, scan cumsum, read the last plane); this form touches
     2*q*c per step on cache-resident buffers — measured ~4-6x faster
     at the kernels' chunk sizes, and the temporary no longer scales
-    with dim, which is what let the chunk budgets grow (r9)."""
+    with dim, which is what let the chunk budgets grow (r9).
+
+    Retained as the ROUNDING-CONTRACT REFERENCE, not the production
+    kernel (VERDICT r10 wrong #4): since round 10 the hot path is
+    :func:`_rounded_cos_mat` (BLAS dots behind the rounding-boundary
+    guard, whose suspect fallback inlines the cumsum form directly) —
+    no production call site routes through this function."""
     acc = np.outer(a[:, 0], b[:, 0])
     tmp = np.empty_like(acc)
     for j in range(1, a.shape[1]):
@@ -356,10 +362,11 @@ def ivf_self_topk_arrow(
     src = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    routed = _nearest_cells_arrow(
+    routed_raw = _nearest_cells_arrow(
         src, "id", "v", centroids, centroid_id_col, vec_col,
         nprobe=npb, keep_vec=True, with_rank=True, two_level=two_level,
-    ).select(
+    )
+    routed = routed_raw.select(
         F.col("centroid_id").cast("long").alias("cell"),
         F.col("id").cast("long").alias("id"),
         "v",
@@ -404,9 +411,13 @@ def ivf_self_topk_arrow(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    return per_cell.withColumn("rank", F.row_number().over(w)).filter(
+    out = per_cell.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= kk
     )
+    # propagate the routing broadcast's handle through the .select()
+    # that would otherwise drop it (ADVICE r10: caller-side destroy)
+    out._centroid_broadcast = routed_raw._centroid_broadcast
+    return out
 
 
 def ivf_cells_scaled(n: int, min_cells: int = 8) -> int:
@@ -768,6 +779,12 @@ def semantic_dedup(
     )
 
 
+#: Cap on GATHERED doubles per suspect-recompute slice in
+#: _rounded_cos_mat — the usual ~32 MB working-set budget
+#: (4M doubles); one slice holds (step x d) for step = cap // d.
+_SUSPECT_CHUNK_ELEMS = 4 << 20
+
+
 def _rounded_cos_mat(m: np.ndarray, m_norms: np.ndarray, c_mat: np.ndarray,
                      c_norms: np.ndarray, block: int | None = None) -> np.ndarray:
     """Rounded cosine matrix between row blocks, BIT-EQUAL to the
@@ -792,15 +809,32 @@ def _rounded_cos_mat(m: np.ndarray, m_norms: np.ndarray, c_mat: np.ndarray,
     (measured ~1e-5 of entries on real data) get the fold itself.
     Bit-parity with the DuckDB oracles is therefore preserved entry
     for entry — pinned by the kernel-equality pytests. ``block`` is
-    accepted for call-site compatibility (BLAS blocks internally)."""
+    accepted for call-site compatibility (BLAS blocks internally).
+
+    The suspect recompute is CHUNKED to a fixed budget (VERDICT r10
+    wrong #2): suspects are ~1e-5 of entries on real data, but a
+    coarsely-QUANTIZED corpus (int8-style codes — exactly what
+    int8_quant_error pipelines produce) can land most cosines ON the
+    half-grid, making nearly every entry of a 4M-entry chunk suspect
+    at once; an unchunked ``m[ri] * c_mat[ci]`` gather would then
+    materialize a len(ri) x d temporary (~2 GB at dim 64) inside an
+    executor-side kernel. Per-slice peak is bounded at
+    ~_SUSPECT_CHUNK_ELEMS gathered doubles (~32 MB) regardless of
+    suspect fraction — pinned by the quantized-vectors pytest
+    (test_linalg: >=50% of cosines planted within 1e-6 of the
+    half-grid, parity to the fold, slice cap asserted)."""
     dots = m @ c_mat.T
     cos = dots / (m_norms[:, None] * c_norms[None, :])
     scaled = cos * 1e4
     suspect = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
     if suspect.any():
         ri, ci = np.nonzero(suspect)
-        exact = np.cumsum(m[ri] * c_mat[ci], axis=1)[:, -1]
-        cos[ri, ci] = exact / (m_norms[ri] * c_norms[ci])
+        d = m.shape[1]
+        step = max(1, _SUSPECT_CHUNK_ELEMS // max(1, d))
+        for s in range(0, len(ri), step):
+            rs, cs = ri[s:s + step], ci[s:s + step]
+            exact = np.cumsum(m[rs] * c_mat[cs], axis=1)[:, -1]
+            cos[rs, cs] = exact / (m_norms[rs] * c_norms[cs])
     return np.floor(cos * 1e4 + 0.5) / 1e4
 
 
@@ -830,6 +864,43 @@ def _two_level_plan(
     return n_coarse, members
 
 
+def _centroid_routing_plan(
+    centroids: DataFrame,
+    centroid_id_col: str,
+    vec_col: str,
+    two_level: bool = False,
+    coarse_probe: int = 2,
+):
+    """Collect the centroid table driver-side, derive the (optional)
+    two-level branch structure, and ship everything as ONE
+    ``SparkContext.broadcast`` — shared by every routing pass that
+    probes the same centroid geometry. :func:`ivf_topk` routes members
+    AND probers against the same centroids; building the plan once
+    halves its broadcast count (ADVICE r10: two broadcasts per call
+    accumulated over long sessions). Returns ``(bc, n_cells, n_coarse,
+    w_coarse, use_two_level)``; ``bc`` is the broadcast handle —
+    callers own its lifetime (destroy after the final action, the
+    knn_self_topk_arrow discipline)."""
+    cent = _with_double_vec(centroids, vec_col, "uv").select(
+        F.col(centroid_id_col).alias("centroid_id"), "uv"
+    )
+    rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+    cent_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    cent_mat = np.array([r["uv"] for r in rows], dtype=np.float64)
+    cent_norms = np.sqrt(np.cumsum(cent_mat * cent_mat, axis=1)[:, -1])
+    n_cells = max(1, len(cent_ids))
+    use_two_level = bool(two_level) and n_cells > 2
+    if use_two_level:
+        n_coarse, branch_members = _two_level_plan(cent_mat, cent_norms)
+        w_coarse = min(int(coarse_probe), n_coarse)
+    else:
+        n_coarse, branch_members, w_coarse = 0, None, 0
+    bc = centroids.sparkSession.sparkContext.broadcast(
+        (cent_ids, cent_mat, cent_norms, branch_members)
+    )
+    return bc, n_cells, n_coarse, w_coarse, use_two_level
+
+
 def _nearest_cells_arrow(
     df: DataFrame,
     id_name: str,
@@ -843,6 +914,7 @@ def _nearest_cells_arrow(
     with_rank: bool = False,
     two_level: bool = False,
     coarse_probe: int = 2,
+    plan=None,
 ) -> DataFrame:
     """Top-``nprobe`` nearest centroid cells per input row — the shared
     routing kernel behind :func:`build_ivf_assignments`, the probe
@@ -895,26 +967,14 @@ def _nearest_cells_arrow(
     vectors would diverge from the window shape this kernel replaces.
     Exclude them upstream (the fixture and every registry caller have
     none — embeddings are unit-ish by construction)."""
-    cent = _with_double_vec(centroids, vec_col, "uv").select(
-        F.col(centroid_id_col).alias("centroid_id"), "uv"
-    )
-    cid_type = dict(cent.dtypes)["centroid_id"]
+    cid_type = dict(centroids.dtypes)[centroid_id_col]
     id_type = dict(df.dtypes)[id_name]
-    rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
-    cent_ids_l = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
-    cent_mat_l = np.array([r["uv"] for r in rows], dtype=np.float64)
-    cent_norms_l = np.sqrt(np.cumsum(cent_mat_l * cent_mat_l, axis=1)[:, -1])
-    n_cells = max(1, len(cent_ids_l))
+    if plan is None:
+        plan = _centroid_routing_plan(
+            centroids, centroid_id_col, vec_col, two_level, coarse_probe
+        )
+    bc, n_cells, n_coarse, w_coarse, use_two_level = plan
     npb = int(nprobe)
-    use_two_level = bool(two_level) and n_cells > 2
-    if use_two_level:
-        n_coarse, branch_members = _two_level_plan(cent_mat_l, cent_norms_l)
-        w_coarse = min(int(coarse_probe), n_coarse)
-    else:
-        n_coarse, branch_members, w_coarse = 0, None, 0
-    bc = centroids.sparkSession.sparkContext.broadcast(
-        (cent_ids_l, cent_mat_l, cent_norms_l, branch_members)
-    )
     # ~32 MB working set (the _seq_dot_mat accumulator is rows x width).
     # Width differs by path: flat = n_cells; two-level = n_coarse plus
     # the per-signature candidate axis (~coarse_probe * cells/coarse) —
@@ -1122,9 +1182,13 @@ def ivf_topk(
     c = _with_double_vec(corpus, vec_col, "cv").select(
         F.col(id_col).alias("neighbor_id"), "cv"
     )
+    # ONE centroid broadcast for both routing passes (ADVICE r10)
+    plan = _centroid_routing_plan(
+        centroids, centroid_id_col, vec_col, two_level
+    )
     members = _nearest_cells_arrow(
         c, "neighbor_id", "cv", centroids, centroid_id_col, vec_col,
-        nprobe=1, keep_vec=True, two_level=two_level,
+        nprobe=1, keep_vec=True, two_level=two_level, plan=plan,
     ).select(
         F.col("centroid_id").cast("long").alias("cell"),
         F.col("neighbor_id").cast("long").alias("rid"),
@@ -1133,7 +1197,7 @@ def ivf_topk(
     )
     probes = _nearest_cells_arrow(
         q, "query_id", "qv", centroids, centroid_id_col, vec_col,
-        nprobe=nprobe, keep_vec=True, two_level=two_level,
+        nprobe=nprobe, keep_vec=True, two_level=two_level, plan=plan,
     ).select(
         F.col("centroid_id").cast("long").alias("cell"),
         F.col("query_id").cast("long").alias("rid"),
@@ -1153,12 +1217,14 @@ def ivf_topk(
     )
     q_id_type = dict(queries.dtypes)[id_col]
     c_id_type = dict(corpus.dtypes)[id_col]
-    return (
+    out = (
         per_cell.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .withColumn("query_id", F.col("query_id").cast(q_id_type))
         .withColumn("neighbor_id", F.col("neighbor_id").cast(c_id_type))
     )
+    out._centroid_broadcast = plan[0]  # caller-side lifetime (ADVICE r10)
+    return out
 
 
 def _make_cell_topk_qc(kk: int):
@@ -1615,10 +1681,11 @@ def ivf_topk_from_index(
     q = _with_double_vec(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
-    probes = _nearest_cells_arrow(
+    probes_raw = _nearest_cells_arrow(
         q, "query_id", "qv", centroids, centroid_id_col, vec_col,
         nprobe=nprobe, keep_vec=True, two_level=two_level,
-    ).select("query_id", "qv", "centroid_id")
+    )
+    probes = probes_raw.select("query_id", "qv", "centroid_id")
     cells = sorted(
         r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
     )
@@ -1628,10 +1695,7 @@ def ivf_topk_from_index(
     candidates = index.join(F.broadcast(probes), "centroid_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
+    out = (
         candidates.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -1647,6 +1711,10 @@ def ivf_topk_from_index(
         )
         .filter(F.col("rank") <= k)
     )
+    # the broadcast join above re-runs the routing pass at action time,
+    # so the handle must outlive the final action (ADVICE r10)
+    out._centroid_broadcast = probes_raw._centroid_broadcast
+    return out
 
 
 def int8_quantize_stats(
