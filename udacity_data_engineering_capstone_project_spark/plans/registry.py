@@ -691,6 +691,80 @@ _PRIORITY_R10 = [
 ]
 assert len(_PRIORITY_R10) == 50, len(_PRIORITY_R10)
 
+#: ---- Round-11 window (VERDICT r10 next #6: new/changed rows, then
+#: ALL remaining r6-age rows — clearing the r6 tier — then the oldest
+#: r7 rows alphabetically to 50) ----
+_NEW_OR_CHANGED_R11 = [
+    # the two-level router + bounded-population dial adopted on every
+    # serving-path IVF row (VERDICT r10 missing #1 / next #3):
+    "ann_topk_ivf",  # changed: cells = ceil(n/512), two_level=True
+    "ann_recall_sweep",  # changed: same geometry (the self-audit row)
+    "ivf_trained_recall",  # changed: trained cells served two-level
+    "bitext_mining_ivf",  # changed: same geometry on the 1000x-scale row
+    "ann_hubness_audit_ivf",  # changed: shared routing plan + chunked suspect fallback
+    # maintenance-path discipline (ADVICE r10 all three + VERDICT #4):
+    "trigram_search_appended",  # changed: auto-compaction + no-junk postings
+    "trigram_search_indexed",  # changed: postings derivation length guard
+    "minhash_pairs_indexed",  # changed: writer-side heal-tolerant commit
+]
+_R6_TAIL_R11 = [
+    # ALL remaining rows whose last driver record is round 6 (age 5),
+    # alphabetical — clears the r6 tier:
+    "incremental_join_agg",
+    "iqr_outlier_orders",
+    "khop_contamination_radius",
+    "lang_id",
+    "lang_id_ngram",
+    "leakage_safe_split",
+    "map_entries_pivot",
+    "minhash_band_sweep",
+    "mixture_sample_stats",
+    "near_dup_triangles",
+    "ntile_deciles",
+    "orders_drift_diff",
+    "pii_redaction_stats",
+    "pit_interval_join",
+    "pmi_collocations",
+    "psi_price_drift",
+    "random_walk_corpus",
+    "schema_evolution_union",
+    "tpch_q21_waiting",
+    "zorder_box_serve",
+]
+_OLDEST_R7_R11 = [
+    # last driver row r7 (age 4), alphabetical, filling to 50:
+    "ann_hard_negatives",
+    "ann_pq_recall",
+    "aqp_revenue_estimate",
+    "aqp_revenue_from_sample",
+    "array_vector_stats",
+    "bloom_prefilter_decontaminate",
+    "cms_token_estimates",
+    "containment_pairs_directed",
+    "corpus_curation",
+    "cross_doc_dup_spans",
+    "doc_bigram_perplexity",
+    "doc_chunk_windows",
+    "doc_fingerprint",
+    "domain_mixture_plan",
+    "dsir_src0_importance",
+    "embedding_covariance",
+    "embedding_near_dup",
+    "epoch_shuffle_audit",
+    "events_hourly",
+    "events_sliding_window",
+    "events_trailing_hour",
+    "heavy_hitter_tokens",  # also the r10 perf watch item
+]
+
+_seen_r11: set = set()
+_PRIORITY_R11 = [
+    n
+    for n in [*_NEW_OR_CHANGED_R11, *_R6_TAIL_R11, *_OLDEST_R7_R11]
+    if not (n in _seen_r11 or _seen_r11.add(n))
+]
+assert len(_PRIORITY_R11) == 50, len(_PRIORITY_R11)
+
 #: ---- Round-6 ordering (superseded; kept for provenance) ----
 _seen_r6: set = set()
 _PRIORITY_R6 = [
@@ -699,7 +773,7 @@ _PRIORITY_R6 = [
     if not (n in _seen_r6 or _seen_r6.add(n))
 ]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R10}
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R11}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
