@@ -68,10 +68,19 @@ def main() -> None:
         sys.exit(1)
 
     b1000 = last_json(".scratch/bench_1000x_r11.json")
+    runs = [("r11a", b1000)]
+    try:
+        runs.append(("r11b", last_json(".scratch/bench_1000x_r11b.json")))
+    except FileNotFoundError:
+        pass
     prev1000 = scaling["sf100_1000x_r10"]["queries"]
     q1000, src1000 = {}, {}
-    for q, t in b1000["queries"].items():
-        q1000[q], src1000[q] = t, "r11"
+    # per-query MIN across same-code r11 runs (the episode defense —
+    # run A carried canary 1.65; inflation is one-sided)
+    for name, art in runs:
+        for q, t in art["queries"].items():
+            if q not in q1000 or t < q1000[q]:
+                q1000[q], src1000[q] = t, name
     for q, t in prev1000.items():
         if q in q1000 or q in SERVING_CHANGED:
             continue
@@ -108,16 +117,22 @@ def main() -> None:
         "queries": q1000,
         "base_source": src1000,
         "n_iters": b1000.get("n_iters"),
-        "canary_ratio": b1000.get("canary_ratio"),
-        "episode_suspect": b1000.get("episode_suspect"),
+        "runs": {
+            name: {
+                "canary_ratio": art.get("canary_ratio"),
+                "episode_suspect": art.get("episode_suspect"),
+            }
+            for name, art in runs
+        },
         "ratio_vs_100x_r11": ratios,
         "methodology": (
             "Round-11 1000x tier: r11-changed rows (two-level serving "
             "adoption; trigram auto-compact+postings guard) measured on "
-            "r11 code (source 'r11'); unchanged rows carried from "
-            "sf100_1000x_r10 (source 'r10_same_code' — same executed "
-            "code, the vintage rule). Ratios divide by the r11 QUIET "
-            "100x base."
+            "r11 code — per-query MIN across the same-code r11a/r11b "
+            "runs (each run's canary under 'runs'; inflation is "
+            "one-sided); unchanged rows carried from sf100_1000x_r10 "
+            "(source 'r10_same_code' — same executed code, the vintage "
+            "rule). Ratios divide by the r11 QUIET 100x base."
         ),
     }
 
