@@ -2431,3 +2431,78 @@ def test_nearest_cells_router_exposes_broadcast_handle(spark, sf_dir):
     assert len(ids) == 8 and mat.shape[0] == 8 and len(norms) == 8
     assert out.count() > 0
     bc.destroy()
+
+
+def test_minhash_append_auto_compacts_and_writer_tolerates_healer(
+    spark, sf_dir, tmp_path
+):
+    """(1) Auto-compaction parity with the trigram index: at threshold
+    2 every append triggers compact_minhash_index, so the layout
+    converges to one file per touched dir and probes still equal a
+    fresh build. (2) ADVICE r10 writer/healer race: a concurrent
+    probe's heal loop may replay the writer's just-committed manifest
+    first — simulated by healing the manifest before the writer's own
+    swap executes (_commit_manifest_swap must tolerate already-moved
+    srcs and the missing manifest instead of raising)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.functions.hashing import (
+        spark_hex_to_long,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        _commit_manifest_swap,
+        _heal_pending_appends,
+        append_minhash_index,
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr(spark_hex_to_long("md5(CAST(doc_id AS STRING))", 7)) % 100
+    part_a = docs.filter(b < 70)
+    part_b1 = docs.filter((b >= 70) & (b < 80))
+    part_b2 = docs.filter((b >= 80) & (b < 90))
+    probe = docs.filter(b >= 90)
+
+    path = str(tmp_path / "mh_auto")
+    write_minhash_index(part_a, path)
+    s1 = append_minhash_index(part_b1, path, auto_compact_threshold=2)
+    s2 = append_minhash_index(part_b2, path, auto_compact_threshold=2)
+    assert s1["auto_compacted"] and s2["auto_compacted"]
+    for sub in ("postings", "sets"):
+        for d in glob.glob(os.path.join(path, sub, "*")):
+            if not os.path.isdir(d):
+                continue  # _SUCCESS marker from the initial build
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            assert len(files) == 1, (d, files)
+
+    fresh = str(tmp_path / "mh_auto_fresh")
+    write_minhash_index(part_a.unionByName(part_b1).unionByName(part_b2), fresh)
+    got = _mh_pairs(minhash_probe_indexed(spark, path, probe, "doc_id", "text"))
+    want = _mh_pairs(minhash_probe_indexed(spark, fresh, probe, "doc_id", "text"))
+    assert got == want
+
+    # (2) writer/healer race: build a real manifest, heal it (the
+    # concurrent probe), then run the writer's own swap — must be a
+    # clean no-op, not FileNotFoundError.
+    import json as _json
+
+    src_dir = os.path.join(path, "_append_race", "staged")
+    os.makedirs(src_dir)
+    src = os.path.join(src_dir, "part-race.parquet")
+    victim = glob.glob(os.path.join(path, "postings", "*", "*.parquet"))[0]
+    os.replace(victim, src)
+    manifest = os.path.join(path, "_pending_append_race.json")
+    with open(manifest, "w") as fh:
+        _json.dump(
+            {"moves": [[src, victim]], "tmp_dir": os.path.dirname(src_dir)}, fh
+        )
+    _heal_pending_appends(path)  # the probe's heal replays the swap
+    assert os.path.exists(victim) and not os.path.exists(manifest)
+    # writer executes the same plan afterwards: idempotent no-op
+    _commit_manifest_swap(manifest, [[src, victim]])
+    assert os.path.exists(victim)

@@ -1129,6 +1129,7 @@ def append_minhash_index(
     bands: int = 16,
     n_band_parts: int = 64,
     n_doc_parts: int = 32,
+    auto_compact_threshold: int | None = 8,
 ) -> dict:
     """Fold an ingested batch into a :func:`write_minhash_index` layout
     — the CONTINUOUS-INGESTION maintenance path (VERDICT r7 #3): the
@@ -1153,10 +1154,14 @@ def append_minhash_index(
     Caller contract (same as the probe's): batch doc ids are disjoint
     from the index's — dedup pipelines split before ingest. Repeated
     appends accumulate one file per batch per touched partition dir;
-    run a compaction pass (sources.writers.compact_parquet per
-    partition dir) on the usual small-file cadence.
+    when any touched dir reaches ``auto_compact_threshold`` files,
+    :func:`compact_minhash_index` runs automatically after the commit
+    (pass ``None`` to manage compaction manually) — the same bounded-
+    serve-latency policy as the trigram index (VERDICT r10 missing #3:
+    without a trigger, a long-running ingest loop degrades
+    monotonically until someone compacts by hand).
 
-    Returns {"postings_files", "sets_files"} moved into the index.
+    Returns {"postings_files", "sets_files", "auto_compacted"}.
     """
     import glob
     import json
@@ -1249,7 +1254,7 @@ def append_minhash_index(
                 "success-shaped empty commit"
             )
         shutil.rmtree(tmp, ignore_errors=True)
-        return {"postings_files": 0, "sets_files": 0}
+        return {"postings_files": 0, "sets_files": 0, "auto_compacted": False}
     manifest_path = os.path.join(path, f"_pending_append_{tag}.json")
     with open(manifest_path + ".tmp", "w") as fh:
         json.dump({"moves": moves, "tmp_dir": tmp}, fh)
@@ -1259,7 +1264,23 @@ def append_minhash_index(
     _commit_manifest_swap(manifest_path, moves)
     shutil.rmtree(tmp, ignore_errors=True)
     n_post = sum(1 for s, _ in moves if f"{os.sep}postings{os.sep}" in s)
-    return {"postings_files": n_post, "sets_files": len(moves) - n_post}
+    auto_compacted = False
+    if auto_compact_threshold is not None:
+        touched = {os.path.dirname(dst) for _, dst in moves}
+        if any(
+            len(glob.glob(os.path.join(d, "*.parquet")))
+            >= int(auto_compact_threshold)
+            for d in touched
+        ):
+            compact_minhash_index(
+                docs.sparkSession, path, small_file_threshold=1
+            )
+            auto_compacted = True
+    return {
+        "postings_files": n_post,
+        "sets_files": len(moves) - n_post,
+        "auto_compacted": auto_compacted,
+    }
 
 
 def compact_minhash_index(
