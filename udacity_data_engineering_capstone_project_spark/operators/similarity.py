@@ -1138,6 +1138,7 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 2,
     two_level: bool = False,
+    routing_plan=None,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest cells per query and rank
     only vectors assigned to those cells. Approximate (a true neighbor
@@ -1175,15 +1176,21 @@ def ivf_topk(
     membership and probe routing (members and probers MUST share the
     routing geometry or per-cell candidate sets lose their containment
     property) — the serving-side knob for the bounded-population dial
-    (:func:`ivf_cells_bounded`)."""
+    (:func:`ivf_cells_bounded`). ``routing_plan`` accepts a prebuilt
+    :func:`_centroid_routing_plan` so repeated searches against the
+    SAME centroids (a recall sweep, a serving loop) collect + broadcast
+    them once instead of per call; it must have been built from these
+    centroids with this ``two_level`` — the caller owns the broadcast
+    handle's lifetime."""
     q = _with_double_vec(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
     c = _with_double_vec(corpus, vec_col, "cv").select(
         F.col(id_col).alias("neighbor_id"), "cv"
     )
-    # ONE centroid broadcast for both routing passes (ADVICE r10)
-    plan = _centroid_routing_plan(
+    # ONE centroid broadcast for both routing passes (ADVICE r10),
+    # shared across calls when the caller prebuilt it
+    plan = routing_plan or _centroid_routing_plan(
         centroids, centroid_id_col, vec_col, two_level
     )
     members = _nearest_cells_arrow(

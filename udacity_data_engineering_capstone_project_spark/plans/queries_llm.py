@@ -1140,13 +1140,22 @@ def ann_recall_sweep(spark, sf_dir):
     ratios x1000 fixed-point. At production scale the cell assignment
     would be computed once and cached across the sweep; each sweep
     point here rebuilds it to keep the plan stateless."""
-    from ..operators.similarity import ivf_cells_bounded
+    from ..operators.similarity import (
+        _centroid_routing_plan,
+        ivf_cells_bounded,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     n_cells = ivf_cells_bounded(emb.count())
     centroids = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    # ONE routing plan for all three sweep points: the centroid
+    # collect + broadcast happens once, not per nprobe (the sweep's
+    # whole point is same-centroids-different-nprobe)
+    plan = _centroid_routing_plan(
+        centroids, "centroid_id", "embedding", two_level=True
     )
     exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=5).select(
         "query_id", "neighbor_id"
@@ -1157,7 +1166,7 @@ def ann_recall_sweep(spark, sf_dir):
         approx = ivf_topk(
             queries, emb, centroids,
             id_col="vec_id", vec_col="embedding", centroid_id_col="centroid_id",
-            k=5, nprobe=np_, two_level=True,
+            k=5, nprobe=np_, two_level=True, routing_plan=plan,
         ).select("query_id", "neighbor_id")
         parts.append(
             approx.join(exact, ["query_id", "neighbor_id"])
