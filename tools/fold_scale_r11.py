@@ -69,10 +69,13 @@ def main() -> None:
 
     b1000 = last_json(".scratch/bench_1000x_r11.json")
     runs = [("r11a", b1000)]
-    try:
-        runs.append(("r11b", last_json(".scratch/bench_1000x_r11b.json")))
-    except FileNotFoundError:
-        pass
+    for tag in ("b", "c"):
+        try:
+            runs.append(
+                (f"r11{tag}", last_json(f".scratch/bench_1000x_r11{tag}.json"))
+            )
+        except FileNotFoundError:
+            pass
     prev1000 = scaling["sf100_1000x_r10"]["queries"]
     q1000, src1000 = {}, {}
     # per-query MIN across same-code r11 runs (the episode defense —
