@@ -220,6 +220,9 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        destroy_routing_broadcast,
+    )
     from udacity_data_engineering_capstone_project_spark.plans.registry import query_fns
     from udacity_data_engineering_capstone_project_spark.session import get_spark
 
@@ -246,7 +249,12 @@ def main() -> None:
             # warm-up before this existed; stage numbers don't
             # identify queries)
             print(f"[bench] warm-up: {name}", file=sys.stderr, flush=True)
-            fns[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            df = fns[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            # post-action hook (ADVICE r11): release any routing-plan
+            # centroid broadcast the query attached — a full bench
+            # session otherwise accumulates one per IVF-query build
+            destroy_routing_broadcast(df)
             spark.catalog.clearCache()
 
     # Per-query mini-canary (round 9): the box was measured oscillating
@@ -282,8 +290,11 @@ def main() -> None:
             df = fns[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.time() - t0)
-            # drop this query's persisted intermediates so they don't
-            # steal memory from (or get recomputed into) later queries
+            # post-action hook (ADVICE r11), outside the timed window:
+            # release the routing-plan broadcast this iteration built,
+            # then drop persisted intermediates so they don't steal
+            # memory from (or get recomputed into) later queries
+            destroy_routing_broadcast(df)
             spark.catalog.clearCache()
         if os.environ.get("SPARK_GRAFT_SPY") == name:
             # diagnostic side channel (stderr only, artifact unchanged):
@@ -308,6 +319,7 @@ def main() -> None:
                 df._jdf.queryExecution().executedPlan().toString()[:6000],
                 file=sys.stderr,
             )
+            destroy_routing_broadcast(df)
             spark.catalog.clearCache()
         timings[name] = round(min(samples), 3)
         spread[name] = [
@@ -403,28 +415,42 @@ def main() -> None:
             f,
             indent=1,
         )
+    headline_obj = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "legacy26_total": legacy26_total,
+        "queries": timings,
+        "n_iters": n_iters,
+        "canary_ratio": round(canary_ratio, 2),
+        "episode_suspect": episode_suspect,
+        "sf": sf,
+    }
+    # The FULL headline object also lands in the side file (ADVICE r11):
+    # even if the stdout line outgrows the driver's 2000-char tail
+    # window again, the round's numbers survive verbatim on disk.
+    with open(os.path.join(spread_dir, "spread_latest.json"), "r+") as f:
+        side = json.load(f)
+        side["headline"] = headline_obj
+        f.seek(0)
+        json.dump(side, f, indent=1)
+        f.truncate()
     print(f"# spread written to {spread_dir}/spread_latest.json", file=sys.stderr)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "legacy26_total": legacy26_total,
-            "queries": timings,
-            "n_iters": n_iters,
-            "canary_ratio": round(canary_ratio, 2),
-            "episode_suspect": episode_suspect,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    line = json.dumps(headline_obj, separators=(",", ":"))
     if len(line) > 1900:
         print(
             f"######## BENCH LINE TOO LONG ({len(line)} chars > 1900): the "
-            "driver tail window is 2000 — trim query names/precision or "
-            "split the headline before the artifact decapitates again.",
+            "driver tail window is 2000 — per-query map dropped from "
+            "stdout to keep the artifact parseable; full object is in "
+            ".benchmarks/spread_latest.json under 'headline'.",
             file=sys.stderr,
         )
+        # Degrade gracefully instead of decapitating (the r8-r10
+        # failure mode): stdout keeps the contract fields + totals,
+        # the side file keeps the per-query map.
+        slim = dict(headline_obj)
+        slim["queries"] = "see .benchmarks/spread_latest.json"
+        line = json.dumps(slim, separators=(",", ":"))
     print(line)
 
 

@@ -2367,6 +2367,59 @@ def test_ivf_topk_two_level_matches_self_kernel(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_routing_plan_refuses_over_budget_centroid_collect(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r11 #3: with the bounded-population dial the centroid
+    count grows linearly with the corpus, so two more decades would
+    collect ~200 MB of centroid matrix to the driver PER PLAN BUILD.
+    _centroid_routing_plan must refuse (ValueError naming the
+    successors) a collect that would exceed _ROUTING_PLAN_MAX_BYTES —
+    a clear error at plan build, not a driver OOM mid-collect — and
+    the same table must build fine when the budget accommodates it."""
+    import pytest
+
+    import udacity_data_engineering_capstone_project_spark.operators.similarity as sim
+    from udacity_data_engineering_capstone_project_spark.plans.queries_parity import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    # 16 cells x dim 64 x 8 B = 8 KiB: over a 4 KiB budget, under 16 KiB
+    monkeypatch.setattr(sim, "_ROUTING_PLAN_MAX_BYTES", 4 << 10)
+    with pytest.raises(ValueError, match="routing-plan budget"):
+        sim._centroid_routing_plan(cents, "centroid_id", "embedding")
+
+    monkeypatch.setattr(sim, "_ROUTING_PLAN_MAX_BYTES", 16 << 10)
+    bc, n_cells, n_coarse, w_coarse, use_two = sim._centroid_routing_plan(
+        cents, "centroid_id", "embedding", two_level=True
+    )
+    try:
+        assert n_cells == 16 and use_two and n_coarse == 4
+    finally:
+        bc.destroy()
+
+
+def test_destroy_routing_broadcast_is_idempotent(spark, sf_dir):
+    """The harness post-action hook (ADVICE r11): a query that carries
+    a _centroid_broadcast handle gets it destroyed exactly once; a
+    handle-less DataFrame is a no-op; a second call is a no-op."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        destroy_routing_broadcast,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries_llm import (
+        ann_topk_ivf,
+    )
+
+    df = ann_topk_ivf(spark, sf_dir)
+    assert df.count() > 0  # final action first, then destroy
+    assert destroy_routing_broadcast(df) is True
+    assert destroy_routing_broadcast(df) is False  # cleared handle
+    plain = spark.range(3)
+    assert destroy_routing_broadcast(plain) is False
+
+
 def test_two_level_routing_with_all_branches_probed_equals_flat(spark, sf_dir):
     """Two-level routing that probes EVERY coarse branch ranks exactly
     the full fine-centroid set, so it must be bit-identical to flat
@@ -2431,6 +2484,84 @@ def test_nearest_cells_router_exposes_broadcast_handle(spark, sf_dir):
     assert len(ids) == 8 and mat.shape[0] == 8 and len(norms) == 8
     assert out.count() > 0
     bc.destroy()
+
+
+def test_minhash_auto_compact_rewrites_only_crossing_dirs(spark, tmp_path):
+    """ADVICE r11 scope contract, minhash side (parity with the
+    trigram pin): the append trigger passes the touched dirs that
+    crossed the threshold to compact_minhash_index — an untouched
+    bp=/dp= dir is NEVER rewritten (file list byte-identical across
+    the append), so one crossing batch pays O(crossing dirs), not a
+    near-full-index rewrite on a wide index."""
+    import glob
+    import os
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        minhash_probe_indexed,
+        write_minhash_index,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (i, f"document number {i} talks about topic {i % 3} with "
+                f"shared boilerplate text and unique suffix {i * 17}")
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "document number 100 talks about topic 1 with shared "
+                  "boilerplate text and unique suffix 1700"),
+            (101, "an entirely different record about weather patterns"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_scope")
+    write_minhash_index(base, path)
+    compact_minhash_index(spark, path, small_file_threshold=1)
+
+    def snapshot():
+        out = {}
+        for sub in ("postings", "sets"):
+            for d in glob.glob(os.path.join(path, sub, "*")):
+                if os.path.isdir(d):
+                    out[d] = sorted(
+                        os.path.basename(f)
+                        for f in glob.glob(os.path.join(d, "*.parquet"))
+                    )
+        return out
+
+    before = snapshot()
+    stats = append_minhash_index(batch, path, auto_compact_threshold=2)
+    assert stats["auto_compacted"], "threshold 2 must trigger on a touched dir"
+    after = snapshot()
+
+    changed = {
+        d for d in set(before) | set(after) if before.get(d) != after.get(d)
+    }
+    untouched = set(before) - changed
+    assert untouched, "batch touched every dir; shrink the batch"
+    for d in untouched:
+        assert before[d] == after[d], (d, before[d], after[d])
+    for d in changed:
+        files = after.get(d, [])
+        assert len(files) == 1, (d, files)
+        assert files[0].startswith(("compact-", "app-")), (d, files)
+
+    # appended index still answers like a fresh build over the union
+    probe = spark.createDataFrame(
+        [(200, "document number 5 talks about topic 2 with shared "
+               "boilerplate text and unique suffix 85")],
+        "doc_id long, text string",
+    )
+    fresh = str(tmp_path / "mh_scope_fresh")
+    write_minhash_index(base.unionByName(batch), fresh)
+    got = _mh_pairs(minhash_probe_indexed(spark, path, probe, "doc_id", "text"))
+    want = _mh_pairs(minhash_probe_indexed(spark, fresh, probe, "doc_id", "text"))
+    assert got == want
 
 
 def test_minhash_append_auto_compacts_and_writer_tolerates_healer(
@@ -2506,3 +2637,60 @@ def test_minhash_append_auto_compacts_and_writer_tolerates_healer(
     # writer executes the same plan afterwards: idempotent no-op
     _commit_manifest_swap(manifest, [[src, victim]])
     assert os.path.exists(victim)
+
+
+def test_heal_tolerates_concurrent_executor_of_same_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (the other side of the r10 writer/healer fix): under
+    the one-writer/many-probes contract, a probe healing while the
+    WRITER (or another probe) finishes the same manifest can find every
+    step already done — srcs moved, delete targets gone, the manifest
+    itself removed between glob and open. The heal loop must treat all
+    of those as 'already executed' and converge, never raise
+    FileNotFoundError."""
+    import glob as glob_mod
+    import json as _json
+    import os
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        _heal_pending_appends,
+    )
+
+    path = str(tmp_path / "mh_heal_race")
+    os.makedirs(os.path.join(path, "postings", "bp=0"), exist_ok=True)
+
+    # (1) a manifest whose plan was FULLY executed by a concurrent
+    # executor: src gone (already moved), dst present, delete target
+    # gone, tmp_dir gone — heal must finish it (remove the manifest)
+    dst = os.path.join(path, "postings", "bp=0", "app-done-part-0.parquet")
+    with open(dst, "w") as fh:
+        fh.write("x")
+    executed = os.path.join(path, "_pending_append_done.json")
+    with open(executed, "w") as fh:
+        _json.dump(
+            {
+                "moves": [
+                    [os.path.join(path, "_append_done", "gone.parquet"), dst]
+                ],
+                "delete": [os.path.join(path, "postings", "bp=0", "old.parquet")],
+                "tmp_dir": os.path.join(path, "_append_done"),
+            },
+            fh,
+        )
+    # (2) a manifest that VANISHES between glob and open (the
+    # concurrent executor removed it as its last step): inject a
+    # phantom path into the glob result
+    phantom = os.path.join(path, "_pending_append_phantom.json")
+    real_glob = glob_mod.glob
+
+    def fake_glob(pat, *a, **k):
+        res = real_glob(pat, *a, **k)
+        if pat.endswith("_pending_append_*.json"):
+            res = sorted(res + [phantom])
+        return res
+
+    monkeypatch.setattr(glob_mod, "glob", fake_glob)
+    _heal_pending_appends(path)  # must not raise on (1) or (2)
+    assert os.path.exists(dst)
+    assert not os.path.exists(executed)

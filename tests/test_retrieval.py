@@ -471,6 +471,72 @@ def test_trigram_append_auto_compacts_to_one_file_per_dir(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_trigram_auto_compact_rewrites_only_crossing_dirs(spark, tmp_path):
+    """ADVICE r11 scope contract: the append trigger compacts ONLY the
+    touched dirs that crossed the threshold — an untouched ``tri_p2=``
+    dir is NEVER rewritten by auto-compaction (its file list is
+    byte-identical before and after the append), so one threshold-
+    crossing batch pays O(crossing dirs), not a whole-index rewrite.
+    Pinned behaviorally: the set of dirs whose contents changed must
+    equal the set of dirs the batch's postings landed in."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.retrieval import (
+        append_trigram_index,
+        compact_trigram_index,
+        write_trigram_index,
+    )
+
+    docs, pats = _tri_corpus(spark)
+    path = str(tmp_path / "tri_scope")
+    write_trigram_index(docs.filter(F.col("doc_id") <= 4), path)
+    # force a known 1-file-per-dir starting layout
+    compact_trigram_index(spark, path, small_file_threshold=1)
+
+    def snapshot():
+        return {
+            d: sorted(
+                os.path.basename(f)
+                for f in glob.glob(os.path.join(d, "*.parquet"))
+            )
+            for d in glob.glob(os.path.join(path, "tri_p2=*"))
+        }
+
+    before = snapshot()
+    stats = append_trigram_index(
+        docs.filter(F.col("doc_id") == 5), path, auto_compact_threshold=2
+    )
+    assert stats["auto_compacted"], "threshold 2 must trigger on a touched dir"
+    after = snapshot()
+
+    changed = {
+        d for d in set(before) | set(after) if before.get(d) != after.get(d)
+    }
+    untouched = set(before) - changed
+    # the tiny batch must leave most of the prefix fan-out untouched —
+    # otherwise the scope assertion below is vacuous
+    assert untouched, "batch touched every dir; pick a smaller batch"
+    for d in untouched:
+        assert before[d] == after[d], (d, before[d], after[d])
+    # every changed dir was genuinely touched by THIS batch: at
+    # threshold 2 a touched pre-existing dir crosses and compacts to
+    # exactly one compact-* file; a brand-new dir holds the app-* file
+    for d in changed:
+        files = after.get(d, [])
+        assert len(files) == 1, (d, files)
+        assert files[0].startswith(("compact-", "app-")), (d, files)
+
+    # answers still equal a fresh build of the full corpus
+    fresh = str(tmp_path / "tri_scope_fresh")
+    write_trigram_index(docs.filter(F.col("doc_id") <= 5), fresh)
+    got = _tri_matches(spark, path, docs, pats)
+    want = _tri_matches(spark, fresh, docs, pats)
+    assert got == want and len(got) > 0
+
+
 def test_trigram_append_empty_postings_batch_is_noop(spark, tmp_path):
     """ADVICE r10: a non-empty batch whose texts all normalize below 3
     chars yields zero postings — that is a legitimate no-op append,

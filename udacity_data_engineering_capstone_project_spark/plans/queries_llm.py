@@ -1176,12 +1176,17 @@ def ann_recall_sweep(spark, sf_dir):
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    return u.crossJoin(truth_cnt).select(
+    out = u.crossJoin(truth_cnt).select(
         "nprobe",
         "n_hits",
         "n_truth",
         F.expr("(n_hits * 1000) div n_truth").alias("recall_x1000"),
     )
+    # carry the SHARED routing broadcast on the returned DataFrame so
+    # the harness post-action hook can destroy it (ADVICE r11: the
+    # handle was lost after .select(), leaking one broadcast per call)
+    out._centroid_broadcast = plan[0]
+    return out
 
 
 def _ivf_sweep_ctes(np_: int) -> str:
@@ -1523,16 +1528,17 @@ def ivf_trained_recall(spark, sf_dir):
     assigned = kmeans_cosine(emb, k=8, iters=3, init="kmeans++")
     cents = centroid_table(emb, assigned)
     queries = emb.filter(F.col("vec_id") < 20)
-    approx = ivf_topk(
+    approx_raw = ivf_topk(
         queries, emb, cents, k=5, nprobe=2, two_level=True
-    ).select("query_id", "neighbor_id")
+    )
+    approx = approx_raw.select("query_id", "neighbor_id")
     exact = brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
     hit_n = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hit"))
     )
-    return (
+    out = (
         exact.groupBy("query_id")
         .agg(F.count("*").alias("n_exact"))
         .join(hit_n, "query_id", "left")
@@ -1544,6 +1550,9 @@ def ivf_trained_recall(spark, sf_dir):
             .alias("recall_x100"),
         )
     )
+    # carry the routing broadcast for the harness destroy hook
+    out._centroid_broadcast = getattr(approx_raw, "_centroid_broadcast", None)
+    return out
 
 
 def ann_pq_recall(spark, sf_dir):
@@ -7991,7 +8000,7 @@ def bitext_mining_ivf(spark, sf_dir):
     )
     top2 = ivf_topk(de, en, cents, k=2, nprobe=2, two_level=True)
     x1e4 = lambda col: F.floor(col * 1e4 + F.lit(0.5)).cast("bigint")  # noqa: E731
-    return (
+    out = (
         top2.groupBy("query_id")
         .agg(
             F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias(
@@ -8010,6 +8019,9 @@ def bitext_mining_ivf(spark, sf_dir):
             "margin_x1e4",
         )
     )
+    # carry the routing broadcast for the harness destroy hook
+    out._centroid_broadcast = getattr(top2, "_centroid_broadcast", None)
+    return out
 
 
 ORACLE_BITEXT_IVF = f"""
@@ -8488,9 +8500,12 @@ def ann_hubness_audit_ivf(spark, sf_dir):
         .join(occ, "vec_id", "left")
         .select(F.coalesce("k_occ", F.lit(0)).cast("long").alias("k_occurrence"))
     )
-    return per_vec.groupBy("k_occurrence").agg(
+    out = per_vec.groupBy("k_occurrence").agg(
         F.count("*").cast("long").alias("n_vectors")
     )
+    # carry the routing broadcast for the harness destroy hook
+    out._centroid_broadcast = getattr(top5, "_centroid_broadcast", None)
+    return out
 
 
 ORACLE_ANN_HUBNESS_IVF = f"""
