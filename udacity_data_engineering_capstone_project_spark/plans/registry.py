@@ -765,6 +765,83 @@ _PRIORITY_R11 = [
 ]
 assert len(_PRIORITY_R11) == 50, len(_PRIORITY_R11)
 
+#: ---- Round-12 window (VERDICT r11 next #6: new/changed rows, then
+#: ALL 24 remaining r7-age rows — clearing the r7 tier — then the
+#: oldest r8 rows alphabetically to 50) ----
+_NEW_OR_CHANGED_R12 = [
+    # routing-plan budget guard (VERDICT r11 #3) + broadcast carry for
+    # the harness destroy hook (ADVICE r11 #3) change the executed
+    # path of every serving-path IVF row:
+    "ann_topk_ivf",
+    "ann_recall_sweep",
+    "ivf_trained_recall",
+    "bitext_mining_ivf",
+    "ann_hubness_audit_ivf",
+    # heal-loop concurrent-executor tolerance (ADVICE r11 #1) +
+    # crossing-dir-scoped auto-compaction (ADVICE r11 #2 / VERDICT #4)
+    # change the maintenance/probe paths:
+    "trigram_search_appended",
+    "trigram_search_indexed",
+    "minhash_pairs_indexed",
+]
+_R7_TAIL_R12 = [
+    # ALL remaining rows whose last driver record is round 7 (age 5),
+    # alphabetical — clears the r7 tier:
+    "histogram_quantile_rollup",
+    "hll_sketch_rollup",
+    "jaccard_pairs_capped",
+    "jaccard_pairs_exact",
+    "join_size_estimate_sketch",
+    "kmv_user_overlap",
+    "lm_stupid_backoff_scores",
+    "minhash_pairs",
+    "multimodal_features",
+    "pagerank_near_dup",
+    "pipeline_observed_metrics",
+    "profile_orders",
+    "quality_filter_reasons",
+    "repetition_scores",
+    "retrieval_agreement_rbo",
+    "scd2_user_status",
+    "simhash_fingerprints",
+    "stream_static_join",
+    "stream_user_totals",
+    "text_punct_stopword",
+    "udtf_flatten_props",
+    "upsert_user_snapshot",
+    "weighted_doc_sample",
+    "weighted_group_sample",
+]
+_OLDEST_R8_R12 = [
+    # last driver row r8 (age 4), alphabetical, filling to 50:
+    "approx_distinct_check",
+    "asof_join_events",
+    "bitmap_distinct_users",
+    "bitmap_weekly_retention",
+    "bpe_fertility",
+    "collect_sorted_names",
+    "cube_status_priority",
+    "full_outer_nation_balance",
+    "grouping_sets_orders",
+    "incremental_user_totals",
+    "intersect_except_buyers",
+    "join_semi_anti",
+    "json_extract_agg",
+    "lateral_topk_per_nation",
+    "mad_by_event_type",
+    "map_funcs",
+    "median_price",
+    "quality_checks",
+]
+
+_seen_r12: set = set()
+_PRIORITY_R12 = [
+    n
+    for n in [*_NEW_OR_CHANGED_R12, *_R7_TAIL_R12, *_OLDEST_R8_R12]
+    if not (n in _seen_r12 or _seen_r12.add(n))
+]
+assert len(_PRIORITY_R12) == 50, len(_PRIORITY_R12)
+
 #: ---- Round-6 ordering (superseded; kept for provenance) ----
 _seen_r6: set = set()
 _PRIORITY_R6 = [
@@ -773,7 +850,7 @@ _PRIORITY_R6 = [
     if not (n in _seen_r6 or _seen_r6.add(n))
 ]
 
-ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R11}
+ALL_QUERIES: dict = {n: _MERGED[n] for n in _PRIORITY_R12}
 ALL_QUERIES.update(_MERGED)  # everything else, tier order, after the window
 
 assert len(ALL_QUERIES) == len(_MERGED), "priority list references unknown query"
