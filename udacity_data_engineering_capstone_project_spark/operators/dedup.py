@@ -401,7 +401,16 @@ def _minhash_band_keys_udf(n_hashes: int, bands: int):
 def _inter_size_udf():
     """Arrow kernel: exact per-row intersect size of two distinct-int64
     array columns, via flat lexsort + duplicate count (see
-    minhash_lsh_pairs for why this is a UDF, not array_intersect)."""
+    minhash_lsh_pairs for why this is a UDF, not array_intersect).
+
+    Returned ``asNondeterministic()`` (optimization guide §4.4): every
+    caller filters on the kernel's output (the Jaccard threshold), and
+    Catalyst pushes that filter BELOW the projection, duplicating the
+    ArrowEvalPython node — every candidate pair paid the intersect
+    kernel twice (plan-verified: two ArrowEvalPython stages before, one
+    after). The kernel is pure, so blocking reorder/duplication cannot
+    change any emitted value; it only stops the optimizer evaluating
+    it twice."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -420,7 +429,7 @@ def _inter_size_udf():
         inter = np.bincount(rs[1:][dup], minlength=len(ha_col))
         return pd.Series(inter)
 
-    return inter_size_arrow
+    return inter_size_arrow.asNondeterministic()
 
 
 def _verify_candidate_pairs(

@@ -43,33 +43,93 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_broadcast_vectors: int = 200_000,
+    query_chunk: int = 4096,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cos_sim, rank). Self-matches are
-    excluded. ``queries`` must be small (it is broadcast)."""
-    q = _with_double_vec(queries, vec_col, "qv").select(
-        F.col(id_col).alias("query_id"), "qv"
+    excluded. ``queries`` must be small (it is shipped to every task;
+    guarded by ``max_broadcast_vectors``).
+
+    r12 optimization (guide §4.2): the original shape was
+    ``corpus.crossJoin(broadcast(queries))`` + the JVM higher-order-
+    function cosine + a full window over |q| x |corpus| sims rows.
+    The HOF fold pays ~4 us per dot (interpreted per element), and the
+    window shuffles/sorts every sim — measured 2.6 s for a 265 x 808
+    fixture block at sf0.1 where the flops say milliseconds. Now ONE
+    ``mapInPandas`` pass streams the corpus (each vector crosses the
+    Arrow boundary once, not once per query), computes the rounded
+    cosine block at BLAS speed behind the boundary guard
+    (:func:`_rounded_cos_mat` — bit-equal to ``cosine_cols`` and the
+    DuckDB oracle, pinned by the kernel-parity pytests), and emits
+    only per-batch top-k partials through the shared vectorized
+    kernel (:func:`_chunk_topk_excluding_self`, the same total order:
+    rounded cos DESC, neighbor id ASC, self excluded). The final
+    window re-ranks |batches| x |q| x k partial rows instead of
+    |q| x |corpus| sims — the per-batch top-k provably contains every
+    global top-k member under the same total order, so results are
+    row-identical (oracle hashes unchanged).
+
+    The query matrix ships via ``SparkContext.broadcast`` (the
+    knn_self_topk_arrow discipline); the handle is attached to the
+    returned DataFrame as ``_centroid_broadcast`` so the bench/oracle
+    harnesses' post-action ``destroy_routing_broadcast`` hook releases
+    it. Intermediate callers that ``.select()`` the result away leak
+    only the tiny query matrix until GC — same lifetime story as
+    before, when the JVM held the broadcast relation."""
+    q_rows = (
+        _with_double_vec(queries, vec_col, "qv")
+        .select(F.col(id_col).alias("query_id"), "qv")
+        .collect()
     )
-    c = _with_double_vec(corpus, vec_col, "cv").select(
-        F.col(id_col).alias("neighbor_id"), "cv"
-    )
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_cols(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    if len(q_rows) > max_broadcast_vectors:
+        raise ValueError(
+            f"brute_force_topk: {len(q_rows)} query vectors exceed the "
+            f"{max_broadcast_vectors} ship-to-every-task bound; route "
+            "queries through the IVF serving path instead"
         )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = (
+        np.array([r["qv"] for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.empty((0, 1), dtype=np.float64)
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    kk, chunk_cap = int(k), int(query_chunk)
+
+    def partials(batches):
+        qi, qm = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(qi):
+                continue
+            oq, on, oc, _rank = _chunk_topk_excluding_self(
+                qi,
+                qm,
+                pdf["id"].to_numpy(dtype=np.int64),
+                np.vstack(pdf["v"].to_numpy()),
+                kk,
+                chunk_cap=chunk_cap,
+            )
+            yield pd.DataFrame(
+                {"query_id": oq, "neighbor_id": on, "cos_sim": oc}
+            )
+
+    src = _with_double_vec(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("id"), F.col("cv").alias("v")
+    )
+    part = src.mapInPandas(
+        partials, "query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
+    out = (
+        part.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    out._centroid_broadcast = bc  # harness post-action hook releases it
+    return out
 
 
 def cosine_arrow_udf():
@@ -78,7 +138,15 @@ def cosine_arrow_udf():
     DuckDB oracle): np.cumsum is a sequential running sum, the same
     add order as the left fold's (((0+p0)+p1)+...); np.sqrt/floor are
     the same IEEE ops. Pinned by
-    test_arrow_cosine_matches_hof_bit_for_bit."""
+    test_arrow_cosine_matches_hof_bit_for_bit.
+
+    Returned ``asNondeterministic()`` (optimization guide §4.4): both
+    callers filter on the rounded cosine (the similarity threshold),
+    and Catalyst pushes that filter below the projection, duplicating
+    the ArrowEvalPython node — every candidate pair paid the cosine
+    kernel TWICE (plan-verified on embedding_near_dup: ArrowEvalPython
+    → Filter → ArrowEvalPython before, one node after). The kernel is
+    pure; blocking reorder/duplication cannot change emitted values."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -93,7 +161,7 @@ def cosine_arrow_udf():
         cos = dot / (na * nb)
         return pd.Series(np.floor(cos * 1e4 + 0.5) / 1e4)
 
-    return cos_r_arrow
+    return cos_r_arrow.asNondeterministic()
 
 
 def _seq_dot_mat(a: np.ndarray, b: np.ndarray) -> np.ndarray:

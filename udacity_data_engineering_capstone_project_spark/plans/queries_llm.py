@@ -6624,39 +6624,46 @@ def bitext_mining_pairs(spark, sf_dir):
     mined (src, tgt, margin) pairs are the raw material of parallel
     training corpora.
 
-    Shape: de-docs (the small side, broadcast) x en-docs via exact
-    cosine — the honest small-fixture baseline; at 100 TB the
-    candidate generation step swaps to the banded-SRP / trained-IVF
-    paths already shipped (operators/similarity), margin scoring
-    unchanged. Cosines are 4-decimal-rounded BEFORE ranking and the
-    margin is a difference of x1e4 integers, so rank order and every
-    output value are bit-stable across engines. Top-2 is folded from
-    the rank window with max(CASE) — one window pass, no self-join."""
-    from ..operators.similarity import _with_double_vec
-    from ..functions.vectors import cosine_cols
+    Shape (r12, guide §4.2/§2.3): de-docs (the small side, shipped
+    once per task) x en-docs via the exact streamed top-k kernel —
+    ``brute_force_topk`` computes the rounded cosines at BLAS speed
+    behind the rounding-boundary guard (bit-equal to the old
+    ``cosine_cols`` fold — same oracle hash) and emits only per-batch
+    top-2 partials, so neither the |de| x |en| sims relation nor the
+    en vectors are ever shuffled; the old plan's window sorted every
+    sim row (measured 2.6 s of HOF cosine + 0.2 s window at sf0.1 for
+    265 x 808; the streamed kernel serves the same block in ~0.3 s).
+    At 100 TB the candidate generation step swaps to the banded-SRP /
+    trained-IVF paths already shipped (operators/similarity), margin
+    scoring unchanged. Cosines are 4-decimal-rounded BEFORE ranking
+    and the margin is a difference of x1e4 integers, so rank order and
+    every output value are bit-stable across engines. Top-2 is folded
+    from the rank with max(CASE) — one tiny aggregation over the
+    partial rows, no self-join. Self-exclusion in the kernel is a
+    no-op here: doc ids are globally unique, so the de and en sides
+    are disjoint."""
+    from ..operators.similarity import brute_force_topk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     emb = _t(spark, sf_dir, "embeddings")
     sides = docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "lang", "embedding"
     )
-    q = _with_double_vec(sides.filter(F.col("lang") == "de"), "embedding", "qv").select(
-        F.col("doc_id").alias("src_doc"), "qv"
+    bf = brute_force_topk(
+        sides.filter(F.col("lang") == "de"),
+        sides.filter(F.col("lang") == "en"),
+        "doc_id",
+        "embedding",
+        k=2,
     )
-    c = _with_double_vec(sides.filter(F.col("lang") == "en"), "embedding", "cv").select(
-        F.col("doc_id").alias("tgt_doc"), "cv"
+    top2 = bf.select(
+        F.col("query_id").alias("src_doc"),
+        F.col("neighbor_id").alias("tgt_doc"),
+        "cos_sim",
+        F.col("rank").alias("rn"),
     )
-    sims = c.crossJoin(F.broadcast(q)).select(
-        "src_doc",
-        "tgt_doc",
-        cosine_cols(F.col("qv"), F.col("cv")).alias("cos_sim"),
-    )
-    w = Window.partitionBy("src_doc").orderBy(
-        F.col("cos_sim").desc(), F.col("tgt_doc")
-    )
-    top2 = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
     x1e4 = lambda col: F.floor(col * 1e4 + F.lit(0.5)).cast("bigint")  # noqa: E731
-    return (
+    out = (
         top2.groupBy("src_doc")
         .agg(
             F.max(F.when(F.col("rn") == 1, F.col("tgt_doc"))).alias("tgt_doc"),
@@ -6668,6 +6675,8 @@ def bitext_mining_pairs(spark, sf_dir):
         )
         .select("src_doc", "tgt_doc", "cos_sim", "margin_x1e4")
     )
+    out._centroid_broadcast = bf._centroid_broadcast
+    return out
 
 
 _COS_BT = sql_round_fixed("list_cosine_similarity(q.qv, c.cv)", 4)
