@@ -1865,8 +1865,13 @@ def test_minhash_indexed_probe_matches_query_time_path(spark, sf_dir, tmp_path):
     joined = " ".join(scans)
     assert re.search(r"PartitionFilters: \[[^\]]*bp", joined), joined
     assert re.search(r"PushedFilters: \[[^\]]*In\(band_key", plan), "band_key IN not pushed"
-    # sets scan: dp partition pruning
-    assert re.search(r"PartitionFilters: \[[^\]]*dp", joined), joined
+    # sets scan: dp partition pruning. Since r12 the verification sets
+    # are collected once and broadcast into the pair-intersect kernel
+    # (only id pairs cross the Arrow boundary), so the pruned sets scan
+    # lives on the sliver DataFrame the operator exposes for exactly
+    # this guard, not in the returned plan.
+    sets_plan = served._verify_sets_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*dp", sets_plan.replace("\n", " ")), sets_plan[:2000]
 
 
 def test_minhash_indexed_large_batch_fallback(spark, sf_dir, tmp_path):

@@ -432,6 +432,97 @@ def _inter_size_udf():
     return inter_size_arrow.asNondeterministic()
 
 
+def _pair_intersect_kernel(bc, a_col: str, b_col: str,
+                           threshold_num: int, threshold_den: int):
+    """mapInPandas generator: exact intersect/union sizes for id PAIRS
+    against a broadcast doc->digest-array dict, thresholded in-kernel.
+
+    The r12 replacement for the two broadcast hash joins that attached
+    both full digest arrays to every candidate row before
+    :func:`_inter_size_udf` (guide §2.3/§8 — shuffle keys, not
+    payloads): per candidate pair only 16 bytes of ids cross the Arrow
+    boundary (measured 165 MB of array traffic -> ~1 MB at the sf0.1
+    PPJoin's 68k candidates); the digest sets ship ONCE per executor
+    in the broadcast. The intersect math is the identical flat
+    lexsort + duplicate count, so counts are bit-equal."""
+
+    def gen(batches):
+        id2set = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            aa = pdf[a_col].to_numpy(dtype=np.int64)
+            bb = pdf[b_col].to_numpy(dtype=np.int64)
+            sets_a = [id2set[x] for x in aa]
+            sets_b = [id2set[x] for x in bb]
+            la = np.fromiter((len(x) for x in sets_a), dtype=np.int64, count=len(aa))
+            lb = np.fromiter((len(x) for x in sets_b), dtype=np.int64, count=len(bb))
+            flat = np.concatenate(
+                [v for pair in zip(sets_a, sets_b) for v in pair]
+            )
+            row_ids = np.repeat(np.arange(len(aa)), la + lb)
+            order = np.lexsort((flat, row_ids))
+            fs, rs = flat[order], row_ids[order]
+            dup = (rs[1:] == rs[:-1]) & (fs[1:] == fs[:-1])
+            inter = np.bincount(rs[1:][dup], minlength=len(aa))
+            union = la + lb - inter
+            keep = inter * threshold_den >= union * threshold_num
+            yield pd.DataFrame(
+                {
+                    a_col: aa[keep],
+                    b_col: bb[keep],
+                    "inter_size": inter[keep],
+                    "union_size": union[keep],
+                }
+            )
+
+    return gen
+
+
+def _verify_pairs_broadcast_sets(
+    candidates: DataFrame,
+    sets_filtered: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Collect the candidate-filtered digest-set sliver driver-side
+    (the SAME bytes the old plan's BroadcastExchange collected to the
+    driver — callers apply their byte/row guards BEFORE choosing this
+    path), ship it once via ``SparkContext.broadcast``, and stream
+    only the candidate id pairs through :func:`_pair_intersect_kernel`.
+    The broadcast handle rides the returned DataFrame as
+    ``_centroid_broadcast`` so the bench/oracle post-action hook
+    releases it."""
+    rows = sets_filtered.select("doc", "hs").collect()
+    sc = candidates.sparkSession.sparkContext
+    bcv = sc.broadcast(
+        {r["doc"]: np.asarray(r["hs"], dtype=np.int64) for r in rows}
+    )
+    # spread the pair kernel across the cluster: the candidate cache is
+    # AQE-coalesced to ~1 partition (it is tiny in bytes), which would
+    # run the whole intersect kernel in ONE task; the repartition moves
+    # only 16-byte id rows and scales with the session's parallelism,
+    # not a constant (guide §2.5 — parallelism over a keyless shuffle
+    # of small rows is essentially free)
+    out = (
+        candidates.select(a_col, b_col)
+        .repartition(max(1, sc.defaultParallelism))
+        .mapInPandas(
+            _pair_intersect_kernel(bcv, a_col, b_col, threshold_num, threshold_den),
+            f"{a_col} long, {b_col} long, inter_size long, union_size long",
+        )
+    )
+    out._centroid_broadcast = bcv  # harness post-action hook releases it
+    # testability hook: the sliver's pruned scan (dp partition filters,
+    # semi-join trim) no longer appears in the returned plan — it was
+    # materialized by the collect above — so plan-guard tests assert
+    # the pruning on this DataFrame instead
+    out._verify_sets_df = sets_filtered
+    return out
+
+
 def _verify_candidate_pairs(
     sets: DataFrame,
     candidates: DataFrame,
@@ -504,19 +595,27 @@ def _verify_candidate_pairs(
     def _hint_ids(d):
         return F.broadcast(d) if n_docs <= broadcast_max_rows else d
 
-    sets_f = sets.join(_hint_ids(cand_ids), "doc", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sets_f = sets.join(_hint_ids(cand_ids), "doc", "left_semi")
+    if est_bytes <= broadcast_max_bytes:
+        # r12 (guide §2.3/§8): the old plan broadcast the sliver into
+        # TWO hash joins whose output attached both full digest arrays
+        # to every candidate row before the Arrow kernel — |pairs| x
+        # ~2.4 KB of array traffic for 16 B of ids. Same guard, same
+        # driver-side bytes (one collect instead of one
+        # BroadcastExchange build), but now only id pairs cross the
+        # boundary and the threshold filter runs in-kernel.
+        return _verify_pairs_broadcast_sets(
+            candidates, sets_f, "doc_a", "doc_b", threshold_num, threshold_den
+        )
 
-    def _hint_sets(d):
-        return F.broadcast(d) if est_bytes <= broadcast_max_bytes else d
-
+    # over-budget degrade path: shuffle joins, per-pair Arrow kernel
+    sets_f = sets_f.persist(StorageLevel.MEMORY_AND_DISK)
     inter_size_arrow = _inter_size_udf()
     sa = sets_f.alias("sa")
     sb = sets_f.alias("sb")
     return (
-        candidates.join(_hint_sets(sa), F.col("doc_a") == F.col("sa.doc"))
-        .join(_hint_sets(sb), F.col("doc_b") == F.col("sb.doc"))
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
         .select(
             "doc_a",
             "doc_b",
@@ -798,19 +897,32 @@ def minhash_lsh_pairs_against(
         return F.broadcast(df) if n_cand <= broadcast_max_rows else df
 
     idx_ids = candidates.select(F.col("index_doc").alias("doc")).distinct()
-    idx_f = idx_sets.join(_bc(idx_ids), "doc", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    idx_f = idx_sets.join(_bc(idx_ids), "doc", "left_semi")
     # the batch side is filtered to candidate docs too — a batch where
     # most docs have no LSH match should not broadcast dead arrays
     bat_ids = candidates.select(F.col("new_doc").alias("doc")).distinct()
     bat_f = bat_sets.join(_bc(bat_ids), "doc", "left_semi")
+    if n_cand <= broadcast_max_rows:
+        # r12 (guide §2.3/§8): ship the two candidate-filtered set
+        # slices ONCE (ids are disjoint across batch and index by the
+        # caller's contract, so one dict holds both) and stream only
+        # id pairs through the intersect kernel — the old two
+        # broadcast joins attached both full digest arrays per pair.
+        return _verify_pairs_broadcast_sets(
+            candidates,
+            bat_f.select("doc", "hs").unionByName(idx_f.select("doc", "hs")),
+            "new_doc",
+            "index_doc",
+            threshold_num,
+            threshold_den,
+        )
+    idx_f = idx_f.persist(StorageLevel.MEMORY_AND_DISK)
     inter_size_arrow = _inter_size_udf()
     sa = bat_f.alias("sa")
     sb = idx_f.alias("sb")
     return (
-        candidates.join(_bc(sa), F.col("new_doc") == F.col("sa.doc"))
-        .join(_bc(sb), F.col("index_doc") == F.col("sb.doc"))
+        candidates.join(sa, F.col("new_doc") == F.col("sa.doc"))
+        .join(sb, F.col("index_doc") == F.col("sb.doc"))
         .select(
             "new_doc",
             "index_doc",
@@ -1556,16 +1668,35 @@ def minhash_probe_indexed(
         .filter(F.col("dp").isin(dps))
         .select("doc", "hs")
         .join(_bc(idx_ids), "doc", "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bat_ids = candidates.select(F.col("new_doc").alias("doc")).distinct()
     bat_f = bat_sets.join(_bc(bat_ids), "doc", "left_semi")
+    if n_cand <= broadcast_max_rows:
+        # r12 (guide §2.3/§8): one collected sliver (batch + index
+        # candidate docs; ids disjoint by the caller's split), only id
+        # pairs through the Arrow boundary — same guard the broadcast
+        # joins used, one action fewer than the two broadcast builds.
+        result = _verify_pairs_broadcast_sets(
+            candidates,
+            bat_f.select("doc", "hs").unionByName(idx_f),
+            "new_doc",
+            "index_doc",
+            threshold_num,
+            threshold_den,
+        )
+        if eager:
+            result = result.persist(StorageLevel.MEMORY_AND_DISK)
+            result.count()
+            for cached in (bat_sets, bat_keys, candidates):
+                cached.unpersist()
+        return result
+    idx_f = idx_f.persist(StorageLevel.MEMORY_AND_DISK)
     inter_size_arrow = _inter_size_udf()
     sa = bat_f.alias("sa")
     sb = idx_f.alias("sb")
     result = (
-        candidates.join(_bc(sa), F.col("new_doc") == F.col("sa.doc"))
-        .join(_bc(sb), F.col("index_doc") == F.col("sb.doc"))
+        candidates.join(sa, F.col("new_doc") == F.col("sa.doc"))
+        .join(sb, F.col("index_doc") == F.col("sb.doc"))
         .select(
             "new_doc",
             "index_doc",
