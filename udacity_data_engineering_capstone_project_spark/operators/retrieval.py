@@ -34,6 +34,8 @@ happens on the integer score with a doc-id tie-break.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -287,63 +289,61 @@ def trigram_match(
     ``patterns``: (pattern_id, pattern), each pattern >= 3 chars after
     the same lowercase normalization applied to documents.
 
-    Dataflow: explode to (doc, trigram) rows, join the BROADCAST
-    pattern-trigram list FIRST — only postings matching some pattern
-    trigram (a |pattern trigrams| / |trigram space| sliver) ever reach
-    a shuffle — then candidate = docs matching ALL trigrams of a
-    pattern (countDistinct == n_tris), then exact instr verification
-    against the candidates' text only. Output: (pattern_id, doc_id)
-    verified matches — identical to the LIKE scan's answer (trigram
-    pruning is lossless for literal patterns).
+    Dataflow (r12, guide §2.4 — remove the shuffle outright): the
+    candidate predicate "doc contains EVERY pattern trigram" is
+    evaluated MAP-SIDE. A trigram is in a doc's trigram set iff it is
+    a substring of the normalized text, so the per-(pattern, doc)
+    bitmap the r5 explode+join built is exactly
+    ``OR_j (instr(norm, tri_j) > 0) << bit_j`` over the pattern's
+    <= 62 driver-known literal trigrams (the int64-bitmap bound
+    _pattern_trigrams enforces), and candidacy is the bitmap being
+    complete — no corpus trigram explode (a ~|chars| row blowup per
+    doc), no postings shuffle, no aggregation. Exact ``instr``
+    verification then runs on the candidate sliver as before. Output:
+    (pattern_id, doc_id) verified matches — identical to the LIKE
+    scan's answer (trigram pruning is lossless for literal patterns).
 
-    The ALL-trigrams check is a map-side BITMAP AND: each pattern
-    trigram carries a bit position (≤ 62 trigrams per pattern — a
-    literal search string, enforced), matched postings become
-    ``(pattern, doc, 1<<bit)`` and ``bit_or`` partial aggregation
-    collapses them to ONE int64 row per (pattern, doc) BEFORE the
-    shuffle; a candidate is complete iff ``bit_count(mask) ==
-    n_tris``. Two earlier versions were probed off this shape at 100x
-    (SCALE.md, round 5): a corpus-wide ``distinct()`` of the index
-    before the join (shuffles the whole index: 38 s vs 3.4 s at
-    sf0.1-equivalent work), then a post-join ``countDistinct`` (the
-    two-phase distinct rewrite still shuffles every distinct matched
-    triple — on a low-entropy corpus whose trigrams are unselective,
-    that is again nearly the whole index). A persisted-index
-    deployment would amortize the build instead; this operator is the
-    query-time path.
+    History of this shape (SCALE.md round 5, plans/r12): a corpus-wide
+    ``distinct()`` of the exploded index before the join shuffled the
+    whole index (38 s vs 3.4 s at sf0.1-equivalent work); the
+    bitmap-AND rewrite collapsed matched postings map-side but still
+    paid the explode (~30x the corpus rows through a Generate) and one
+    shuffle of the matched postings (2.8 s at sf0.1); the map-side
+    instr bitmap is one pass over the corpus, zero exchanges — the
+    floor for any query-time literal search, at every scale. The
+    persisted-index deployment (trigram_match_indexed) remains the
+    path whose serving I/O is corpus-size-independent.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
     base = docs.select(F.col(id_col).alias("doc"), norm.alias("norm"))
-    tris = base.select(
-        "doc",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(norm) - 2, 0)),"
-                " i -> substr(norm, i, 3))"
-            )
-        ).alias("tri"),
-    )
 
     p, ptris, n_tris = _pattern_trigrams(patterns)
-
-    candidates = (
-        tris.join(F.broadcast(ptris), "tri")
-        .select(
-            "pattern_id",
-            "doc",
-            F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("m"),
+    # pattern side is driver-literal by construction (<= 62 trigrams
+    # per pattern enforced above; the pattern list itself is a probe
+    # table) — collect it and compile the bitmap predicate per pattern
+    pats = {r["pattern_id"]: r["pat"] for r in p.collect()}
+    tri_by_pat: dict = {}
+    for r in ptris.collect():
+        tri_by_pat.setdefault(r["pattern_id"], []).append(r["tri"])
+    # ONE corpus pass for all patterns (a per-pattern filter union
+    # would re-scan and re-normalize the text once per pattern): per
+    # doc, an array cell per pattern that passes bitmap + verification,
+    # nulls compacted away, exploded to (pattern_id, doc) rows
+    cells = []
+    for pid in sorted(pats):
+        all_tris = functools.reduce(
+            lambda a, b: a & b,
+            (F.instr(F.col("norm"), F.lit(t)) > 0 for t in tri_by_pat[pid]),
         )
-        .groupBy("pattern_id", "doc")
-        .agg(F.expr("bit_or(m)").alias("mask"))
-        .join(F.broadcast(n_tris), "pattern_id")
-        .filter(F.bit_count("mask") == F.col("n_tris"))
-        .select("pattern_id", "doc")
-    )
-    return (
-        candidates.join(base, "doc")
-        .join(F.broadcast(p), "pattern_id")
-        .filter(F.instr(F.col("norm"), F.col("pat")) > 0)
-        .select("pattern_id", F.col("doc").alias(id_col))
+        cells.append(
+            F.when(
+                all_tris & (F.instr(F.col("norm"), F.lit(pats[pid])) > 0),
+                F.lit(pid).cast("int"),
+            )
+        )
+    return base.select(
+        F.explode(F.array_compact(F.array(*cells))).alias("pattern_id"),
+        F.col("doc").alias(id_col),
     )
 
 

@@ -680,14 +680,20 @@ def embedding_near_dup(
         StorageLevel.MEMORY_AND_DISK
     )
     # Exact-cosine verification as ONE vectorized Arrow kernel, not the
-    # interpreted zip_with/aggregate fold: (a) numpy batch math is
-    # ~100x cheaper per element, and (b) a deterministic column
-    # expression here gets pushed INTO the join condition and then
-    # recomputed by the output projection — evaluating the fold twice
-    # per candidate (measured 4x wall on this operator at 10x data).
-    # A Python UDF cannot be inlined into a join condition, so the
-    # threshold filter stays above and the cosine runs once (shared
-    # bit-parity kernel: cosine_arrow_udf).
+    # interpreted zip_with/aggregate fold (numpy batch math is ~100x
+    # cheaper per element); cosine_arrow_udf is nondeterministic since
+    # r12, so the threshold filter cannot be pushed below the
+    # projection and the kernel runs ONCE per candidate (it ran twice
+    # before — plan-verified). A MEASURED NEGATIVE RESULT for the
+    # record (r12): replacing these broadcast joins with a collected
+    # id->vector dict + id-pairs-only mapInPandas kernel (the dedup
+    # verify discipline) was 15-30% SLOWER at sf0.1 AND the 10x
+    # replica — on THIS operator the candidate-id semi-join prunes
+    # almost nothing (every planted near-dup makes both its vectors
+    # candidates), so the driver-side dict build/pickle of nearly the
+    # whole corpus costs more than the per-pair array attach saves;
+    # the dedup digest-set verify keeps the kernel because its sliver
+    # IS small.
     cos_r_arrow = cosine_arrow_udf()
 
     ca = cf.alias("ca")
