@@ -1529,17 +1529,31 @@ def kmeans_cosine(
     ``return_model=True``, the tuple (assignments, centroids) where
     ``centroids`` is the k x dim list the FINAL assignment was computed
     against (the pre-update table — what a serving layer would ship).
+
+    r13 (guide §1.2/§2.4 — the trainer is job-overhead-bound at bench
+    scale, 5 sequential driver jobs): the double-vec corpus is
+    persisted once (each iteration re-read the parquet and re-ran the
+    vector cast before), and each update collects the (cluster, pos,
+    m) rows straight out of the FIRST aggregation — the old second
+    groupBy(cluster)+collect_list+array_sort pass added one exchange
+    and one stage per iteration only to assemble arrays the driver
+    can assemble itself from k x dim tiny rows. The averaged values
+    come from the identical F.avg aggregate, so centroids (and the
+    oracle's Lloyd replay) are bit-identical.
     """
     from pyspark.sql.functions import pandas_udf
 
-    c = _with_double_vec(corpus, vec_col, "cv").select(
-        F.col(id_col).alias("vid"), "cv"
+    c = (
+        _with_double_vec(corpus, vec_col, "cv")
+        .select(F.col(id_col).alias("vid"), "cv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if init == "kmeans++":
         centroids = kmeans_pp_init(corpus, id_col, vec_col, k)
     else:
         rows = c.orderBy("vid").limit(k).collect()
         centroids = [list(r.cv) for r in rows]
+    dim = len(centroids[0]) if centroids else 0
 
     def assign_udf(cents: list[list[float]]):
         # Arrow-vectorized argmax: a literal-centroid expression tree
@@ -1566,16 +1580,11 @@ def kmeans_cosine(
             assigned.select("cluster", F.posexplode("cv").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.avg("val").alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select("cluster", F.expr("transform(pm, x -> x.m)").alias("centroid"))
             .collect()
         )
-        updated = dict((r.cluster, list(r.centroid)) for r in new_rows)
+        updated: dict[int, list] = {}
+        for r in new_rows:
+            updated.setdefault(r.cluster, [None] * dim)[r.pos] = r.m
         # empty clusters keep their previous centroid
         centroids = [updated.get(j, centroids[j]) for j in range(k)]
 
