@@ -317,30 +317,41 @@ def trigram_match(
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
     base = docs.select(F.col(id_col).alias("doc"), norm.alias("norm"))
 
-    p, ptris, n_tris = _pattern_trigrams(patterns)
+    pats, tri_by_pat, pid_type = _pattern_trigrams(patterns)
     # pattern side is driver-literal by construction (<= 62 trigrams
     # per pattern enforced above; the pattern list itself is a probe
-    # table) — collect it and compile the bitmap predicate per pattern
-    pats = {r["pattern_id"]: r["pat"] for r in p.collect()}
-    tri_by_pat: dict = {}
-    for r in ptris.collect():
-        tri_by_pat.setdefault(r["pattern_id"], []).append(r["tri"])
+    # table) — compile the bitmap predicate per pattern. Patterns with
+    # an empty trigram list (normalized below 3 chars) are SKIPPED:
+    # the old postings join produced no candidates for them (ADVICE
+    # r12: indexing tri_by_pat[pid] raised KeyError instead). The
+    # emitted pattern_id literal is cast to the INPUT column's type —
+    # the old int cast silently nulled bigint/string ids and
+    # array_compact dropped every match for that pattern (ADVICE r12).
     # ONE corpus pass for all patterns (a per-pattern filter union
     # would re-scan and re-normalize the text once per pattern): per
     # doc, an array cell per pattern that passes bitmap + verification,
     # nulls compacted away, exploded to (pattern_id, doc) rows
     cells = []
     for pid in sorted(pats):
+        tris = tri_by_pat[pid]
+        if not tris:
+            continue
         all_tris = functools.reduce(
             lambda a, b: a & b,
-            (F.instr(F.col("norm"), F.lit(t)) > 0 for t in tri_by_pat[pid]),
+            (F.instr(F.col("norm"), F.lit(t)) > 0 for t in tris),
         )
         cells.append(
             F.when(
                 all_tris & (F.instr(F.col("norm"), F.lit(pats[pid])) > 0),
-                F.lit(pid).cast("int"),
+                F.lit(pid).cast(pid_type),
             )
         )
+    if not cells:
+        # every pattern was trigram-less: no candidates, empty result
+        return base.select(
+            F.lit(None).cast(pid_type).alias("pattern_id"),
+            F.col("doc").alias(id_col),
+        ).filter(F.lit(False))
     return base.select(
         F.explode(F.array_compact(F.array(*cells))).alias("pattern_id"),
         F.col("doc").alias(id_col),
@@ -349,41 +360,42 @@ def trigram_match(
 
 def _pattern_trigrams(patterns: DataFrame):
     """Shared pattern-side prep for the trigram searchers: normalized
-    pattern text, the distinct (pattern_id, tri, bit) list with a
-    per-pattern bit position, and per-pattern trigram counts. Enforces
-    the <= 62-trigram int64-bitmap bound (driver state here is the
-    pattern list only — bounded by construction)."""
+    pattern text and the per-pattern sorted distinct trigram list
+    (``bit`` = position in that list). Enforces the <= 62-trigram
+    int64-bitmap bound (driver state here is the pattern list only —
+    bounded by construction).
+
+    r13 (guide §1.2 — the pattern table is a driver-literal probe
+    list): ONE tiny collect of the Spark-normalized patterns, trigram
+    derivation in Python. The old shape ran THREE Spark jobs per serve
+    (explode+distinct, a row_number window, and the >62 guard's
+    collect) over a handful of rows — ~0.8 s of pure job-launch
+    overhead on every trigram query. Normalization stays a Spark
+    expression so the collected ``pat`` strings are bit-identical to
+    what the document side computes; trigram slicing and the
+    sorted-distinct bit order are engine-independent string ops.
+    Returns ``(pats, tri_by_pat, pid_type)``: {pattern_id: pat},
+    {pattern_id: [tri, ...] sorted}, and the pattern_id column's Spark
+    type (so emitted literals preserve the caller's id type — ADVICE
+    r12: the old int cast silently nulled bigint/string ids).
+    Patterns normalizing below 3 chars get an EMPTY trigram list (no
+    postings -> no candidates -> no matches, the old join semantics)."""
     pnorm = F.trim(
         F.regexp_replace(F.lower(F.col("pattern")), "[^a-z0-9]+", " ")
     )
-    p = patterns.select(F.col("pattern_id"), pnorm.alias("pat"))
-    ptris = (
-        p.select(
-            "pattern_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(length(pat) - 2, 0)),"
-                    " i -> substr(pat, i, 3))"
-                )
-            ).alias("tri"),
-        )
-        .distinct()
-        .withColumn(
-            "bit",
-            F.row_number().over(
-                Window.partitionBy("pattern_id").orderBy("tri")
-            )
-            - 1,
-        )
-    )
-    n_tris = ptris.groupBy("pattern_id").agg(F.count("*").alias("n_tris"))
-    over = [r.pattern_id for r in n_tris.filter(F.col("n_tris") > 62).collect()]
+    rows = patterns.select(F.col("pattern_id"), pnorm.alias("pat")).collect()
+    pats = {r["pattern_id"]: r["pat"] for r in rows}
+    tri_by_pat = {
+        pid: sorted({pat[i : i + 3] for i in range(max(len(pat) - 2, 0))})
+        for pid, pat in pats.items()
+    }
+    over = [pid for pid, ts in tri_by_pat.items() if len(ts) > 62]
     if over:
         raise ValueError(
             f"patterns {over} have > 62 distinct trigrams; "
             "the int64 bitmap AND needs <= 62 (split the pattern)"
         )
-    return p, ptris, n_tris
+    return pats, tri_by_pat, patterns.schema["pattern_id"].dataType
 
 
 def write_trigram_index(
@@ -819,15 +831,52 @@ def trigram_match_indexed(
     """
     from .dedup import _heal_pending_appends
 
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
     _check_trigram_params(index_path, "trigram_match_indexed")
     _heal_pending_appends(index_path)
-    p, ptris, n_tris = _pattern_trigrams(patterns)
-    probe = [
-        (r.tri, r.tri[:2])
-        for r in ptris.select("tri").distinct().collect()
-    ]
-    tri_list = sorted({t for t, _ in probe})
-    p2_list = sorted({pre for _, pre in probe})
+    pats, tri_by_pat, pid_type = _pattern_trigrams(patterns)
+    tri_list = sorted({t for ts in tri_by_pat.values() for t in ts})
+    p2_list = sorted({t[:2] for t in tri_list})
+    if not tri_list:
+        # every pattern normalized below 3 chars: no postings can match
+        return docs.select(
+            F.lit(None).cast(pid_type).alias("pattern_id"),
+            F.col(id_col),
+        ).filter(F.lit(False))
+
+    # tiny local relations (LocalTableScan — no job, no shuffle) built
+    # from the driver-side pattern prep: (pattern_id, tri, bit),
+    # (pattern_id, n_tris) and (pattern_id, pat). pattern_id keeps the
+    # caller's column type (ADVICE r12).
+    ptris = spark.createDataFrame(
+        [(pid, t, b) for pid, ts in tri_by_pat.items() for b, t in enumerate(ts)],
+        StructType(
+            [
+                StructField("pattern_id", pid_type),
+                StructField("tri", StringType()),
+                StructField("bit", IntegerType()),
+            ]
+        ),
+    )
+    n_tris = spark.createDataFrame(
+        [(pid, len(ts)) for pid, ts in tri_by_pat.items() if ts],
+        StructType(
+            [
+                StructField("pattern_id", pid_type),
+                StructField("n_tris", IntegerType()),
+            ]
+        ),
+    )
+    p = spark.createDataFrame(
+        [(pid, pat) for pid, pat in pats.items()],
+        StructType(
+            [
+                StructField("pattern_id", pid_type),
+                StructField("pat", StringType()),
+            ]
+        ),
+    )
 
     idx = (
         spark.read.parquet(index_path)
