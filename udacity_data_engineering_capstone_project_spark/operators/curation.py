@@ -637,6 +637,7 @@ def bloom_decontaminate(
     k: int = 2,
     train_shingles: DataFrame | None = None,
     materialize_dir: str | None = None,
+    materialize_local: bool = False,
 ) -> DataFrame:
     """:func:`benchmark_decontaminate` with a Bloom prefilter: the
     benchmark shingle digests build a fixed-size bitset
@@ -673,7 +674,15 @@ def bloom_decontaminate(
         train_sh = train_shingles
     else:
         train_sh = hashed_shingle_table(train, id_col, text_col, n)
-        if materialize_dir is not None:
+        if materialize_local:
+            # r13: same lineage cut as the scratch parquet, without the
+            # encode/commit/re-read round trip (~0.1 s at sf0.1) or the
+            # scratch files. localCheckpoint does NOT register in the
+            # CacheManager, so the cache-substitution trap below cannot
+            # fire. Non-reliable storage (executor loss = job restart)
+            # — production multi-tenant runs keep ``materialize_dir``.
+            train_sh = train_sh.localCheckpoint(eager=True)
+        elif materialize_dir is not None:
             train_sh.write.mode("overwrite").parquet(materialize_dir)
             train_sh = train.sparkSession.read.parquet(materialize_dir)
     bench_h = hashed_shingle_table(benchmark, id_col, text_col, n).select("h").distinct()

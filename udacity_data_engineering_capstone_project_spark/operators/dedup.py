@@ -565,6 +565,12 @@ def _verify_pairs_broadcast_sets(
         ([0], np.cumsum(lens_sorted)[:-1])
     ).astype(np.int64)
     bcv = sc.broadcast((doc_sorted, offsets_sorted, lens_sorted, flat_sorted))
+    # register session-level so the harness hook can release the
+    # handle even if a wrapper .select()s the attribute away
+    # (ADVICE r12); local import — similarity does not import dedup
+    from .similarity import _ROUTING_BC_REGISTRY
+
+    _ROUTING_BC_REGISTRY.append(bcv)
     # spread the pair kernel across the cluster: the candidate cache is
     # AQE-coalesced to ~1 partition (it is tiny in bytes), which would
     # run the whole intersect kernel in ONE task; the repartition moves

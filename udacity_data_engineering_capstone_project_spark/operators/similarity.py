@@ -44,6 +44,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     max_broadcast_vectors: int = 200_000,
+    max_broadcast_bytes: int = 256 << 20,
     query_chunk: int = 4096,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
@@ -73,11 +74,19 @@ def brute_force_topk(
 
     The query matrix ships via ``SparkContext.broadcast`` (the
     knn_self_topk_arrow discipline); the handle is attached to the
-    returned DataFrame as ``_centroid_broadcast`` so the bench/oracle
-    harnesses' post-action ``destroy_routing_broadcast`` hook releases
-    it. Intermediate callers that ``.select()`` the result away leak
-    only the tiny query matrix until GC — same lifetime story as
-    before, when the JVM held the broadcast relation."""
+    returned DataFrame as ``_centroid_broadcast`` AND registered in
+    the session-level routing-broadcast registry (ADVICE r12: wrapping
+    queries often ``.select()`` the result, stripping the attribute —
+    the registry lets ``destroy_routing_broadcast`` release the handle
+    regardless).
+
+    Guards (ADVICE r12): the collect itself is bounded by
+    ``spark.driver.maxResultSize`` (1 GiB default — a clear Spark
+    error, not an OOM); past that, BOTH a row bound and a BYTE bound
+    (rows x dim x 8 <= ``max_broadcast_bytes``) gate the
+    ship-to-every-task matrix — 200k rows of 4096-dim float64 is
+    ~6.5 GB per Python worker, which the old row-only guard waved
+    through."""
     q_rows = (
         _with_double_vec(queries, vec_col, "qv")
         .select(F.col(id_col).alias("query_id"), "qv")
@@ -95,7 +104,15 @@ def brute_force_topk(
         if q_rows
         else np.empty((0, 1), dtype=np.float64)
     )
+    if q_mat.nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"brute_force_topk: query matrix is {q_mat.nbytes} bytes "
+            f"(> {max_broadcast_bytes}); every Python worker unpickles "
+            "the full matrix — route queries through the IVF serving "
+            "path instead"
+        )
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    _ROUTING_BC_REGISTRY.append(bc)
     kk, chunk_cap = int(k), int(query_chunk)
 
     def partials(batches):
@@ -321,6 +338,7 @@ def knn_self_topk_arrow(
     bc = corpus.sparkSession.sparkContext.broadcast(
         (ids_l, mat_l, c_norms_l)
     )
+    _ROUTING_BC_REGISTRY.append(bc)
     kk, chunk_cap = int(k), int(query_chunk)
 
     def topk_batches(batches):
@@ -954,25 +972,52 @@ def _two_level_plan(
 _ROUTING_PLAN_MAX_BYTES = 256 << 20
 
 
+#: Session-level registry of live routing/query-matrix broadcasts
+#: (ADVICE r12): wrapping queries often ``.select()`` a kernel's
+#: result, stripping the ``_centroid_broadcast`` attribute and turning
+#: the attribute-based destroy into a no-op — the handle then leaked
+#: until GC. Every kernel that ships a ``SparkContext.broadcast``
+#: registers it here too, and the harness hook drains the registry.
+_ROUTING_BC_REGISTRY: list = []
+
+
 def destroy_routing_broadcast(df) -> bool:
-    """Release the centroid broadcast a routing-plan consumer attached
-    to its result DataFrame (``_centroid_broadcast``) — the caller-side
-    half of the lifetime contract every IVF kernel documents. Call
-    AFTER the final action on ``df``; destroying earlier makes any
-    re-execution of the plan fail. Harness discipline (ADVICE r11):
-    bench.py destroys after each timed iteration and
-    tools/oracle_check.py after each compare, so long harness sessions
-    no longer accumulate one centroid broadcast per IVF-query call.
-    Returns True if a handle was found and destroyed (idempotent:
-    the attribute is cleared so a second call is a no-op)."""
+    """Release the centroid/query-matrix broadcasts created while
+    building ``df``'s plan — the caller-side half of the lifetime
+    contract every IVF kernel documents. Call AFTER the final action
+    on ``df``; destroying earlier makes any re-execution of the plan
+    fail. Harness discipline (ADVICE r11): bench.py destroys after
+    each timed iteration and tools/oracle_check.py after each compare,
+    so long harness sessions no longer accumulate one broadcast per
+    kernel call.
+
+    Destroys the DataFrame-attached ``_centroid_broadcast`` (if any)
+    AND drains the session-level registry (ADVICE r12: ``.select()``
+    wrappers strip the attribute). Draining destroys EVERY routing
+    broadcast registered since the last call, so callers must not
+    hold other not-yet-executed kernel plans across the hook — the
+    bench/oracle per-query cadence never does. Returns True if any
+    handle was destroyed (idempotent)."""
+    destroyed = False
     bc = getattr(df, "_centroid_broadcast", None)
-    if bc is None:
-        return False
-    try:
-        bc.destroy()
-    finally:
-        df._centroid_broadcast = None
-    return True
+    if bc is not None:
+        try:
+            bc.destroy()
+            destroyed = True
+        finally:
+            df._centroid_broadcast = None
+    seen = {id(bc)} if bc is not None else set()
+    while _ROUTING_BC_REGISTRY:
+        handle = _ROUTING_BC_REGISTRY.pop()
+        if id(handle) in seen:
+            continue
+        seen.add(id(handle))
+        try:
+            handle.destroy()
+            destroyed = True
+        except Exception:
+            pass  # already destroyed by an attribute-based release
+    return destroyed
 
 
 def _centroid_routing_plan(
@@ -1039,6 +1084,7 @@ def _centroid_routing_plan(
     bc = centroids.sparkSession.sparkContext.broadcast(
         (cent_ids, cent_mat, cent_norms, branch_members)
     )
+    _ROUTING_BC_REGISTRY.append(bc)
     return bc, n_cells, n_coarse, w_coarse, use_two_level
 
 

@@ -4638,7 +4638,7 @@ def bloom_prefilter_decontaminate(spark, sf_dir):
         docs.filter(b >= 90),
         threshold_num=1,
         threshold_den=5,
-        materialize_dir=_scratch_dir("bloom_train_sh_"),
+        materialize_local=True,
     )
 
 
