@@ -1128,6 +1128,17 @@ def write_minhash_index(
         .mode(mode)
         .parquet(path + "/sets")
     )
+    # r13: stamp whole-index digest-set totals beside the dials. They
+    # give the probe a FREE sufficient byte bound for its verify-sliver
+    # collect (any sliver's bytes <= the whole index's): when
+    # 8*tot + 32*n_docs fits the broadcast budget, the probe skips the
+    # per-call sliver-size job entirely (measured ~0.7 s per serve at
+    # sf0.1). One narrow agg over the still-persisted sets — build-time
+    # cost, amortized. Extra stamp keys are ignored by the dials check.
+    st = sets.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("hs")), F.lit(0)).alias("tot"),
+    ).first()
     sets.unpersist()
     _write_minhash_params(
         path,
@@ -1137,6 +1148,8 @@ def write_minhash_index(
             "bands": int(bands),
             "n_band_parts": int(n_band_parts),
             "n_doc_parts": int(n_doc_parts),
+            "sets_n_docs": int(st["n"]),
+            "sets_tot_digests": int(st["tot"]),
         },
     )
 
@@ -1144,6 +1157,18 @@ def write_minhash_index(
 #: filename of the persisted index dials; underscore prefix keeps it
 #: invisible to parquet directory readers.
 _MINHASH_PARAMS_FILE = "_index_params.json"
+
+
+def _read_minhash_params(path: str) -> dict | None:
+    """Load the persisted index dials/stats, or None if absent."""
+    import json
+    import os
+
+    src = os.path.join(path, _MINHASH_PARAMS_FILE)
+    if not os.path.exists(src):
+        return None
+    with open(src) as fh:
+        return json.load(fh)
 
 
 def _write_minhash_params(path: str, params: dict) -> None:
@@ -1461,7 +1486,13 @@ def append_minhash_index(
         .mode("overwrite")
         .parquet(tmp + "/sets")
     )
-    sets_empty = sets.isEmpty()  # cheap: sets is persisted
+    # one narrow agg replaces the old isEmpty(): emptiness AND the
+    # batch's digest totals for the stamped index stats (below)
+    bst = sets.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("hs")), F.lit(0)).alias("tot"),
+    ).first()
+    sets_empty = int(bst["n"]) == 0
     sets.unpersist()
 
     # Plan the whole swap with destination names fixed NOW (replay
@@ -1499,6 +1530,18 @@ def append_minhash_index(
             )
         shutil.rmtree(tmp, ignore_errors=True)
         return {"postings_files": 0, "sets_files": 0, "auto_compacted": False}
+    # Update the stamped whole-index digest totals BEFORE the commit:
+    # the stats are a sufficient UPPER bound for the probe's sliver
+    # collect, so on a crash between this write and the swap they
+    # OVERCOUNT (conservative — the probe at worst runs its per-call
+    # sliver-size job), never undercount. Absent keys (pre-r13 layout
+    # migrated with stamp_minhash_params) stay absent — the probe then
+    # always measures the sliver itself.
+    built = _read_minhash_params(path)
+    if built is not None and "sets_n_docs" in built and "sets_tot_digests" in built:
+        built["sets_n_docs"] = int(built["sets_n_docs"]) + int(bst["n"])
+        built["sets_tot_digests"] = int(built["sets_tot_digests"]) + int(bst["tot"])
+        _write_minhash_params(path, built)
     manifest_path = os.path.join(path, f"_pending_append_{tag}.json")
     with open(manifest_path + ".tmp", "w") as fh:
         json.dump({"moves": moves, "tmp_dir": tmp}, fh)
@@ -1750,15 +1793,26 @@ def minhash_probe_indexed(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # ONE driver action fills the candidates cache AND returns both the
-    # broadcast-guard count and the candidate dp partition list (the
-    # fused-stats discipline from _verify_candidate_pairs)
-    stats = candidates.agg(
-        F.count("*").alias("n_cand"),
-        F.collect_set(
-            F.pmod(F.xxhash64("index_doc"), F.lit(n_doc_parts)).cast("int")
-        ).alias("dps"),
-    ).first()
+    # ONE driver action fills the candidates cache AND returns the
+    # broadcast-guard count, the candidate dp partition list (the
+    # fused-stats discipline from _verify_candidate_pairs), and the
+    # batch side's digest totals for the byte gate below (crossJoin of
+    # 1-row aggregates — still one job; bat_sets is already cached)
+    stats = (
+        candidates.agg(
+            F.count("*").alias("n_cand"),
+            F.collect_set(
+                F.pmod(F.xxhash64("index_doc"), F.lit(n_doc_parts)).cast("int")
+            ).alias("dps"),
+        )
+        .crossJoin(
+            bat_sets.select(
+                F.count("*").alias("bat_n"),
+                F.coalesce(F.sum(F.size("hs")), F.lit(0)).alias("bat_tot"),
+            )
+        )
+        .first()
+    )
     n_cand = int(stats["n_cand"])
     dps = sorted(stats["dps"])
 
@@ -1781,10 +1835,29 @@ def minhash_probe_indexed(
     # BYTE gate on the collected sliver (ADVICE r12: the r12 row guard
     # was ineffective for (doc, array<long>) payloads — a near-dup-
     # dense corpus under 5M candidate rows could pull multi-GB into
-    # the Python driver). One narrow agg job over the dp-pruned,
-    # semi-joined sliver; the dps literal is only known after the
-    # candidates action, so this cannot fuse into it.
-    est_bytes = _sliver_est_bytes(sliver) if n_cand <= broadcast_max_rows else None
+    # the Python driver). Fast path: the build stamps whole-index
+    # digest totals into _index_params.json, and the batch's totals
+    # rode the fused candidates action above — their SUM bounds any
+    # sliver from above, so when it fits the budget no per-call
+    # sliver-size job runs (measured ~0.7 s per serve at sf0.1). Only
+    # when the bound is inconclusive (or the stamp predates r13) does
+    # the one narrow agg job over the dp-pruned, semi-joined sliver
+    # decide precisely; the dps literal from the first action is a
+    # prerequisite of that scan, so it cannot fuse further.
+    est_bytes = None
+    if n_cand <= broadcast_max_rows:
+        stamped = _read_minhash_params(index_path) or {}
+        if "sets_n_docs" in stamped and "sets_tot_digests" in stamped:
+            whole_ub = (
+                8 * int(stamped["sets_tot_digests"])
+                + 32 * int(stamped["sets_n_docs"])
+                + 8 * int(stats["bat_tot"])
+                + 32 * int(stats["bat_n"])
+            )
+            if whole_ub <= broadcast_max_bytes:
+                est_bytes = whole_ub
+        if est_bytes is None:
+            est_bytes = _sliver_est_bytes(sliver)
     if est_bytes is not None and est_bytes <= broadcast_max_bytes:
         # r12 (guide §2.3/§8): one collected sliver (batch + index
         # candidate docs; ids disjoint by the caller's split), only id
