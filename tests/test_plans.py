@@ -453,19 +453,19 @@ def test_semantic_dedup_cosine_not_inlined_and_join_on_cluster(spark):
             assert "aggregate(" not in line
 
 
-def test_semantic_dedup_trained_broadcasts_centroids_joins_on_cluster(spark):
-    """The trained SemDeDup variant: the k x dim centroid table joins
-    in as a broadcast (never a shuffle of the corpus against an 8-row
-    table), the pairwise cosine stays an ArrowEvalPython column above
-    the join (the double-evaluation trap), and no join line carries an
-    inlined HOF fold."""
+def test_semantic_dedup_trained_is_join_free_cluster_keyed(spark):
+    """The trained SemDeDup variant (r13 shape): the final pass is
+    JOIN-FREE — assignments keep their vectors (no corpus re-join by
+    id) and the centroid cosine is computed inside the cluster kernel
+    from the driver-side model (no centroid broadcast join) — so the
+    only data movement is the single cluster-keyed exchange feeding
+    FlatMapGroupsInPandas, and no interpreted HOF cosine fold appears
+    anywhere."""
     plan = _plan(spark, "semantic_dedup_flags")
-    assert "BroadcastHashJoin" in plan
-    assert "ArrowEvalPython" in plan
-    for line in plan.split("\n"):
-        if "Join" in line:
-            assert "zip_with" not in line
-            assert "aggregate(" not in line
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(cluster" in plan
+    assert "zip_with" not in plan and "aggregate(" not in plan
 
 
 def test_hard_negatives_broadcasts_queries_no_global_sort(spark):

@@ -1553,6 +1553,7 @@ def kmeans_cosine(
     iters: int = 5,
     init: str = "first-k",
     return_model: bool = False,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's iterations, cosine assignment) —
     the trainer for IVF centroids (:func:`ivf_topk` takes any centroid
@@ -1575,6 +1576,9 @@ def kmeans_cosine(
     ``return_model=True``, the tuple (assignments, centroids) where
     ``centroids`` is the k x dim list the FINAL assignment was computed
     against (the pre-update table — what a serving layer would ship).
+    ``keep_vec=True`` keeps the double-cast vector column ``cv`` on
+    the assignments (r13: semantic_dedup_trained re-joined the corpus
+    by id to get vectors the assignment subtree already carried).
 
     r13 (guide §1.2/§2.4 — the trainer is job-overhead-bound at bench
     scale, 5 sequential driver jobs): the double-vec corpus is
@@ -1634,7 +1638,10 @@ def kmeans_cosine(
         # empty clusters keep their previous centroid
         centroids = [updated.get(j, centroids[j]) for j in range(k)]
 
-    out = assigned.select(F.col("vid").alias(id_col), "cluster")
+    if keep_vec:
+        out = assigned.select(F.col("vid").alias(id_col), "cv", "cluster")
+    else:
+        out = assigned.select(F.col("vid").alias(id_col), "cluster")
     if return_model:
         return out, [list(u) for u in used]
     return out
@@ -2014,27 +2021,21 @@ def semantic_dedup_trained(
     dropped is 0/1 so the result doubles as the keep-list filter.
     """
     assigned, cents = kmeans_cosine(
-        corpus, id_col, vec_col, k, iters, return_model=True
+        corpus, id_col, vec_col, k, iters, return_model=True, keep_vec=True
     )
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(j, list(cents[j])) for j in range(len(cents))],
-        "cluster int, u array<double>",
-    )
-    c = _with_double_vec(corpus, vec_col, "cv").select(
-        F.col(id_col).alias("vid"), "cv"
-    )
-    m = (
-        assigned.withColumnRenamed(id_col, "vid")
-        .join(c, "vid")
-        .join(F.broadcast(cent_df), "cluster")
-        .select(
-            "vid",
-            "cluster",
-            "cv",
-            cosine_cols(F.col("cv"), F.col("u")).alias("c2c_r"),
-        )
-    )
+    # r13 (guide §2.4): the final pass is ONE cluster-keyed exchange.
+    # The old shape re-joined the corpus by id (to re-attach vectors
+    # the assignment subtree already carried) and broadcast-joined a
+    # centroid table only to compute the centroid cosine in the JVM's
+    # interpreted fold; both joins are gone — ``keep_vec=True`` keeps
+    # ``cv`` on the assignments and the kernel computes c2c_r itself
+    # from the driver-side centroid matrix via _rounded_cos_mat
+    # (bit-equal to cosine_cols by the boundary-guard contract, pinned
+    # by the kernel-parity pytests), so ranks, values and the oracle
+    # hash are unchanged.
+    m = assigned.select(F.col(id_col).alias("vid"), "cv", "cluster")
+    cent_mat = np.asarray([list(u) for u in cents], dtype=np.float64)
+    cent_norms = np.sqrt(np.cumsum(cent_mat * cent_mat, axis=1)[:, -1])
     thr = float(threshold)
 
     def cluster_drops(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2048,12 +2049,17 @@ def semantic_dedup_trained(
         # the ~32 MB budget, and only (vid, dropped) rows leave the
         # kernel. Members arrive UNSORTED; rank order is recomputed
         # from (c2c_r, vid) — the same key the window used.
-        order = np.lexsort(
-            (pdf["vid"].to_numpy(dtype=np.int64), pdf["c2c_r"].to_numpy())
-        )
+        cl = int(pdf["cluster"].iloc[0])
+        mat_u = np.vstack(pdf["cv"].to_numpy())
+        norms_u = np.sqrt(np.cumsum(mat_u * mat_u, axis=1)[:, -1])
+        c2c = _rounded_cos_mat(
+            mat_u, norms_u, cent_mat[cl : cl + 1], cent_norms[cl : cl + 1]
+        ).ravel()
+        order = np.lexsort((pdf["vid"].to_numpy(dtype=np.int64), c2c))
         p = pdf.iloc[order]
-        mat = np.vstack(p["cv"].to_numpy())
-        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        mat = mat_u[order]
+        norms = norms_u[order]
+        c2c = c2c[order]
         pop = len(p)
         blk = max(1, (4 << 20) // max(1, pop))
         dropped = np.zeros(pop, dtype=np.int32)
@@ -2069,14 +2075,13 @@ def semantic_dedup_trained(
             {
                 "vid": p["vid"].to_numpy(dtype=np.int64),
                 "cluster": p["cluster"].to_numpy(dtype=np.int32),
-                "c2c_r": p["c2c_r"].to_numpy(dtype=np.float64),
+                "c2c_r": c2c,
                 "dropped": dropped,
             }
         )
 
     return (
-        m.select("vid", "cluster", "cv", "c2c_r")
-        .groupBy("cluster")
+        m.groupBy("cluster")
         .applyInPandas(
             cluster_drops,
             "vid long, cluster int, c2c_r double, dropped int",
