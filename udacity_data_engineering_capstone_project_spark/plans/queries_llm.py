@@ -7075,6 +7075,17 @@ def incremental_join_agg(spark, sf_dir):
     )
     tagged = li.withColumn("__is_delta", (h % 20 == 0).cast("int"))
 
+    # r13 MEASURED NEGATIVE RESULT (kept for the record): fusing the
+    # two part_aggs into ONE lineitem⋈orders pass aggregated by
+    # (priority, __is_delta) — "half the scans/joins" on paper — was
+    # NOT faster at sf0.1 (interleaved A/B, 7 iters: old two-pass min
+    # 1.15 s; fused+persist 1.21 s; fused relying on ReusedExchange
+    # 1.53 s). The two base/delta subtrees are independent stages that
+    # overlap on the 32-way scheduler, so the second scan is nearly
+    # free, while the fused shape serializes behind one exchange (and
+    # the persist variant adds cache-fill latency). The two-pass shape
+    # also matches the production MV story: base comes from storage.
+
     def part_agg(df, is_delta: int):
         return (
             df.join(oo, df.l_orderkey == oo.o_orderkey)
