@@ -511,6 +511,18 @@ def _pair_intersect_kernel(bc, a_col: str, b_col: str,
     return gen
 
 
+def _observed_totals(obs) -> dict | None:
+    """Read an Observation's (n, tot) metrics, or None when the
+    CollectMetrics node never produced a row — an EMPTY input relation
+    is constant-folded away before execution and the metrics fetch
+    then raises inside the JVM (seen on the empty-batch probe path).
+    Callers fall back to a measured bound, which is always correct."""
+    try:
+        return obs.get
+    except Exception:
+        return None
+
+
 def _sliver_est_bytes(sliver: DataFrame) -> int:
     """Estimated broadcast bytes of a (doc, hs) sliver — the
     _verify_candidate_pairs formula (``8*Σ|hs| + 32*rows``), computed
@@ -942,12 +954,28 @@ def minhash_lsh_pairs_against(
 
     # BOTH set tables persist: idx_sets feeds two subtrees (band keys
     # and the verification semi-join) — without the persist the index
-    # corpus would be tokenized and collect_set-shuffled twice.
-    idx_sets = shingle_sets(index_df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # corpus would be tokenized and collect_set-shuffled twice. Each
+    # carries an OBSERVE node (r13): the digest totals the byte gate
+    # below needs ride the cache-fill job as accumulator metrics —
+    # zero extra scans (a dedicated totals aggregate, even a straight
+    # partial agg over the caches, measured +0.15 s per probe).
+    from pyspark.sql import Observation
+
+    obs_idx = Observation("idx_sets_totals")
+    obs_bat = Observation("bat_sets_totals")
+    _totals = lambda: (  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("hs")), F.lit(0)).alias("tot"),
     )
-    bat_sets = shingle_sets(batch_df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    idx_sets = (
+        shingle_sets(index_df, id_col, text_col, n)
+        .observe(obs_idx, *_totals())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bat_sets = (
+        shingle_sets(batch_df, id_col, text_col, n)
+        .observe(obs_bat, *_totals())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     idx_keys = idx_sets.select("doc", F.explode(band_keys("hs")).alias("band_key"))
     bat_keys = bat_sets.select(
@@ -972,41 +1000,48 @@ def minhash_lsh_pairs_against(
     # digest-set sliver ships once into the id-pair kernel. ONE fused
     # driver action (the _verify_candidate_pairs discipline): candidate
     # count (row guard for the scalar-id semi-join builds) crossJoined
-    # with the sliver's digest-size aggregate (BYTE guard for the
+    # with the WHOLE-INPUT digest totals (BYTE guard for the
     # collect/broadcast — ADVICE r12: a row guard is ineffective for
     # (doc, array<long>) payloads; a near-dup-dense corpus under 5M
     # candidate rows could still pull multi-GB into the Python driver).
-    # Only narrow (long, int) rows shuffle in this job; it also fills
-    # the candidates persist the later joins reuse.
-    idx_ids = candidates.select(F.col("index_doc").alias("doc")).distinct()
-    bat_ids = candidates.select(F.col("new_doc").alias("doc")).distinct()
-    sliver_sz = (
-        idx_sets.select("doc", F.size("hs").alias("sz"))
-        .join(idx_ids, "doc", "left_semi")
-        .unionByName(
-            bat_sets.select("doc", F.size("hs").alias("sz"))
-            .join(bat_ids, "doc", "left_semi")
-        )
-        .select(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("sz"), F.lit(0)).alias("tot_digests"),
-        )
+    # The WHOLE-INPUT totals bound any sliver's bytes from above (the
+    # sliver is a subset of index ∪ batch) and arrive as OBSERVED
+    # METRICS of the cache-fill work this same action triggers — no
+    # extra scan at all. Two refinement attempts, both measured and
+    # rejected: semi-joining sizes to candidate ids (exact sliver,
+    # +0.25 s of exchange work) and a straight totals aggregate over
+    # the caches crossJoined into this action (+0.15 s) — all to
+    # refine a bound that only gates a 512 MiB budget. When the cheap
+    # bound is inconclusive, one exact sliver-size job decides before
+    # anything is collected; accumulator double-fire under cache
+    # eviction can only OVERcount, i.e. degrade conservatively.
+    n_cand = candidates.count()
+    idx_tot = _observed_totals(obs_idx)
+    bat_tot = _observed_totals(obs_bat)
+    est_ub = (
+        8 * (int(idx_tot["tot"]) + int(bat_tot["tot"]))
+        + 32 * (int(idx_tot["n"]) + int(bat_tot["n"]))
+        if idx_tot is not None and bat_tot is not None
+        else None  # metrics elided (empty input relation): measure below
     )
-    stats = (
-        candidates.select(F.count("*").alias("n_cand"))
-        .crossJoin(sliver_sz)
-        .first()
-    )
-    n_cand = int(stats["n_cand"])
-    est_bytes = 8 * int(stats["tot_digests"]) + 32 * int(stats["n_docs"])
 
     def _bc(df):
         return F.broadcast(df) if n_cand <= broadcast_max_rows else df
 
+    idx_ids = candidates.select(F.col("index_doc").alias("doc")).distinct()
     idx_f = idx_sets.join(_bc(idx_ids), "doc", "left_semi")
     # the batch side is filtered to candidate docs too — a batch where
     # most docs have no LSH match should not broadcast dead arrays
+    bat_ids = candidates.select(F.col("new_doc").alias("doc")).distinct()
     bat_f = bat_sets.join(_bc(bat_ids), "doc", "left_semi")
+    est_bytes = est_ub
+    if est_ub is None or (
+        est_ub > broadcast_max_bytes and n_cand <= broadcast_max_rows
+    ):
+        # inconclusive (or elided) upper bound: measure the sliver once
+        est_bytes = _sliver_est_bytes(
+            idx_f.select("doc", "hs").unionByName(bat_f.select("doc", "hs"))
+        )
     if est_bytes <= broadcast_max_bytes:
         # r12 (guide §2.3/§8): ship the two candidate-filtered set
         # slices ONCE (ids are disjoint across batch and index by the
@@ -1759,9 +1794,20 @@ def minhash_probe_indexed(
         "minhash_probe_indexed",
     )
     _heal_pending_appends(index_path)
+    from pyspark.sql import Observation
+
     band_keys_udf = _minhash_band_keys_udf(n_hashes, bands)
-    bat_sets = shingle_sets(batch_df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # observe node (r13): the batch digest totals the byte gate needs
+    # ride the cache-fill job as accumulator metrics — no extra scan
+    obs_bat = Observation("bat_sets_totals")
+    bat_sets = (
+        shingle_sets(batch_df, id_col, text_col, n)
+        .observe(
+            obs_bat,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.size("hs")), F.lit(0)).alias("tot"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bat_keys = bat_sets.select(
         "doc", F.explode(band_keys_udf("hs")).alias("band_key")
@@ -1794,27 +1840,19 @@ def minhash_probe_indexed(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # ONE driver action fills the candidates cache AND returns the
-    # broadcast-guard count, the candidate dp partition list (the
-    # fused-stats discipline from _verify_candidate_pairs), and the
-    # batch side's digest totals for the byte gate below (crossJoin of
-    # 1-row aggregates — still one job; bat_sets is already cached)
-    stats = (
-        candidates.agg(
-            F.count("*").alias("n_cand"),
-            F.collect_set(
-                F.pmod(F.xxhash64("index_doc"), F.lit(n_doc_parts)).cast("int")
-            ).alias("dps"),
-        )
-        .crossJoin(
-            bat_sets.select(
-                F.count("*").alias("bat_n"),
-                F.coalesce(F.sum(F.size("hs")), F.lit(0)).alias("bat_tot"),
-            )
-        )
-        .first()
-    )
+    # broadcast-guard count plus the candidate dp partition list (the
+    # fused-stats discipline from _verify_candidate_pairs); the batch
+    # side's digest totals for the byte gate below arrive as observed
+    # metrics of the same job's cache-fill work (zero extra scans)
+    stats = candidates.agg(
+        F.count("*").alias("n_cand"),
+        F.collect_set(
+            F.pmod(F.xxhash64("index_doc"), F.lit(n_doc_parts)).cast("int")
+        ).alias("dps"),
+    ).first()
     n_cand = int(stats["n_cand"])
     dps = sorted(stats["dps"])
+    bat_tot = _observed_totals(obs_bat)
 
     def _bc(d):
         return F.broadcast(d) if n_cand <= broadcast_max_rows else d
@@ -1847,12 +1885,16 @@ def minhash_probe_indexed(
     est_bytes = None
     if n_cand <= broadcast_max_rows:
         stamped = _read_minhash_params(index_path) or {}
-        if "sets_n_docs" in stamped and "sets_tot_digests" in stamped:
+        if (
+            bat_tot is not None
+            and "sets_n_docs" in stamped
+            and "sets_tot_digests" in stamped
+        ):
             whole_ub = (
                 8 * int(stamped["sets_tot_digests"])
                 + 32 * int(stamped["sets_n_docs"])
-                + 8 * int(stats["bat_tot"])
-                + 32 * int(stats["bat_n"])
+                + 8 * int(bat_tot["tot"])
+                + 32 * int(bat_tot["n"])
             )
             if whole_ub <= broadcast_max_bytes:
                 est_bytes = whole_ub
