@@ -542,6 +542,7 @@ def _verify_pairs_broadcast_sets(
     b_col: str,
     threshold_num: int,
     threshold_den: int,
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Collect the candidate-filtered digest-set sliver driver-side
     (the SAME bytes the old plan's BroadcastExchange collected to the
@@ -588,10 +589,17 @@ def _verify_pairs_broadcast_sets(
     # run the whole intersect kernel in ONE task; the repartition moves
     # only 16-byte id rows and scales with the session's parallelism,
     # not a constant (guide §2.5 — parallelism over a keyless shuffle
-    # of small rows is essentially free)
+    # of small rows is essentially free). r13: bounded BY THE PAIR
+    # COUNT when the caller knows it — a 48-pair probe batch fanned to
+    # 32 near-empty partitions pays 32 Python-worker round trips +
+    # broadcast fetches for microseconds of kernel work; ~4k pairs per
+    # task keeps the worker round-trip amortized at every size.
+    n_parts = max(1, sc.defaultParallelism)
+    if n_pairs is not None:
+        n_parts = max(1, min(n_parts, -(-int(n_pairs) // 4096)))
     out = (
         candidates.select(a_col, b_col)
-        .repartition(max(1, sc.defaultParallelism))
+        .repartition(n_parts)
         .mapInPandas(
             _pair_intersect_kernel(bcv, a_col, b_col, threshold_num, threshold_den),
             f"{a_col} long, {b_col} long, inter_size long, union_size long",
@@ -1055,6 +1063,7 @@ def minhash_lsh_pairs_against(
             "index_doc",
             threshold_num,
             threshold_den,
+            n_pairs=n_cand,
         )
     idx_f = idx_f.persist(StorageLevel.MEMORY_AND_DISK)
     inter_size_arrow = _inter_size_udf()
@@ -1812,9 +1821,11 @@ def minhash_probe_indexed(
     bat_keys = bat_sets.select(
         "doc", F.explode(band_keys_udf("hs")).alias("band_key")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    keys = sorted(
-        r.band_key for r in bat_keys.select("band_key").distinct().collect()
-    )
+    # collect WITHOUT the distinct(): the batch is |batch| x bands
+    # long rows (driver-bounded by the same contract that collects the
+    # keys at all); deduping 8-byte longs in Python is free while the
+    # distinct() added an exchange + a second stage to this job
+    keys = sorted({r.band_key for r in bat_keys.select("band_key").collect()})
     parts = sorted({k % n_band_parts for k in keys})
 
     idx = spark.read.parquet(index_path + "/postings").filter(
@@ -1912,6 +1923,7 @@ def minhash_probe_indexed(
             "index_doc",
             threshold_num,
             threshold_den,
+            n_pairs=n_cand,
         )
         if eager:
             result = result.persist(StorageLevel.MEMORY_AND_DISK)
