@@ -5138,9 +5138,8 @@ def kmv_user_overlap(spark, sf_dir):
     # persist: no CacheManager registration, no cache substitution
     # into other queries' plans. Interleaved A/B at sf0.1: min
     # 1.70->1.58 s, p25 2.02->1.74 s.
-    sk = kmv_sketch(e, "event_type", "user_id", k=K, nchars=NCH).localCheckpoint(
-        eager=True
-    )
+    sk_plan = kmv_sketch(e, "event_type", "user_id", k=K, nchars=NCH)
+    sk = sk_plan.localCheckpoint(eager=True)
     per = (
         sk.groupBy("g")
         .agg(F.max("rn").alias("n_sk"), F.max("h").alias("kth"))
@@ -5214,7 +5213,7 @@ def kmv_user_overlap(spark, sf_dir):
     )
     na = exn.select(F.col("g").alias("ta"), F.col("n").alias("n_a"))
     nb = exn.select(F.col("g").alias("tb"), F.col("n").alias("n_b"))
-    return (
+    out = (
         pairs.join(u, ["ta", "tb", "theta_u"])
         .join(na, "ta")
         .join(nb, "tb")
@@ -5240,6 +5239,12 @@ def kmv_user_overlap(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+    # testability hook (the _verify_sets_df precedent): the sketch's
+    # scale-shape plan (broadcast thr join, pre-window h < thr filter)
+    # was materialized by the localCheckpoint above and no longer
+    # appears in the returned plan — the plan guard asserts it here
+    out._kmv_sketch_df = sk_plan
+    return out
 
 
 _KMV_SPACE = 16**13
